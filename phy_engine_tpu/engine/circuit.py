@@ -1,0 +1,317 @@
+"""Circuit driver: the user-facing analysis orchestrator.
+
+API parity with ``phy_engine::circult`` (circuits/circuit.h:60-177):
+``set_analyze_type`` / analysis settings / ``analyze()`` /
+``digital_clk()`` / ``reset()``, plus result sampling back onto the
+netlist objects (node voltages, branch currents, device runtime state).
+
+TPU-native structure: ``analyze()`` lowers the netlist once per
+structural version (engine.lower), then calls cached jitted kernels from
+``engine.analog``.  Parameter-only edits (set_attribute) never recompile
+— parameters are traced inputs.  The persistent transient clock
+``tr_duration`` carries across calls exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..netlist.netlist import Netlist, Node
+from ..models.base import StampCtx, DeviceClass
+from .environment import Environment
+from . import analog
+from .lower import lower_analog, AnalogIR
+
+
+class AnalyzeType(enum.Enum):
+    """analyze.h:7-16."""
+    OP = 0
+    DC = 1
+    AC = 2
+    ACOP = 3
+    TR = 4
+    TROP = 5
+
+
+class ACSweepType(enum.Enum):
+    """analyzer/AC.h:7-25."""
+    SINGLE = 0
+    LINEAR = 1
+    LOG = 2
+
+
+@dataclass
+class ACSettings:
+    sweep: ACSweepType = ACSweepType.SINGLE
+    omega: float = 1.0
+    omega_start: float = 1.0
+    omega_stop: float = 1e6
+    points: int = 10
+
+
+@dataclass
+class TRSettings:
+    t_stop: float = 1e-3
+    t_step: float = 1e-6
+
+
+class Circuit:
+    def __init__(self, netlist: Optional[Netlist] = None,
+                 env: Optional[Environment] = None,
+                 dtype=jnp.float64):
+        self.nl = netlist if netlist is not None else Netlist()
+        self.env = env if env is not None else Environment()
+        self.at = AnalyzeType.OP
+        self.ac = ACSettings()
+        self.tr = TRSettings()
+        self.dtype = dtype
+        self.tr_duration = 0.0     # persistent transient clock
+        self.ac_sweep_results: List[Tuple[float, np.ndarray]] = []
+        self.tr_history: Optional[np.ndarray] = None  # (steps, N) waveforms
+        self.tr_times: Optional[np.ndarray] = None
+
+        self._ir: Optional[AnalogIR] = None
+        self._x = None               # last solution vector (device array)
+        self._states = None          # device-state pytree
+        self._digital = None         # DigitalEngine, built on demand
+        self._drives = None          # last digital->analog drive arrays
+
+    # -- settings (reference: set_analyze_type / get_analyze_setting) ----
+    def set_analyze_type(self, at: AnalyzeType):
+        self.at = at
+
+    def get_netlist(self) -> Netlist:
+        return self.nl
+
+    # -- compilation -------------------------------------------------------
+    def _digital_models(self):
+        return [m for m in self.nl.live_models()
+                if m.mdef.device_class == DeviceClass.DIGITAL]
+
+    def prepare(self, force: bool = False) -> AnalogIR:
+        """Lower the netlist (compile cache keyed on structural version)."""
+        need_digital = bool(self._digital_models())
+        if (self._ir is None or force or self._ir.version != self.nl.version):
+            n_drive = 0
+            if need_digital:
+                from ..digital.engine import DigitalEngine
+                self._digital = DigitalEngine(self.nl, self.env)
+                n_drive = self._digital.n_drive_slots
+            else:
+                self._digital = None
+            self._ir = lower_analog(self.nl, max_drive_slots=n_drive)
+            self._ir.version = self.nl.version
+            self._x = analog.initial_x(self._ir, self.dtype)
+            # seed from node voltages (supports warm restart after load)
+            if any(abs(n.voltage) > 0 for n in self._ir.node_list):
+                x = np.zeros(self._ir.n_unknowns)
+                for i, node in enumerate(self._ir.node_list):
+                    x[i] = node.voltage.real
+                self._x = jnp.asarray(x, self.dtype)
+            self._states = analog.initial_state(self._ir, self.dtype)
+            self._drives = None
+        return self._ir
+
+    def _params(self):
+        """Repack parameter matrices (cheap; traced input, no recompile)."""
+        ir = self.prepare()
+        out = {}
+        for fam in ir.families:
+            P = np.zeros((len(fam.instances),
+                          max(1, len(fam.mdef.param_order))))
+            for i, inst in enumerate(fam.instances):
+                if fam.mdef.param_order:
+                    P[i, :] = fam.mdef.pack_params(inst.params)
+            out[fam.mdef.id_name] = jnp.asarray(P, self.dtype)
+        return out
+
+    def _env_scalars(self):
+        return analog.env_scalars(self.env)
+
+    # -- analysis ----------------------------------------------------------
+    def analyze(self) -> bool:
+        ir = self.prepare()
+        at = self.at
+        if at in (AnalyzeType.OP, AnalyzeType.DC):
+            return self._analyze_op(mode="op" if at == AnalyzeType.OP else "dc")
+        if at == AnalyzeType.TROP:
+            ok = self._analyze_op(mode="trop")
+            return ok and self._analyze_tr()
+        if at == AnalyzeType.TR:
+            return self._analyze_tr()
+        if at == AnalyzeType.ACOP:
+            if not self._analyze_op(mode="op"):
+                return False
+            return self._analyze_ac()
+        if at == AnalyzeType.AC:
+            if ir.nonlinear:
+                # bias point first so nonlinear devices save their
+                # linearization (circuit.h:199-209)
+                if not self._analyze_op(mode="op"):
+                    return False
+            return self._analyze_ac()
+        raise ValueError(f"unsupported analyze type {at}")
+
+    def _analyze_op(self, mode: str) -> bool:
+        ir = self._ir
+        params = self._params()
+        x, st, ok = _jit_newton(ir, self.dtype, mode)(
+            params, self._x, self._states,
+            jnp.asarray(self.tr_duration, self.dtype),
+            self._env_scalars(), self._drives)
+        ok = bool(ok)
+        if ok:
+            self._x, self._states = x, st
+            self._writeback(np.asarray(x))
+        return ok
+
+    def _analyze_tr(self) -> bool:
+        ir = self._ir
+        params = self._params()
+        dt = self.tr.t_step
+        num_steps = max(1, int(round(self.tr.t_stop / dt)))
+        x, st, ok, xs = _jit_transient(ir, self.dtype, num_steps)(
+            params, self._x, self._states, self._env_scalars(),
+            jnp.asarray(self.tr_duration, self.dtype),
+            jnp.asarray(dt, self.dtype), self._drives)
+        ok = bool(ok)
+        if ok:
+            self._x, self._states = x, st
+            self.tr_history = np.asarray(xs)
+            self.tr_times = self.tr_duration + dt * np.arange(1, num_steps + 1)
+            self.tr_duration += num_steps * dt
+            self._writeback(np.asarray(x))
+        return ok
+
+    def _omega_grid(self) -> np.ndarray:
+        a = self.ac
+        if a.sweep == ACSweepType.SINGLE:
+            return np.array([a.omega])
+        if a.sweep == ACSweepType.LINEAR:
+            return np.linspace(a.omega_start, a.omega_stop, a.points)
+        return np.logspace(np.log10(a.omega_start), np.log10(a.omega_stop),
+                           a.points)
+
+    def _analyze_ac(self) -> bool:
+        ir = self._ir
+        params = self._params()
+        omegas = jnp.asarray(self._omega_grid())
+        xs = _jit_ac(ir)(params, self._states, omegas)
+        xs = np.asarray(xs)
+        if not np.all(np.isfinite(xs)):
+            return False
+        self.ac_sweep_results = [(float(w), xs[i])
+                                 for i, w in enumerate(np.asarray(omegas))]
+        # write back the last sweep point like capture_solution_vector
+        self._writeback_complex(xs[-1])
+        return True
+
+    # -- digital ------------------------------------------------------------
+    def digital_clk(self) -> bool:
+        """One digital tick (circuit.h:298-354)."""
+        if self._digital is None:
+            self.prepare()
+        if self._digital is None:
+            return True
+        analog_v = self._node_voltages()
+        drives = self._digital.tick(analog_v)
+        self._drives = drives
+        return True
+
+    def _node_voltages(self) -> np.ndarray:
+        ir = self.prepare()
+        if self._x is None:
+            return np.zeros(ir.n_nodes)
+        return np.asarray(self._x)[:ir.n_nodes]
+
+    # -- result access --------------------------------------------------------
+    def _writeback(self, x: np.ndarray):
+        ir = self._ir
+        for i, node in enumerate(ir.node_list):
+            node.voltage = complex(x[i])
+        for fam in ir.families:
+            st = {k: np.asarray(v) for k, v in self._states[fam.mdef.id_name].items()}
+            for i, inst in enumerate(fam.instances):
+                for k, br in enumerate(inst.branches):
+                    br.current = complex(x[br.index])
+                inst.runtime = {k: float(v[i]) for k, v in st.items()}
+
+    def _writeback_complex(self, x: np.ndarray):
+        ir = self._ir
+        for i, node in enumerate(ir.node_list):
+            node.voltage = complex(x[i])
+        for fam in ir.families:
+            for inst in fam.instances:
+                for k, br in enumerate(inst.branches):
+                    br.current = complex(x[br.index])
+
+    def node_voltage(self, node: Node) -> complex:
+        if node.is_ground:
+            return 0.0 + 0.0j
+        return node.voltage
+
+    def tr_waveform(self, node: Node) -> np.ndarray:
+        """Time series of a node voltage over the last TR run."""
+        idx = self._ir.index_of(node)
+        if idx < 0:
+            return np.zeros(0 if self.tr_history is None
+                            else self.tr_history.shape[0])
+        return self.tr_history[:, idx]
+
+    def reset(self):
+        """reset() (circuit.h:446-465): clear solution + transient clock."""
+        self.tr_duration = 0.0
+        self.ac_sweep_results = []
+        self.tr_history = None
+        self._ir = None
+        self._x = None
+        self._states = None
+        self._digital = None
+        self._drives = None
+        for n in self.nl.all_nodes():
+            n.voltage = 0.0 + 0.0j
+
+
+# ---------------------------------------------------------------------------
+# jit caches keyed on (IR identity, dtype, static sizes)
+# ---------------------------------------------------------------------------
+
+_NEWTON_CACHE: Dict[Tuple[int, Any, str], Any] = {}
+_TRANS_CACHE: Dict[Tuple[int, Any, int], Any] = {}
+_AC_CACHE: Dict[int, Any] = {}
+
+
+def _jit_newton(ir: AnalogIR, dtype, mode: str):
+    key = (id(ir), dtype, mode)
+    if key not in _NEWTON_CACHE:
+        def run(params, x0, states, t, env, drives):
+            ctx = StampCtx(mode=mode, t=t, dt=jnp.zeros((), dtype), env=env)
+            return analog.newton_solve(ir, params, x0, states, ctx,
+                                       drives, dtype)
+        _NEWTON_CACHE[key] = jax.jit(run)
+    return _NEWTON_CACHE[key]
+
+
+def _jit_transient(ir: AnalogIR, dtype, num_steps: int):
+    key = (id(ir), dtype, num_steps)
+    if key not in _TRANS_CACHE:
+        def run(params, x0, states, env, t0, dt, drives):
+            return analog.transient(ir, params, x0, states, env, t0, dt,
+                                    num_steps, drives, dtype)
+        _TRANS_CACHE[key] = jax.jit(run)
+    return _TRANS_CACHE[key]
+
+
+def _jit_ac(ir: AnalogIR):
+    key = id(ir)
+    if key not in _AC_CACHE:
+        def run(params, states, omegas):
+            return analog.ac_sweep(ir, params, states, omegas)
+        _AC_CACHE[key] = jax.jit(run)
+    return _AC_CACHE[key]

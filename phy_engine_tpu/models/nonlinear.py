@@ -1,0 +1,372 @@
+"""Nonlinear analog devices: PN junction, BJT (Ebers-Moll-style), MOSFET
+square-law.
+
+Equation parity with the reference (cited per device); every piecewise
+branch is re-expressed as branchless ``jnp.where`` selection so one
+vmapped kernel evaluates the whole family per Newton iteration with no
+data-dependent control flow (TPU/XLA requirement).
+
+Guarded-log/exp discipline: because ``where`` evaluates both sides, every
+log/exp argument is clamped to a safe domain before the transcendental,
+then the correct branch is selected — values in the unselected branch are
+finite garbage, never NaN/Inf (NaN would poison gradients and the masked
+Newton loop).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import ModelDef, DeviceClass, register
+
+_K_KELVIN = -273.15
+_Q_E = 1.6021765314e-19        # same physical constants as the reference
+_K_B = 1.380650524e-23
+_SQRT2 = 1.4142135623730950488
+_TINY = 1e-300
+
+
+def limexp(x):
+    """Smooth overflow-protected exp (PN_junction.h:10-16)."""
+    xc = jnp.clip(x, -50.0, 50.0)
+    e = jnp.exp(xc)
+    e50 = 5.184705528587072e21   # exp(50)
+    return jnp.where(x > 50.0, e50 * (1.0 + (x - 50.0)),
+                     jnp.where(x < -50.0, jnp.exp(-50.0), e))
+
+
+def _safe_log(x):
+    return jnp.log(jnp.maximum(x, _TINY))
+
+
+# ---------------------------------------------------------------------------
+# PN junction  (non-linear/PN_junction.h)
+# ---------------------------------------------------------------------------
+
+def _pn_derived(P):
+    """prepare_foundation (PN_junction.h:296-356): effective params."""
+    Is, N, Isr, Nr, Temp, Ibv, Bv, Bv_set, Area, tt = (P[i] for i in range(10))
+    Is_eff = Is * Area
+    Isr_eff = Isr * Area
+    Ut = _K_B * (Temp - _K_KELVIN) / _Q_E
+    Bv_eff = jnp.where(Bv_set > 0.5,
+                       Bv - N * Ut * _safe_log(Ibv / Is_eff), Bv)
+    Uth = N * Ut * _safe_log(N * Ut / (_SQRT2 * Is_eff))
+    return Is_eff, Isr_eff, N, Nr, Ut, Bv_eff, Uth, Bv_set, tt
+
+
+def pn_vlimit(Ud, Ud_last, Ute, Uth, Bv_eff, Bv_set):
+    """SPICE3F5 junction voltage limiting (PN_junction.h:58-109),
+    branchless."""
+    flag = (Bv_set > 0.5) & (Ud < jnp.minimum(0.0, -Bv_eff + 10.0 * Ute))
+    ud0 = jnp.where(flag, -(Ud + Bv_eff), Ud)
+    ud1 = jnp.where(flag, -(Ud_last + Bv_eff), Ud_last)
+
+    high = (ud0 > Uth) & (jnp.abs(ud0 - ud1) > 2.0 * Ute)
+    arg = (ud0 - ud1) / Ute
+    f_pos = ud1 + Ute * (2.0 + _safe_log(arg - 2.0))
+    f_neg = ud1 - Ute * (2.0 + _safe_log(2.0 - arg))
+    f_a = jnp.where(arg > 0.0, f_pos, f_neg)
+    f_b = Ute * _safe_log(ud0 / Ute)
+    f_high = jnp.where(ud1 > 0.0, f_a, f_b)
+
+    arg_l = jnp.where(ud1 > 0.0, -1.0 - ud1, 2.0 * ud1 - 1.0)
+    f_low = jnp.where((ud0 < 0.0) & (ud0 < arg_l), arg_l, ud0)
+
+    ud_f = jnp.where(high, f_high, f_low)
+    return jnp.where(flag, -(ud_f + Bv_eff), ud_f)
+
+
+def _pn_eval(P, Ud):
+    """Diode current + conductance incl. breakdown and recombination
+    (PN_junction.h:358-402)."""
+    Is_eff, Isr_eff, N, Nr, Ut, Bv_eff, Uth, Bv_set, tt = _pn_derived(P)
+    Ute = N * Ut
+    Uter = Nr * Ut
+    bk = (Bv_set > 0.5) & (Ud < -Bv_eff)
+
+    e_b = limexp(-(Bv_eff + Ud) / Ute)
+    Id_b = -Is_eff * e_b
+    g_b = Is_eff * e_b / Ute
+
+    e_f = limexp(Ud / Ute)
+    g_f = Is_eff * e_f / Ute
+    Id_f = Is_eff * (e_f - 1.0)
+    e_r = limexp(Ud / Uter)
+    g_f = g_f + Isr_eff * e_r / Uter
+    Id_f = Id_f + Isr_eff * (e_r - 1.0)
+
+    geq = jnp.where(bk, g_b, g_f)
+    Id = jnp.where(bk, Id_b, Id_f)
+    return geq, Id
+
+
+def _pn_stamp(P, v, ib, state, ctx):
+    Is_eff, Isr_eff, N, Nr, Ut, Bv_eff, Uth, Bv_set, tt = _pn_derived(P)
+    Ute = N * Ut
+    Ud = v[0] - v[1]
+    Ud = pn_vlimit(Ud, state["ud_last"], Ute, Uth, Bv_eff, Bv_set)
+    geq, Id = _pn_eval(P, Ud)
+    Ieq = Id - Ud * geq
+    new_state = dict(state)
+    new_state["ud_last"] = Ud
+    new_state["geq"] = geq
+
+    g_tot = geq
+    i_tot_a = -Ieq
+    i_tot_b = Ieq
+    if ctx.mode == "tr":
+        # diffusion-capacitance trapezoidal companion (PN_junction.h:440+)
+        gc = state["tr_prev_g"]
+        hc = state["tr_hist"]
+        g_tot = g_tot + gc
+        i_tot_a = i_tot_a - hc
+        i_tot_b = i_tot_b + hc
+    a_vals = jnp.stack([g_tot, -g_tot, -g_tot, g_tot])
+    z_vals = jnp.stack([i_tot_a, i_tot_b])
+    return a_vals, z_vals, new_state
+
+
+def _pn_step(P, v, ib, state, dt, t):
+    tt = P[9]
+    geq = state["geq"]
+    v_prev = v[0] - v[1]
+    valid = (dt > 0.0) & (tt > 0.0) & (geq > 0.0)
+    cd = tt * geq
+    g_new = 2.0 * cd / dt
+    hist = -(g_new + state["tr_prev_g"]) * v_prev - state["tr_hist"]
+    out = dict(state)
+    out["ud_last"] = v_prev
+    out["tr_prev_g"] = jnp.where(valid, g_new, 0.0)
+    out["tr_hist"] = jnp.where(valid, hist, 0.0)
+    return out
+
+
+def _pn_ac(P, state, omega):
+    """AC: saved linearization geq (+ optional diffusion cap tt*geq), no
+    Ieq injection (PN_junction.h:406-438)."""
+    tt = P[9]
+    geq = state["geq"]
+    cd = tt * geq
+    use_cd = (tt > 0.0) & (geq > 0.0)
+    y = geq + jnp.where(use_cd, 1j * cd * omega, 0.0 + 0.0j)
+    return (jnp.stack([y, -y, -y, y]).astype(jnp.complex128),
+            jnp.zeros(2, jnp.complex128))
+
+
+PN_JUNCTION = register(ModelDef(
+    name="PN Junction", id_name="PN", device_class=DeviceClass.NONLINEAR,
+    pins=("A", "B"),
+    defaults={"Is": 1e-14, "N": 1.0, "Isr": 0.0, "Nr": 2.0, "Temp": 27.0,
+              "Ibv": 1e-3, "Bv": 40.0, "Bv_set": 1.0, "Area": 1.0,
+              "tt": 0.0},
+    param_order=("Is", "N", "Isr", "Nr", "Temp", "Ibv", "Bv", "Bv_set",
+                 "Area", "tt"),
+    state_vars=(("ud_last", 0.0), ("geq", 0.0), ("tr_prev_g", 0.0),
+                ("tr_hist", 0.0)),
+    pattern=lambda p, b: ([p[0], p[0], p[1], p[1]], [p[0], p[1], p[0], p[1]]),
+    rhs_pattern=lambda p, b: [p[0], p[1]],
+    stamp=_pn_stamp, ac_stamp=_pn_ac, step_update=_pn_step,
+    nonlinear=True,
+    attrs=("Is", "N", "Isr", "Nr", "Temp", "Ibv", "Bv", "Area", "tt"),
+))
+
+
+# ---------------------------------------------------------------------------
+# BJT  (non-linear/BJT_NPN.h:116-185, BJT_PNP.h mirrored): BE diode
+# linearization + current-gain VCCS.  Pins B, C, E.
+# ---------------------------------------------------------------------------
+
+def _bjt_ut(P):
+    return _K_B * (P[3] - _K_KELVIN) / _Q_E     # P[3] = Temp
+
+
+def _bjt_npn_pattern(pins, brs):
+    b, c, e = pins
+    rows = [b, b, e, e,   c, c, e, e]
+    cols = [b, e, b, e,   b, e, b, e]
+    return rows, cols
+
+
+def _bjt_npn_stamp(P, v, ib, state, ctx):
+    Is_eff = P[0] * P[4]
+    Ute = P[1] * _bjt_ut(P)
+    beta = P[2]
+    vbe = v[0] - v[2]
+    e = jnp.exp(jnp.clip(vbe / Ute, -200.0, 200.0))
+    geq = Is_eff * e / Ute
+    ibe = Is_eff * (e - 1.0)
+    ieq_be = ibe - vbe * geq
+    gm = beta * geq
+    ieq_c = beta * ibe - gm * vbe
+    a = jnp.stack([geq, -geq, -geq, geq, gm, -gm, -gm, gm])
+    z = jnp.stack([-ieq_be, ieq_be, -ieq_c, ieq_c])
+    new_state = {"geq": geq, "gm": gm}
+    return a, z, new_state
+
+
+def _bjt_npn_ac(P, state, omega):
+    geq, gm = state["geq"], state["gm"]
+    a = jnp.stack([geq, -geq, -geq, geq, gm, -gm, -gm, gm])
+    return a.astype(jnp.complex128), jnp.zeros(4, jnp.complex128)
+
+
+BJT_NPN = register(ModelDef(
+    name="NPN BJT", id_name="QNP", device_class=DeviceClass.NONLINEAR,
+    pins=("B", "C", "E"),
+    defaults={"Is": 1e-16, "N": 1.0, "BetaF": 100.0, "Temp": 27.0,
+              "Area": 1.0},
+    param_order=("Is", "N", "BetaF", "Temp", "Area"),
+    state_vars=(("geq", 0.0), ("gm", 0.0)),
+    pattern=_bjt_npn_pattern,
+    rhs_pattern=lambda p, b: [p[0], p[2], p[1], p[2]],
+    stamp=_bjt_npn_stamp, ac_stamp=_bjt_npn_ac, nonlinear=True,
+    attrs=("Is", "N", "BetaF", "Temp", "Area"),
+))
+
+
+def _bjt_pnp_pattern(pins, brs):
+    b, c, e = pins
+    # EB diode quad + VCCS(E->C controlled by Veb) (BJT_PNP.h:126-156)
+    rows = [e, e, b, b,   e, e, c, c]
+    cols = [e, b, e, b,   e, b, e, b]
+    return rows, cols
+
+
+def _bjt_pnp_stamp(P, v, ib, state, ctx):
+    Is_eff = P[0] * P[4]
+    Ute = P[1] * _bjt_ut(P)
+    beta = P[2]
+    veb = v[2] - v[0]
+    e = jnp.exp(jnp.clip(veb / Ute, -200.0, 200.0))
+    geq = Is_eff * e / Ute
+    ieb = Is_eff * (e - 1.0)
+    ieq_eb = ieb - veb * geq
+    gm = beta * geq
+    ieq_c = beta * ieb - gm * veb
+    a = jnp.stack([geq, -geq, -geq, geq, gm, -gm, -gm, gm])
+    z = jnp.stack([-ieq_eb, ieq_eb, -ieq_c, ieq_c])
+    return a, z, {"geq": geq, "gm": gm}
+
+
+def _bjt_pnp_ac(P, state, omega):
+    geq, gm = state["geq"], state["gm"]
+    a = jnp.stack([geq, -geq, -geq, geq, gm, -gm, -gm, gm])
+    return a.astype(jnp.complex128), jnp.zeros(4, jnp.complex128)
+
+
+BJT_PNP = register(ModelDef(
+    name="PNP BJT", id_name="QPN", device_class=DeviceClass.NONLINEAR,
+    pins=("B", "C", "E"),
+    defaults={"Is": 1e-16, "N": 1.0, "BetaF": 100.0, "Temp": 27.0,
+              "Area": 1.0},
+    param_order=("Is", "N", "BetaF", "Temp", "Area"),
+    state_vars=(("geq", 0.0), ("gm", 0.0)),
+    pattern=_bjt_pnp_pattern,
+    rhs_pattern=lambda p, b: [p[2], p[0], p[2], p[1]],
+    stamp=_bjt_pnp_stamp, ac_stamp=_bjt_pnp_ac, nonlinear=True,
+    attrs=("Is", "N", "BetaF", "Temp", "Area"),
+))
+
+
+# ---------------------------------------------------------------------------
+# MOSFET square-law  (non-linear/nmosfet.h:85-140, pmosfet.h mirrored).
+# Pins D, G, S.
+# ---------------------------------------------------------------------------
+
+def _mos_pattern(pins, brs):
+    d, g, s = pins
+    # gds quad + gm entries
+    rows = [d, d, s, s,   d, d, s, s]
+    cols = [d, s, d, s,   g, s, g, s]
+    return rows, cols
+
+
+def _nmos_eval(P, vgs, vds):
+    kp, lam, vth = P[0], P[1], P[2]
+    vov = vgs - vth
+    off = vov <= 0.0
+    triode = vds < vov
+    b = vov * vds - 0.5 * vds * vds
+    id_tri = kp * b * (1.0 + lam * vds)
+    gm_tri = kp * vds * (1.0 + lam * vds)
+    gds_tri = kp * ((vov - vds) * (1.0 + lam * vds) + b * lam)
+    id_sat = 0.5 * kp * vov * vov * (1.0 + lam * vds)
+    gm_sat = kp * vov * (1.0 + lam * vds)
+    gds_sat = 0.5 * kp * vov * vov * lam
+    i_d = jnp.where(off, 0.0, jnp.where(triode, id_tri, id_sat))
+    gm = jnp.where(off, 0.0, jnp.where(triode, gm_tri, gm_sat))
+    gds = jnp.where(off, 0.0, jnp.where(triode, gds_tri, gds_sat))
+    return i_d, gm, gds
+
+
+def _nmos_stamp(P, v, ib, state, ctx):
+    vgs = v[1] - v[2]
+    vds = v[0] - v[2]
+    i_d, gm, gds = _nmos_eval(P, vgs, vds)
+    ieq = i_d - gm * vgs - gds * vds
+    a = jnp.stack([gds, -gds, -gds, gds, gm, -gm, -gm, gm])
+    z = jnp.stack([-ieq, ieq])
+    return a, z, {"gm": gm, "gds": gds}
+
+
+def _nmos_ac(P, state, omega):
+    gm, gds = state["gm"], state["gds"]
+    a = jnp.stack([gds, -gds, -gds, gds, gm, -gm, -gm, gm])
+    return a.astype(jnp.complex128), jnp.zeros(2, jnp.complex128)
+
+
+NMOSFET = register(ModelDef(
+    name="NMOSFET", id_name="NMOS", device_class=DeviceClass.NONLINEAR,
+    pins=("D", "G", "S"),
+    defaults={"Kp": 1e-3, "lambda": 0.0, "Vth": 1.0},
+    param_order=("Kp", "lambda", "Vth"),
+    state_vars=(("gm", 0.0), ("gds", 0.0)),
+    pattern=_mos_pattern, rhs_pattern=lambda p, b: [p[0], p[2]],
+    stamp=_nmos_stamp, ac_stamp=_nmos_ac, nonlinear=True,
+    attrs=("Kp", "lambda", "Vth"),
+))
+
+
+def _pmos_pattern(pins, brs):
+    d, g, s = pins
+    # gds quad + gm controlled by (Vs - Vg)  (pmosfet.h:123-133)
+    rows = [d, d, s, s,   d, d, s, s]
+    cols = [d, s, d, s,   s, g, s, g]
+    return rows, cols
+
+
+def _pmos_stamp(P, v, ib, state, ctx):
+    kp, lam, vth = P[0], P[1], P[2]
+    vsg = v[2] - v[1]
+    vds = v[0] - v[2]
+    vov = vsg - vth
+    off = vov <= 0.0
+    vsd = -vds
+    triode = vsd < vov
+    b = vov * vsd - 0.5 * vsd * vsd
+    id_tri = -(kp * b * (1.0 + lam * vsd))
+    gm_tri = kp * vsd * (1.0 + lam * vsd)
+    gds_tri = -(kp * ((vov - vsd) * (1.0 + lam * vsd) + b * lam))
+    id_sat = -(0.5 * kp * vov * vov * (1.0 + lam * vsd))
+    gm_sat = kp * vov * (1.0 + lam * vsd)
+    gds_sat = 0.5 * kp * vov * vov * (-lam)
+    i_d = jnp.where(off, 0.0, jnp.where(triode, id_tri, id_sat))
+    gm = jnp.where(off, 0.0, jnp.where(triode, gm_tri, gm_sat))
+    gds = jnp.where(off, 0.0, jnp.where(triode, gds_tri, gds_sat))
+    ieq = i_d - gm * vsg - gds * vds
+    a = jnp.stack([gds, -gds, -gds, gds, gm, -gm, -gm, gm])
+    z = jnp.stack([-ieq, ieq])
+    return a, z, {"gm": gm, "gds": gds}
+
+
+PMOSFET = register(ModelDef(
+    name="PMOSFET", id_name="PMOS", device_class=DeviceClass.NONLINEAR,
+    pins=("D", "G", "S"),
+    defaults={"Kp": 1e-3, "lambda": 0.0, "Vth": 1.0},
+    param_order=("Kp", "lambda", "Vth"),
+    state_vars=(("gm", 0.0), ("gds", 0.0)),
+    pattern=_pmos_pattern, rhs_pattern=lambda p, b: [p[0], p[2]],
+    stamp=_pmos_stamp, ac_stamp=_nmos_ac, nonlinear=True,
+    attrs=("Kp", "lambda", "Vth"),
+))
