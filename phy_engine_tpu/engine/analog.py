@@ -221,13 +221,20 @@ def transient(ir: AnalogIR, params, x0, states0, env, t0, dt, num_steps,
 
 
 # ---------------------------------------------------------------------------
-# AC small-signal sweep: batched complex solve over the omega grid
+# AC small-signal sweep: batched complex solve over the omega grid.
+#
+# TPU has NO complex128 support at all, so the complex system
+# (Ar + jAi)(xr + jxi) = (Zr + jZi) is solved in split real form as the
+# 2Nx2N block system [[Ar, -Ai], [Ai, Ar]] [xr; xi] = [Zr; Zi], all f64.
+# Device ac_stamp kernels return (a_re, a_im, z_re, z_im) real arrays.
 # ---------------------------------------------------------------------------
 
-def assemble_ac(ir: AnalogIR, params, states, omega, drives=None):
+def assemble_ac(ir: AnalogIR, params, states, omega, dtype=jnp.float64):
     n = ir.n_unknowns
-    A = jnp.zeros((n + 1, n + 1), jnp.complex128)
-    Z = jnp.zeros(n + 1, jnp.complex128)
+    Ar = jnp.zeros((n + 1, n + 1), dtype)
+    Ai = jnp.zeros((n + 1, n + 1), dtype)
+    Zr = jnp.zeros(n + 1, dtype)
+    Zi = jnp.zeros(n + 1, dtype)
     for fam in ir.families:
         key = fam.mdef.id_name
         if fam.mdef.ac_stamp is None:
@@ -237,29 +244,36 @@ def assemble_ac(ir: AnalogIR, params, states, omega, drives=None):
         def one(Pr, sr, _f=fam.mdef.ac_stamp):
             return _f(Pr, sr, omega)
 
-        a_vals, z_vals = jax.vmap(one)(params[key], st)
-        A = A.at[jnp.asarray(fam.a_rows), jnp.asarray(fam.a_cols)].add(
-            a_vals.astype(jnp.complex128))
+        a_re, a_im, z_re, z_im = jax.vmap(one)(params[key], st)
+        rows, cols = jnp.asarray(fam.a_rows), jnp.asarray(fam.a_cols)
+        Ar = Ar.at[rows, cols].add(a_re.astype(dtype))
+        Ai = Ai.at[rows, cols].add(a_im.astype(dtype))
         if fam.z_rows.size:
-            Z = Z.at[jnp.asarray(fam.z_rows)].add(
-                z_vals.astype(jnp.complex128))
+            zr = jnp.asarray(fam.z_rows)
+            Zr = Zr.at[zr].add(z_re.astype(dtype))
+            Zi = Zi.at[zr].add(z_im.astype(dtype))
     if ir.n_drive_slots:
         # keep drive rows well-posed (identity) during AC
         k = ir.n_drive_slots
         base = ir.n_nodes + ir.n_branches
         rows = jnp.arange(base, base + k)
-        A = A.at[rows, rows].add(jnp.ones(k, jnp.complex128))
-    return A[:n, :n], Z[:n]
+        Ar = Ar.at[rows, rows].add(jnp.ones(k, dtype))
+    return Ar[:n, :n], Ai[:n, :n], Zr[:n], Zi[:n]
 
 
-def ac_sweep(ir: AnalogIR, params, states, omegas, drives=None):
+def ac_sweep(ir: AnalogIR, params, states, omegas, dtype=jnp.float64):
     """Solve the complex MNA at every omega in one batched call.
 
-    Returns xs: (n_omega, N) complex solution vectors.
+    Returns (xs_re, xs_im): each (n_omega, N).
     """
+    n = ir.n_unknowns
+
     def solve_at(w):
-        A, Z = assemble_ac(ir, params, states, w, drives)
-        return dense_solve(A, Z)
+        Ar, Ai, Zr, Zi = assemble_ac(ir, params, states, w, dtype)
+        M = jnp.block([[Ar, -Ai], [Ai, Ar]])
+        rhs = jnp.concatenate([Zr, Zi])
+        x = dense_solve(M, rhs)
+        return x[:n], x[n:]
 
     return jax.vmap(solve_at)(omegas)
 

@@ -202,8 +202,8 @@ class Circuit:
         ir = self._ir
         params = self._params()
         omegas = jnp.asarray(self._omega_grid())
-        xs = _jit_ac(ir)(params, self._states, omegas)
-        xs = np.asarray(xs)
+        xs_re, xs_im = _jit_ac(ir)(params, self._states, omegas)
+        xs = np.asarray(xs_re) + 1j * np.asarray(xs_im)
         if not np.all(np.isfinite(xs)):
             return False
         self.ac_sweep_results = [(float(w), xs[i])

@@ -34,15 +34,15 @@ def _contact_pattern(pins, brs):
 def _sw_stamp(P, v, ib, state, ctx):
     r_contact = jnp.where(P[0] > 0.5, 0.0, ctx.env["r_open"])
     a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0]).at[4].set(-r_contact)
-    return a, jnp.zeros(0), state
+    return a, jnp.zeros(0), {"r_contact": r_contact}
 
 
 def _sw_ac(P, state, omega):
     # contact resistance at the operating state; env not available in AC
     # path, so use the stored engaged resistance from state
     r_contact = state["r_contact"]
-    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0], jnp.complex128)
-    return a.at[4].set(-r_contact), jnp.zeros(0, jnp.complex128)
+    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0]).at[4].set(-r_contact)
+    return a, jnp.zeros(5), jnp.zeros(0), jnp.zeros(0)
 
 
 def _sw_pattern(pins, brs):
@@ -84,8 +84,8 @@ def _relay_stamp(P, v, ib, state, ctx):
 
 
 def _relay_ac(P, state, omega):
-    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0], jnp.complex128)
-    return a.at[4].set(-state["r_contact"]), jnp.zeros(0, jnp.complex128)
+    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0]).at[4].set(-state["r_contact"])
+    return a, jnp.zeros(5), jnp.zeros(0), jnp.zeros(0)
 
 
 RELAY = register(ModelDef(

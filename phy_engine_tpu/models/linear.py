@@ -61,8 +61,9 @@ def _r_stamp(P, v, ib, state, ctx):
 
 
 def _r_ac(P, state, omega):
-    g = jnp.asarray(1.0 / P[0], dtype=jnp.complex128)
-    return jnp.array([g, -g, -g, g], dtype=jnp.complex128), jnp.zeros(0, jnp.complex128)
+    g = 1.0 / P[0]
+    return (jnp.array([g, -g, -g, g]), jnp.zeros(4),
+            jnp.zeros(0), jnp.zeros(0))
 
 
 RESISTANCE = register(ModelDef(
@@ -99,9 +100,9 @@ def _c_step(P, v, ib, state, dt, t):
 
 
 def _c_ac(P, state, omega):
-    y = 1j * P[0] * omega
-    return (jnp.array([y, -y, -y, y], dtype=jnp.complex128),
-            jnp.zeros(2, jnp.complex128))
+    y = P[0] * omega
+    return (jnp.zeros(4), jnp.array([y, -y, -y, y]),
+            jnp.zeros(2), jnp.zeros(2))
 
 
 CAPACITOR = register(ModelDef(
@@ -144,9 +145,9 @@ def _l_step(P, v, ib, state, dt, t):
 
 
 def _l_ac(P, state, omega):
-    d = -1j * omega * P[0]
-    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0], jnp.complex128).at[4].set(d)
-    return a, jnp.zeros(1, jnp.complex128)
+    a_re = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0])
+    a_im = jnp.zeros(5).at[4].set(-omega * P[0])
+    return a_re, a_im, jnp.zeros(1), jnp.zeros(1)
 
 
 INDUCTOR = register(ModelDef(
@@ -168,7 +169,7 @@ def _vdc_stamp(P, v, ib, state, ctx):
 
 def _vdc_ac(P, state, omega):
     # AC small-signal: DC source is 0V perturbation (VDC.h:101-113)
-    return jnp.array(_VSRC_VALS, jnp.complex128), jnp.zeros(1, jnp.complex128)
+    return (jnp.array(_VSRC_VALS), jnp.zeros(4), jnp.zeros(1), jnp.zeros(1))
 
 
 VDC = register(ModelDef(
@@ -196,8 +197,9 @@ def _vac_stamp(P, v, ib, state, ctx):
 
 def _vac_ac(P, state, omega):
     vp, _, ph = P[0], P[1], P[2]
-    e = vp * jnp.exp(1j * ph * DEG)
-    return jnp.array(_VSRC_VALS, jnp.complex128), jnp.array([e], jnp.complex128)
+    return (jnp.array(_VSRC_VALS), jnp.zeros(4),
+            jnp.array([vp * jnp.cos(ph * DEG)]),
+            jnp.array([vp * jnp.sin(ph * DEG)]))
 
 
 VAC = register(ModelDef(
@@ -219,7 +221,7 @@ def _idc_stamp(P, v, ib, state, ctx):
 
 
 def _idc_ac(P, state, omega):
-    return jnp.zeros(0, jnp.complex128), jnp.zeros(2, jnp.complex128)
+    return jnp.zeros(0), jnp.zeros(0), jnp.zeros(2), jnp.zeros(2)
 
 
 IDC = register(ModelDef(
@@ -240,8 +242,10 @@ def _iac_stamp(P, v, ib, state, ctx):
 
 
 def _iac_ac(P, state, omega):
-    i = P[0] * jnp.exp(1j * P[2] * DEG)
-    return jnp.zeros(0, jnp.complex128), jnp.array([-i, i], jnp.complex128)
+    ir = P[0] * jnp.cos(P[2] * DEG)
+    ii = P[0] * jnp.sin(P[2] * DEG)
+    return (jnp.zeros(0), jnp.zeros(0),
+            jnp.array([-ir, ir]), jnp.array([-ii, ii]))
 
 
 IAC = register(ModelDef(
@@ -273,8 +277,9 @@ def _vcvs_stamp(P, v, ib, state, ctx):
 
 def _vcvs_ac(P, state, omega):
     mu = P[0]
-    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0, 0.0], jnp.complex128)
-    return a.at[4].set(-mu).at[5].set(mu), jnp.zeros(0, jnp.complex128)
+    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0, 0.0])
+    return (a.at[4].set(-mu).at[5].set(mu), jnp.zeros(6),
+            jnp.zeros(0), jnp.zeros(0))
 
 
 VCVS = register(ModelDef(
@@ -296,8 +301,9 @@ def _vccs_stamp(P, v, ib, state, ctx):
 
 
 def _vccs_ac(P, state, omega):
-    g = jnp.asarray(P[0], jnp.complex128)
-    return jnp.array([g, -g, -g, g], jnp.complex128), jnp.zeros(0, jnp.complex128)
+    g = P[0]
+    return (jnp.array([g, -g, -g, g]), jnp.zeros(4),
+            jnp.zeros(0), jnp.zeros(0))
 
 
 VCCS = register(ModelDef(
@@ -324,9 +330,8 @@ def _ccvs_stamp(P, v, ib, state, ctx):
 
 def _ccvs_ac(P, state, omega):
     r = P[0]
-    a = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 0.0],
-                  jnp.complex128)
-    return a.at[8].set(-r), jnp.zeros(0, jnp.complex128)
+    a = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 0.0])
+    return a.at[8].set(-r), jnp.zeros(9), jnp.zeros(0), jnp.zeros(0)
 
 
 CCVS = register(ModelDef(
@@ -352,8 +357,9 @@ def _cccs_stamp(P, v, ib, state, ctx):
 
 def _cccs_ac(P, state, omega):
     al = P[0]
-    a = jnp.array([0.0, 0.0, 1.0, -1.0, 1.0, -1.0], jnp.complex128)
-    return a.at[0].set(al).at[1].set(-al), jnp.zeros(0, jnp.complex128)
+    a = jnp.array([0.0, 0.0, 1.0, -1.0, 1.0, -1.0])
+    return (a.at[0].set(al).at[1].set(-al), jnp.zeros(6),
+            jnp.zeros(0), jnp.zeros(0))
 
 
 CCCS = register(ModelDef(
@@ -384,8 +390,9 @@ def _opamp_stamp(P, v, ib, state, ctx):
 
 def _opamp_ac(P, state, omega):
     mu = P[0]
-    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0, 0.0], jnp.complex128)
-    return a.at[4].set(-mu).at[5].set(mu), jnp.zeros(0, jnp.complex128)
+    a = jnp.array([1.0, -1.0, 1.0, -1.0, 0.0, 0.0])
+    return (a.at[4].set(-mu).at[5].set(mu), jnp.zeros(6),
+            jnp.zeros(0), jnp.zeros(0))
 
 
 OP_AMP = register(ModelDef(
@@ -417,10 +424,9 @@ def _tx_stamp(P, v, ib, state, ctx):
 
 def _tx_ac(P, state, omega):
     n = P[0]
-    vals = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 0.0, 0.0, 1.0, 0.0],
-                     jnp.complex128)
-    return (vals.at[6].set(-n).at[7].set(n).at[9].set(n),
-            jnp.zeros(0, jnp.complex128))
+    vals = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 0.0, 0.0, 1.0, 0.0])
+    return (vals.at[6].set(-n).at[7].set(n).at[9].set(n), jnp.zeros(10),
+            jnp.zeros(0), jnp.zeros(0))
 
 
 TRANSFORMER = register(ModelDef(
@@ -464,8 +470,8 @@ def _txct_stamp(P, v, ib, state, ctx):
 
 
 def _txct_ac(P, state, omega):
-    a, z = _txct_stamp(P, None, None, {}, None)[0], jnp.zeros(0, jnp.complex128)
-    return a.astype(jnp.complex128), z
+    a = _txct_stamp(P, None, None, {}, None)[0]
+    return a, jnp.zeros(17), jnp.zeros(0), jnp.zeros(0)
 
 
 TRANSFORMER_CENTER_TAP = register(ModelDef(
@@ -520,11 +526,11 @@ def _kl_step(P, v, ib, state, dt, t):
 def _kl_ac(P, state, omega):
     l1, l2, k = P[0], P[1], P[2]
     m = k * jnp.sqrt(l1 * l2)
-    base = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0,
-                      0.0, 0.0, 0.0, 0.0], jnp.complex128)
-    a = (base.at[8].set(-1j * omega * l1).at[9].set(-1j * omega * m)
-             .at[10].set(-1j * omega * m).at[11].set(-1j * omega * l2))
-    return a, jnp.zeros(2, jnp.complex128)
+    a_re = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0,
+                      0.0, 0.0, 0.0, 0.0])
+    a_im = (jnp.zeros(12).at[8].set(-omega * l1).at[9].set(-omega * m)
+                .at[10].set(-omega * m).at[11].set(-omega * l2))
+    return a_re, a_im, jnp.zeros(2), jnp.zeros(2)
 
 
 COUPLED_INDUCTORS = register(ModelDef(

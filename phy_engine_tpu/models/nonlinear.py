@@ -147,11 +147,11 @@ def _pn_ac(P, state, omega):
     Ieq injection (PN_junction.h:406-438)."""
     tt = P[9]
     geq = state["geq"]
-    cd = tt * geq
     use_cd = (tt > 0.0) & (geq > 0.0)
-    y = geq + jnp.where(use_cd, 1j * cd * omega, 0.0 + 0.0j)
-    return (jnp.stack([y, -y, -y, y]).astype(jnp.complex128),
-            jnp.zeros(2, jnp.complex128))
+    b = jnp.where(use_cd, tt * geq * omega, 0.0)
+    return (jnp.stack([geq, -geq, -geq, geq]),
+            jnp.stack([b, -b, -b, b]),
+            jnp.zeros(2), jnp.zeros(2))
 
 
 PN_JUNCTION = register(ModelDef(
@@ -208,7 +208,7 @@ def _bjt_npn_stamp(P, v, ib, state, ctx):
 def _bjt_npn_ac(P, state, omega):
     geq, gm = state["geq"], state["gm"]
     a = jnp.stack([geq, -geq, -geq, geq, gm, -gm, -gm, gm])
-    return a.astype(jnp.complex128), jnp.zeros(4, jnp.complex128)
+    return a, jnp.zeros(8), jnp.zeros(4), jnp.zeros(4)
 
 
 BJT_NPN = register(ModelDef(
@@ -252,7 +252,7 @@ def _bjt_pnp_stamp(P, v, ib, state, ctx):
 def _bjt_pnp_ac(P, state, omega):
     geq, gm = state["geq"], state["gm"]
     a = jnp.stack([geq, -geq, -geq, geq, gm, -gm, -gm, gm])
-    return a.astype(jnp.complex128), jnp.zeros(4, jnp.complex128)
+    return a, jnp.zeros(8), jnp.zeros(4), jnp.zeros(4)
 
 
 BJT_PNP = register(ModelDef(
@@ -313,7 +313,7 @@ def _nmos_stamp(P, v, ib, state, ctx):
 def _nmos_ac(P, state, omega):
     gm, gds = state["gm"], state["gds"]
     a = jnp.stack([gds, -gds, -gds, gds, gm, -gm, -gm, gm])
-    return a.astype(jnp.complex128), jnp.zeros(2, jnp.complex128)
+    return a, jnp.zeros(8), jnp.zeros(2), jnp.zeros(2)
 
 
 NMOSFET = register(ModelDef(

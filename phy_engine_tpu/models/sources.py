@@ -20,8 +20,8 @@ def _mk_src(name, id_name, defaults, wave_fn):
         return jnp.array(_VSRC_VALS), jnp.array([e]), state
 
     def ac(P, state, omega):
-        return (jnp.array(_VSRC_VALS, jnp.complex128),
-                jnp.zeros(1, jnp.complex128))
+        return (jnp.array(_VSRC_VALS), jnp.zeros(4),
+                jnp.zeros(1), jnp.zeros(1))
 
     return register(ModelDef(
         name=name, id_name=id_name, device_class=DeviceClass.LINEAR,

@@ -1,9 +1,9 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set the platform env vars BEFORE jax is imported anywhere — this
-conftest is imported by pytest before any test module.  Explicit
-assignment (not setdefault): the surrounding environment may pin a TPU
-platform.
+The platform override must use jax.config (the axon TPU plugin ignores
+the JAX_PLATFORMS env var), and the virtual device count must be in
+XLA_FLAGS before jax initializes its backends — conftest is imported by
+pytest before any test module, so both happen here.
 """
 
 import os
@@ -13,3 +13,7 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

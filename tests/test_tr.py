@@ -1,0 +1,126 @@
+"""Transient tests vs closed-form solutions.
+
+Mirrors the reference oracles in test/0008.numerical_methods (RC/RL step
+responses compared against exponentials) and test/0005.models/
+{rc_step_tr,rl_step_tr,capacitor_TR,inductor_TR}.cpp.
+"""
+
+import numpy as np
+
+import phy_engine_tpu as pe
+from phy_engine_tpu import netops
+from phy_engine_tpu.models import RESISTANCE, CAPACITOR, INDUCTOR, VDC, SQUARE
+from phy_engine_tpu.engine.circuit import AnalyzeType
+
+
+def test_rc_step_response():
+    """V_C(t) = V (1 - exp(-t/RC)) from zero initial state."""
+    R, C, V = 1e3, 1e-6, 5.0
+    tau = R * C
+    c = pe.Circuit()
+    nl = c.nl
+    v = netops.add_model(nl, VDC, {"V": V})
+    r = netops.add_model(nl, RESISTANCE, {"r": R})
+    cap = netops.add_model(nl, CAPACITOR, {"C": C})
+    n_in = netops.create_node(nl)
+    n_out = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, n_in)
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    netops.add_to_node(nl, r, 0, n_in)
+    netops.add_to_node(nl, r, 1, n_out)
+    netops.add_to_node(nl, cap, 0, n_out)
+    netops.add_to_node(nl, cap, 1, nl.ground_node)
+
+    c.set_analyze_type(AnalyzeType.TR)
+    c.tr.t_step = tau / 200.0
+    c.tr.t_stop = 5.0 * tau
+    assert c.analyze()
+    wave = c.tr_waveform(n_out)
+    times = c.tr_times
+    expect = V * (1.0 - np.exp(-times / tau))
+    # The companion model starts with i(0)=0 (capacitor.h:106-128), which
+    # shifts the waveform by half a step: bounded by V*dt/(2*tau).
+    dt = c.tr.t_step
+    startup = V * dt / (2.0 * tau)
+    assert np.max(np.abs(wave - expect)) < 1.1 * startup
+    # late-time (after the startup transient decays) is much tighter
+    late = times > 4.0 * tau
+    assert np.max(np.abs(wave[late] - expect[late])) < 1e-3 * V
+
+
+def test_rl_step_response():
+    """Series R-L driven by VDC: i(t) = V/R (1-exp(-tR/L));
+    V_L = V exp(-tR/L)."""
+    R, L, V = 10.0, 1e-3, 2.0
+    tau = L / R
+    c = pe.Circuit()
+    nl = c.nl
+    v = netops.add_model(nl, VDC, {"V": V})
+    r = netops.add_model(nl, RESISTANCE, {"r": R})
+    ind = netops.add_model(nl, INDUCTOR, {"L": L})
+    n_in = netops.create_node(nl)
+    n_mid = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, n_in)
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    netops.add_to_node(nl, r, 0, n_in)
+    netops.add_to_node(nl, r, 1, n_mid)
+    netops.add_to_node(nl, ind, 0, n_mid)
+    netops.add_to_node(nl, ind, 1, nl.ground_node)
+
+    c.set_analyze_type(AnalyzeType.TR)
+    c.tr.t_step = tau / 200.0
+    c.tr.t_stop = 5.0 * tau
+    assert c.analyze()
+    v_l = c.tr_waveform(n_mid)
+    times = c.tr_times
+    expect = V * np.exp(-times / tau)
+    # same half-step startup offset as the RC case
+    dt = c.tr.t_step
+    assert np.max(np.abs(v_l - expect)) < 1.1 * V * dt / (2.0 * tau)
+    # final inductor current ~ V/R
+    assert np.isclose(ind.branches[0].current.real, V / R, rtol=1e-2)
+
+
+def test_tr_duration_persists():
+    """tr_duration accumulates across analyze() calls (circuit.h TR loop)."""
+    c = pe.Circuit()
+    nl = c.nl
+    v = netops.add_model(nl, SQUARE, {"Vh": 1.0, "Vl": 0.0, "freq": 1e3})
+    r = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+    n1 = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, n1)
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    netops.add_to_node(nl, r, 0, n1)
+    netops.add_to_node(nl, r, 1, nl.ground_node)
+    c.set_analyze_type(AnalyzeType.TR)
+    c.tr.t_step = 1e-5
+    c.tr.t_stop = 4e-4   # 0.4 of a period: still high
+    assert c.analyze()
+    assert np.isclose(c.node_voltage(n1).real, 1.0)
+    assert np.isclose(c.tr_duration, 4e-4)
+    assert c.analyze()   # continues 0.4ms -> 0.8ms: now in low half
+    assert np.isclose(c.node_voltage(n1).real, 0.0)
+
+
+def test_trop_capacitor_open():
+    """TROP: capacitors open for the initial operating point, then TR."""
+    R, C, V = 1e3, 1e-6, 3.0
+    c = pe.Circuit()
+    nl = c.nl
+    v = netops.add_model(nl, VDC, {"V": V})
+    r = netops.add_model(nl, RESISTANCE, {"r": R})
+    cap = netops.add_model(nl, CAPACITOR, {"C": C})
+    n_in = netops.create_node(nl)
+    n_out = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, n_in)
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    netops.add_to_node(nl, r, 0, n_in)
+    netops.add_to_node(nl, r, 1, n_out)
+    netops.add_to_node(nl, cap, 0, n_out)
+    netops.add_to_node(nl, cap, 1, nl.ground_node)
+    c.set_analyze_type(AnalyzeType.TROP)
+    c.tr.t_step = 1e-5
+    c.tr.t_stop = 1e-4
+    assert c.analyze()
+    # at OP the cap is open: no current, V_out = V; TR then holds steady
+    assert np.isclose(c.node_voltage(n_out).real, V, atol=1e-6)
