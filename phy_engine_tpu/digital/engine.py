@@ -1,0 +1,550 @@
+"""Synchronous bit-packed digital engine.
+
+Replaces the reference's event-driven update-table worklist
+(circuits/circuit.h:298-354 + per-model ``update_digital_clk``) with a
+jitted tick over uint32 bit-planes (32 stimulus lanes/word):
+
+    tick = sample analog pins -> force INPUT values -> transport delays
+           -> sequential devices (edge-triggered, d_ff.h:59-66 semantics)
+           -> levelled combinational sweeps
+           -> bounded fixpoint for latch/feedback groups (budget idea of
+              circuit.h:317) -> analog drive extraction.
+
+Behavioural notes vs the reference:
+* gates never output Z; Z at a gate input behaves as X (node.h tables);
+* toggling an X flip-flop yields L — the reference's enum->bool cast does
+  exactly this (t_ff.h / jk_ff.h: ``!static_cast<bool>(q)`` with X==2);
+* analog->digital sampling is plain Ll/Hl thresholding per net (the
+  Tsu/Th unsteady-state automaton of and.h:161-363 is tracked per tick
+  granularity, not yet per TR-substep);
+* digital->analog drives: H -> Hl volts, L/X -> Ll (and.h:365-398 "UB"
+  comment), Z -> no drive (slot inactive).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import logic
+from .ir import DigitalIR, Segment, lower_digital, bind_analog_indices
+from ..netlist.netlist import Netlist
+
+U32 = jnp.uint32
+FULL = 0xFFFFFFFF
+
+
+def _eff(v, u):
+    """Z -> X mapping at device inputs (read_dn in every seq model)."""
+    return v & ~u, u
+
+
+def _is_h(v, u):
+    return v & ~u
+
+
+def _is_l(v, u):
+    return ~v & ~u
+
+
+def _bcast(mask_bool):
+    """bool (n,) -> uint32 plane with all lanes equal."""
+    return jnp.where(mask_bool, jnp.uint32(FULL), jnp.uint32(0))
+
+
+# ---------------------------------------------------------------------------
+# combinational opcode kernels: (planes...) -> (v, u) per output
+# ---------------------------------------------------------------------------
+
+_COMB2 = {
+    "AND": logic.op_and, "OR": logic.op_or, "XOR": logic.op_xor,
+    "XNOR": logic.op_xnor, "NAND": logic.op_nand, "NOR": logic.op_nor,
+    "IMP": logic.op_imp, "NIMP": logic.op_nimp,
+    "CASE_EQ": logic.op_case_eq, "RESOLVE2": logic.op_resolve2,
+}
+_COMB1 = {"NOT": logic.op_not, "YES": logic.op_yes,
+          "IS_UNKNOWN": logic.op_is_unknown}
+
+
+def _eval_comb_segment(seg: Segment, sv, su):
+    """Evaluate one opcode segment; returns updated (sv, su)."""
+    op = seg.op
+    inp = jnp.asarray(seg.inputs)
+    out = jnp.asarray(seg.outputs)
+    va, ua = sv[inp[:, 0]], su[inp[:, 0]]
+    if op in _COMB1:
+        v, u = _COMB1[op](va, ua)
+        return sv.at[out[:, 0]].set(v), su.at[out[:, 0]].set(u)
+    vb, ub = sv[inp[:, 1]], su[inp[:, 1]]
+    if op in _COMB2:
+        v, u = _COMB2[op](va, ua, vb, ub)
+        return sv.at[out[:, 0]].set(v), su.at[out[:, 0]].set(u)
+    if op == "TRI":
+        v, u = logic.op_tri_state(va, ua, vb, ub)
+        return sv.at[out[:, 0]].set(v), su.at[out[:, 0]].set(u)
+    if op == "HALF_ADDER":
+        s_v, s_u = logic.op_xor(va, ua, vb, ub)
+        c_v, c_u = logic.op_and(va, ua, vb, ub)
+        sv = sv.at[out[:, 0]].set(s_v).at[out[:, 1]].set(c_v)
+        su = su.at[out[:, 0]].set(s_u).at[out[:, 1]].set(c_u)
+        return sv, su
+    if op == "FULL_ADDER":
+        vc, uc = sv[inp[:, 2]], su[inp[:, 2]]
+        xv, xu = logic.op_xor(va, ua, vb, ub)
+        s_v, s_u = logic.op_xor(xv, xu, vc, uc)
+        g1v, g1u = logic.op_and(va, ua, vb, ub)
+        g2v, g2u = logic.op_and(vc, uc, xv, xu)
+        c_v, c_u = logic.op_or(g1v, g1u, g2v, g2u)
+        sv = sv.at[out[:, 0]].set(s_v).at[out[:, 1]].set(c_v)
+        su = su.at[out[:, 0]].set(s_u).at[out[:, 1]].set(c_u)
+        return sv, su
+    if op == "HALF_SUBTRACTOR":
+        d_v, d_u = logic.op_xor(va, ua, vb, ub)
+        nav, nau = logic.op_not(va, ua)
+        b_v, b_u = logic.op_and(nav, nau, vb, ub)
+        sv = sv.at[out[:, 0]].set(d_v).at[out[:, 1]].set(b_v)
+        su = su.at[out[:, 0]].set(d_u).at[out[:, 1]].set(b_u)
+        return sv, su
+    if op == "FULL_SUBTRACTOR":
+        vc, uc = sv[inp[:, 2]], su[inp[:, 2]]
+        xv, xu = logic.op_xor(va, ua, vb, ub)
+        d_v, d_u = logic.op_xor(xv, xu, vc, uc)
+        nav, nau = logic.op_not(va, ua)
+        nxv, nxu = logic.op_not(xv, xu)
+        g1v, g1u = logic.op_and(nav, nau, vb, ub)
+        g2v, g2u = logic.op_and(nxv, nxu, vc, uc)
+        b_v, b_u = logic.op_or(g1v, g1u, g2v, g2u)
+        sv = sv.at[out[:, 0]].set(d_v).at[out[:, 1]].set(b_v)
+        su = su.at[out[:, 0]].set(d_u).at[out[:, 1]].set(b_u)
+        return sv, su
+    if op == "MUL2":
+        a0v, a0u = va, ua
+        a1v, a1u = sv[inp[:, 1]], su[inp[:, 1]]
+        b0v, b0u = sv[inp[:, 2]], su[inp[:, 2]]
+        b1v, b1u = sv[inp[:, 3]], su[inp[:, 3]]
+        p0v, p0u = logic.op_and(a0v, a0u, b0v, b0u)
+        t1v, t1u = logic.op_and(a1v, a1u, b0v, b0u)
+        t2v, t2u = logic.op_and(a0v, a0u, b1v, b1u)
+        p1v, p1u = logic.op_xor(t1v, t1u, t2v, t2u)
+        c1v, c1u = logic.op_and(t1v, t1u, t2v, t2u)
+        t3v, t3u = logic.op_and(a1v, a1u, b1v, b1u)
+        p2v, p2u = logic.op_xor(t3v, t3u, c1v, c1u)
+        p3v, p3u = logic.op_and(t3v, t3u, c1v, c1u)
+        for k, (pv, pu) in enumerate(((p0v, p0u), (p1v, p1u),
+                                      (p2v, p2u), (p3v, p3u))):
+            sv = sv.at[out[:, k]].set(pv)
+            su = su.at[out[:, k]].set(pu)
+        return sv, su
+    raise ValueError(f"unknown comb op {op}")
+
+
+def _latch_eval(seg: Segment, sv, su, st):
+    """DLATCH (d_latch.h:57-70): en H -> q=d(eff), en X -> X, en L hold."""
+    inp = jnp.asarray(seg.inputs)
+    out = jnp.asarray(seg.outputs)
+    dv, du = _eff(sv[inp[:, 0]], su[inp[:, 0]])
+    ev, eu = _eff(sv[inp[:, 1]], su[inp[:, 1]])
+    en_h = _is_h(ev, eu)
+    en_x = eu
+    qv, qu = st["q_v"], st["q_u"]
+    qv = (qv & ~en_h & ~en_x) | (dv & en_h)
+    qu = (qu & ~en_h & ~en_x) | (du & en_h) | en_x
+    st2 = {"q_v": qv, "q_u": qu}
+    return sv.at[out[:, 0]].set(qv), su.at[out[:, 0]].set(qu), st2
+
+
+def _edge_and_hist(sv, su, inp_col, st):
+    cv, cu = _eff(sv[inp_col], su[inp_col])
+    rise = _is_l(st["lc_v"], st["lc_u"]) & _is_h(cv, cu)
+    known = ~cu
+    lc_v = (st["lc_v"] & ~known) | (cv & known)
+    lc_u = st["lc_u"] & ~known
+    return rise, lc_v, lc_u
+
+
+def _eval_seq_segment(seg: Segment, sv, su, st, analog_v):
+    """One sequential segment; returns (sv, su, new_state)."""
+    op = seg.op
+    inp = jnp.asarray(seg.inputs)
+    out = jnp.asarray(seg.outputs)
+
+    if op == "SCHMITT":
+        fp = jnp.asarray(seg.fparams)
+        an = jnp.asarray(seg.anodes)
+        av_ext = jnp.concatenate([analog_v, jnp.zeros(1, analog_v.dtype)])
+        volts = av_ext[an[:, 0]]
+        go_h = volts >= fp[:, 2]
+        go_l = volts <= fp[:, 1]
+        prev_v, prev_u = st["q_v"], st["q_u"]
+        raw_v = jnp.where(go_h, jnp.uint32(FULL),
+                          jnp.where(go_l, jnp.uint32(0), prev_v))
+        raw_u = jnp.where(go_h | go_l, jnp.uint32(0), prev_u)
+        inv = fp[:, 0] > 0.5
+        out_v = jnp.where(inv, ~raw_v & ~raw_u, raw_v)
+        out_u = raw_u
+        st2 = {"q_v": raw_v, "q_u": raw_u}
+        return (sv.at[out[:, 0]].set(out_v),
+                su.at[out[:, 0]].set(out_u), st2)
+
+    if op == "CMP":
+        an = jnp.asarray(seg.anodes)
+        av_ext = jnp.concatenate([analog_v, jnp.zeros(1, analog_v.dtype)])
+        va_ = av_ext[an[:, 0]]
+        vb_ = av_ext[an[:, 1]]
+        h = va_ >= vb_
+        v = jnp.where(h, jnp.uint32(FULL), jnp.uint32(0))
+        u = jnp.zeros_like(v)
+        return sv.at[out[:, 0]].set(v), su.at[out[:, 0]].set(u), st
+
+    rise, lc_v, lc_u = _edge_and_hist(sv, su, inp[:, -1] if op in
+                                      ("JKFF",) else inp[:, 1], st)
+    # NOTE: clock column per op: DFF/DFF_ARSTN/TFF/TBARFF -> col 1;
+    # JKFF -> col 2; COUNTER4/RANDOM4 -> col 0.
+    if op in ("COUNTER4", "RANDOM4"):
+        rise, lc_v, lc_u = _edge_and_hist(sv, su, inp[:, 0], st)
+    elif op == "JKFF":
+        rise, lc_v, lc_u = _edge_and_hist(sv, su, inp[:, 2], st)
+
+    qv, qu = st.get("q_v"), st.get("q_u")
+
+    if op == "DFF" or op == "DFF_ARSTN":
+        dv, du = _eff(sv[inp[:, 0]], su[inp[:, 0]])
+        qv = (qv & ~rise) | (dv & rise)
+        qu = (qu & ~rise) | (du & rise)
+        if op == "DFF_ARSTN":
+            av, au = _eff(sv[inp[:, 2]], su[inp[:, 2]])
+            a_l = _is_l(av, au)
+            a_x = au
+            qv = qv & ~a_l & ~a_x
+            qu = (qu & ~a_l) | a_x
+        st2 = {"q_v": qv, "q_u": qu, "lc_v": lc_v, "lc_u": lc_u}
+        return sv.at[out[:, 0]].set(qv), su.at[out[:, 0]].set(qu), st2
+
+    if op == "JKFF":
+        jv, ju = _eff(sv[inp[:, 0]], su[inp[:, 0]])
+        kv, ku = _eff(sv[inp[:, 1]], su[inp[:, 1]])
+        s_ = _is_h(jv, ju) & _is_l(kv, ku)
+        r_ = _is_l(jv, ju) & _is_h(kv, ku)
+        t_ = _is_h(jv, ju) & _is_h(kv, ku)
+        h_ = _is_l(jv, ju) & _is_l(kv, ku)
+        x_ = ~(s_ | r_ | t_ | h_)
+        tog = _is_l(qv, qu)          # enum->bool cast: toggling X gives L
+        nv = s_ | (t_ & tog) | (h_ & qv)
+        nu = (h_ & qu) | x_
+        qv = (qv & ~rise) | (nv & rise)
+        qu = (qu & ~rise) | (nu & rise)
+        st2 = {"q_v": qv, "q_u": qu, "lc_v": lc_v, "lc_u": lc_u}
+        return sv.at[out[:, 0]].set(qv), su.at[out[:, 0]].set(qu), st2
+
+    if op in ("TFF", "TBARFF"):
+        tv, tu = _eff(sv[inp[:, 0]], su[inp[:, 0]])
+        act = _is_h(tv, tu) if op == "TFF" else _is_l(tv, tu)
+        t_x = tu
+        tog = _is_l(qv, qu)
+        nv = (act & tog) | (~act & ~t_x & qv)
+        nu = (~act & ~t_x & qu) | t_x
+        qv = (qv & ~rise) | (nv & rise)
+        qu = (qu & ~rise) | (nu & rise)
+        st2 = {"q_v": qv, "q_u": qu, "lc_v": lc_v, "lc_u": lc_u}
+        return sv.at[out[:, 0]].set(qv), su.at[out[:, 0]].set(qu), st2
+
+    if op == "COUNTER4":
+        # inputs: clk(0), en(1); outputs q3..q0 (counter4.h:112-160)
+        env_, enu = sv[inp[:, 1]], su[inp[:, 1]]
+        en_h = env_                    # H or Z count as enabled
+        en_x = ~env_ & enu             # X only
+        bits = st["bits"]              # (n, 4) planes b0..b3
+        un = st["un"]
+        carry = rise & en_h & ~un
+        new_bits = []
+        for b in range(4):
+            nb = bits[:, b] ^ carry
+            carry = bits[:, b] & carry
+            new_bits.append(nb)
+        bits = jnp.stack(new_bits, axis=1)
+        un = un | (rise & en_x)
+        st2 = {"bits": bits, "un": un, "lc_v": lc_v, "lc_u": lc_u}
+        # outputs: q3, q2, q1, q0
+        for k in range(4):
+            bit = 3 - k
+            sv = sv.at[out[:, k]].set(bits[:, bit] & ~un)
+            su = su.at[out[:, k]].set(un)
+        return sv, su, st2
+
+    if op == "RANDOM4":
+        # inputs: clk(0), reset_n(1) (random_generator4.h:114-160)
+        rv, ru = sv[inp[:, 1]], su[inp[:, 1]]
+        rst_l = _is_l(rv, ru)
+        rst_x = ~rv & ru               # X (Z counts as released)
+        bits = st["bits"]
+        un = st["un"]
+        b3, b2 = bits[:, 3], bits[:, 2]
+        feedback = ~(b3 ^ b2)          # (b3^b2)^1
+        step = rise & ~rst_l & ~rst_x & ~un
+        shifted = jnp.stack([
+            (feedback & step) | (bits[:, 0] & ~step),
+            (bits[:, 0] & step) | (bits[:, 1] & ~step),
+            (bits[:, 1] & step) | (bits[:, 2] & ~step),
+            (bits[:, 2] & step) | (bits[:, 3] & ~step),
+        ], axis=1)
+        bits = jnp.where(rst_l[:, None], jnp.uint32(0), shifted)
+        un = (un | rst_x) & ~rst_l
+        st2 = {"bits": bits, "un": un, "lc_v": lc_v, "lc_u": lc_u}
+        for k in range(4):
+            bit = 3 - k
+            sv = sv.at[out[:, k]].set(bits[:, bit] & ~un)
+            su = su.at[out[:, k]].set(un)
+        return sv, su, st2
+
+    raise ValueError(f"unknown seq op {op}")
+
+
+# ---------------------------------------------------------------------------
+# tick builder
+# ---------------------------------------------------------------------------
+
+def build_tick(ir: DigitalIR, n_analog_nodes: int):
+    latch_segs = [s for s in ir.seq if s.op == "DLATCH"]
+    seq_segs = [s for s in ir.seq if s.op != "DLATCH"]
+    has_fixpoint = bool(ir.cyclic) or bool(latch_segs)
+
+    def comb_pass(sv, su, latch_st):
+        for level in ir.levels:
+            for seg in level:
+                sv, su = _eval_comb_segment(seg, sv, su)
+        new_latch = []
+        for i, seg in enumerate(latch_segs):
+            sv, su, st2 = _latch_eval(seg, sv, su, latch_st[i])
+            new_latch.append(st2)
+        for seg in ir.cyclic:
+            sv, su = _eval_comb_segment(seg, sv, su)
+        return sv, su, new_latch
+
+    def tick(sv, su, seq_state, forced_sig, forced_v, forced_u, analog_v):
+        # 1. analog->digital sampling (threshold per net)
+        if ir.samp_sig.size:
+            av_ext = jnp.concatenate(
+                [analog_v, jnp.zeros(1, analog_v.dtype)])
+            volts = av_ext[jnp.asarray(ir.samp_node)]
+            h = volts >= jnp.asarray(ir.samp_hl)
+            l = volts <= jnp.asarray(ir.samp_ll)
+            v = _bcast(h)
+            u = jnp.where(h | l, jnp.uint32(0), jnp.uint32(FULL))
+            sv = sv.at[jnp.asarray(ir.samp_sig)].set(v)
+            su = su.at[jnp.asarray(ir.samp_sig)].set(u)
+
+        # 2. forced INPUT values (before_all_clk, input.h:94+)
+        if forced_sig.size:
+            sv = sv.at[forced_sig].set(forced_v)
+            su = su.at[forced_sig].set(forced_u)
+
+        # 3. transport delays (tick_delay.h: out <- held; held <- in)
+        if ir.tick_delays is not None:
+            seg = ir.tick_delays
+            inp = jnp.asarray(seg.inputs)
+            out = jnp.asarray(seg.outputs)
+            held_v, held_u = seq_state["TICK_DELAY"]["h_v"], \
+                seq_state["TICK_DELAY"]["h_u"]
+            in_v, in_u = _eff(sv[inp[:, 0]], su[inp[:, 0]])
+            sv = sv.at[out[:, 0]].set(held_v)
+            su = su.at[out[:, 0]].set(held_u)
+            seq_state = dict(seq_state)
+            seq_state["TICK_DELAY"] = {"h_v": in_v, "h_u": in_u}
+
+        # 4. sequential devices
+        seq_state = dict(seq_state)
+        for seg in seq_segs:
+            key = seg.op
+            sv, su, st2 = _eval_seq_segment(seg, sv, su,
+                                            seq_state.get(key, {}), analog_v)
+            seq_state[key] = st2
+
+        # 5/6. combinational settle
+        latch_st = [seq_state[f"DLATCH{i}"] for i in range(len(latch_segs))]
+        if not has_fixpoint:
+            sv, su, latch_st = comb_pass(sv, su, latch_st)
+        else:
+            def cond(c):
+                sv, su, ls, prev_v, prev_u, it = c
+                changed = jnp.any(sv != prev_v) | jnp.any(su != prev_u)
+                return (changed | (it == 0)) & (it < ir.cyclic_budget)
+
+            def body(c):
+                sv, su, ls, _pv, _pu, it = c
+                nv, nu, nls = comb_pass(sv, su, ls)
+                return (nv, nu, nls, sv, su, it + 1)
+
+            init = (sv, su, latch_st, sv + jnp.uint32(1), su,
+                    jnp.int32(0))
+            sv, su, latch_st, _, _, _ = jax.lax.while_loop(cond, body, init)
+        for i in range(len(latch_segs)):
+            seq_state[f"DLATCH{i}"] = latch_st[i]
+
+        # 7. drive extraction (lane 0)
+        if ir.drv_sig.size:
+            dsig = jnp.asarray(ir.drv_sig)
+            v0 = sv[dsig] & jnp.uint32(1)
+            u0 = su[dsig] & jnp.uint32(1)
+            is_z = (v0 == 1) & (u0 == 1)
+            is_h = (v0 == 1) & (u0 == 0)
+            volt = jnp.where(is_h, jnp.asarray(ir.drv_hl),
+                             jnp.asarray(ir.drv_ll))
+            active = jnp.where(is_z, 0.0, 1.0)
+            drives = {"node": jnp.asarray(ir.drv_node),
+                      "active": active, "v": volt}
+        else:
+            drives = None
+        return sv, su, seq_state, drives
+
+    return tick
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+class DigitalEngine:
+    """Owns the digital IR, planes, and sequential state across ticks."""
+
+    def __init__(self, nl: Netlist, env):
+        self.nl = nl
+        self.env = env
+        self.ir: Optional[DigitalIR] = lower_digital(nl)
+        self.n_drive_slots = (len(self.ir.drv_sig)
+                              if self.ir is not None else 0)
+        self._tick_jit = None
+        self.sv = None
+        self.su = None
+        self.seq_state = None
+        self._n_analog = 0
+
+    def bind(self, n_analog_nodes: int):
+        """Resolve analog node indices; must follow analog lowering."""
+        if self.ir is None:
+            return
+        bind_analog_indices(self.ir)
+        self._n_analog = n_analog_nodes
+        self._tick_jit = jax.jit(build_tick(self.ir, n_analog_nodes))
+        self.reset_state()
+
+    def reset_state(self):
+        ir = self.ir
+        n = ir.n_signals
+        self.sv = jnp.zeros(n, U32)
+        self.su = jnp.full(n, jnp.uint32(FULL))       # everything starts X
+        st: Dict[str, Dict] = {}
+        if ir.tick_delays is not None:
+            k = len(ir.tick_delays.instances)
+            st["TICK_DELAY"] = {"h_v": jnp.zeros(k, U32),
+                                "h_u": jnp.full(k, jnp.uint32(FULL))}
+        li = 0
+        for seg in ir.seq:
+            k = len(seg.instances)
+            if seg.op == "DLATCH":
+                st[f"DLATCH{li}"] = {"q_v": jnp.zeros(k, U32),
+                                     "q_u": jnp.full(k, jnp.uint32(FULL))}
+                li += 1
+            elif seg.op in ("COUNTER4", "RANDOM4"):
+                bits = jnp.zeros((k, 4), U32)
+                if seg.op == "RANDOM4" and seg.fparams is not None:
+                    seeds = seg.fparams[:, 0].astype(np.uint32)
+                    b = np.zeros((k, 4), np.uint32)
+                    for i in range(k):
+                        for j in range(4):
+                            if (int(seeds[i]) >> j) & 1:
+                                b[i, j] = FULL
+                    bits = jnp.asarray(b)
+                st[seg.op] = {"bits": bits, "un": jnp.zeros(k, U32),
+                              "lc_v": jnp.zeros(k, U32),
+                              "lc_u": jnp.full(k, jnp.uint32(FULL))}
+            elif seg.op == "SCHMITT":
+                st[seg.op] = {"q_v": jnp.zeros(k, U32),
+                              "q_u": jnp.full(k, jnp.uint32(FULL))}
+            elif seg.op == "CMP":
+                pass
+            else:
+                st[seg.op] = {"q_v": jnp.zeros(k, U32),
+                              "q_u": jnp.full(k, jnp.uint32(FULL)),
+                              "lc_v": jnp.zeros(k, U32),
+                              "lc_u": jnp.full(k, jnp.uint32(FULL))}
+        self.seq_state = st
+
+    def _forced_arrays(self):
+        """Pack INPUT/INPUT8 attribute values into forced-signal arrays."""
+        sigs, vs, us = [], [], []
+        for inst, out_sigs in self.ir.inputs:
+            if inst.mdef.digital_op == "INPUT":
+                code = int(inst.params.get("boolean", 2)) & 3
+                v = FULL if (code & 1) else 0
+                u = FULL if (code & 2) else 0
+                sigs.append(out_sigs[0])
+                vs.append(v)
+                us.append(u)
+            else:  # INPUT8: pins b7..b0, value bit per pin
+                val = int(inst.params.get("value", 0)) & 0xFF
+                for k, s in enumerate(out_sigs):
+                    bit = 7 - k
+                    sigs.append(s)
+                    vs.append(FULL if (val >> bit) & 1 else 0)
+                    us.append(0)
+        return (jnp.asarray(np.array(sigs, np.int32)),
+                jnp.asarray(np.array(vs, np.uint32)),
+                jnp.asarray(np.array(us, np.uint32)))
+
+    def tick(self, analog_v: np.ndarray):
+        """One digital_clk(); returns drive dict (or None)."""
+        if self.ir is None:
+            return None
+        fs, fv, fu = self._forced_arrays()
+        av = jnp.asarray(analog_v, jnp.float64)
+        self.sv, self.su, self.seq_state, drives = self._tick_jit(
+            self.sv, self.su, self.seq_state, fs, fv, fu, av)
+        self._writeback()
+        return drives
+
+    def _writeback(self):
+        """Lane-0 readback into netlist nodes and OUTPUT devices."""
+        sv = np.asarray(self.sv)
+        su = np.asarray(self.su)
+        code = (sv & 1) | ((su & 1) << 1)
+        # write digital node states
+        for node, sig in self._node_sig_objs():
+            node.digital = int(code[sig])
+        # OUTPUT devices capture their input value (output.h:83+)
+        for inst, in_sigs in self.ir.outputs:
+            if inst.mdef.digital_op == "OUTPUT":
+                inst.params["value"] = int(code[in_sigs[0]])
+            else:  # OUTPUT8
+                val = 0
+                unk = 0
+                for k, s in enumerate(in_sigs):
+                    bit = 7 - k
+                    c = int(code[s])
+                    if c == 1:
+                        val |= (1 << bit)
+                    elif c >= 2:
+                        unk |= (1 << bit)
+                inst.params["value"] = float(val)
+                inst.params["unknown_mask"] = float(unk)
+
+    def _node_sig_objs(self):
+        if not hasattr(self, "_nso"):
+            by_id = {}
+            for node in self.nl.all_nodes():
+                if id(node) in self.ir.node_sig:
+                    by_id[id(node)] = node
+            self._nso = [(by_id[k], s) for k, s in self.ir.node_sig.items()
+                         if k in by_id]
+        return self._nso
+
+    def signal_code(self, node) -> int:
+        """Current 4-state code of a digital net (lane 0)."""
+        sig = self.ir.node_sig.get(id(node))
+        if sig is None:
+            return logic.X
+        v = int(np.asarray(self.sv[sig])) & 1
+        u = int(np.asarray(self.su[sig])) & 1
+        return v | (u << 1)

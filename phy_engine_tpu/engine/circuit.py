@@ -107,6 +107,8 @@ class Circuit:
                 self._digital = None
             self._ir = lower_analog(self.nl, max_drive_slots=n_drive)
             self._ir.version = self.nl.version
+            if self._digital is not None:
+                self._digital.bind(self._ir.n_nodes)
             self._x = analog.initial_x(self._ir, self.dtype)
             # seed from node voltages (supports warm restart after load)
             if any(abs(n.voltage) > 0 for n in self._ir.node_list):
@@ -255,6 +257,10 @@ class Circuit:
         if node.is_ground:
             return 0.0 + 0.0j
         return node.voltage
+
+    def node_digital(self, node: Node) -> int:
+        """4-state code (0=L,1=H,2=X,3=Z) of a digital net."""
+        return node.digital
 
     def tr_waveform(self, node: Node) -> np.ndarray:
         """Time series of a node voltage over the last TR run."""

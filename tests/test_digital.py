@@ -1,0 +1,326 @@
+"""Digital engine tests (test/0006.digital analogues).
+
+4-state propagation through gate chains, sequential devices, counters,
+and the mixed-signal bridge.
+"""
+
+import numpy as np
+import pytest
+
+import phy_engine_tpu as pe
+from phy_engine_tpu import netops
+from phy_engine_tpu.digital.logic import L, H, X, Z
+from phy_engine_tpu.models import (AND, OR, NOT, XOR, NAND, INPUT, OUTPUT,
+                                   D_FF, COUNTER4, TICK_DELAY, HALF_ADDER,
+                                   FULL_ADDER, D_LATCH, TRI_STATE, RESOLVE2,
+                                   JK_FF, T_FF, EIGHT_BIT_INPUT,
+                                   EIGHT_BIT_DISPLAY, RESISTANCE, VDC,
+                                   COMPARATOR, SCHMITT_TRIGGER)
+from phy_engine_tpu.engine.circuit import AnalyzeType
+
+
+def mkc():
+    c = pe.Circuit()
+    c.set_analyze_type(AnalyzeType.OP)
+    return c
+
+
+def wire(nl, *pins):
+    n = netops.create_node(nl)
+    for inst, pi in pins:
+        netops.add_to_node(nl, inst, pi, n)
+    return n
+
+
+def test_and_gate_truth_table():
+    for a_code, b_code, expect in [
+        (L, L, L), (L, H, L), (H, L, L), (H, H, H),
+        (X, H, X), (X, L, L), (Z, H, X), (Z, L, L), (X, X, X),
+    ]:
+        c = mkc()
+        nl = c.nl
+        ia = netops.add_model(nl, INPUT, {"boolean": float(a_code)})
+        ib = netops.add_model(nl, INPUT, {"boolean": float(b_code)})
+        g = netops.add_model(nl, AND)
+        out = netops.add_model(nl, OUTPUT)
+        wire(nl, (ia, 0), (g, 0))
+        wire(nl, (ib, 0), (g, 1))
+        n_o = wire(nl, (g, 2), (out, 0))
+        c.digital_clk()
+        assert c.node_digital(n_o) == expect, (a_code, b_code)
+        assert out.params["value"] == expect
+
+
+def test_not_chain_propagates_in_one_tick():
+    """A chain of N inverters settles within a single tick (levelled
+    sweeps replace the reference's worklist iterations)."""
+    c = mkc()
+    nl = c.nl
+    src = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    prev = wire(nl, (src, 0))
+    gates = []
+    for i in range(20):
+        g = netops.add_model(nl, NOT)
+        netops.add_to_node(nl, g, 0, prev)
+        prev = wire(nl, (g, 1))
+        gates.append(g)
+    c.digital_clk()
+    assert c.node_digital(prev) == H  # even number of inversions
+
+
+def test_xor_nand_compose():
+    c = mkc()
+    nl = c.nl
+    a = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    b = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    x = netops.add_model(nl, XOR)
+    nd = netops.add_model(nl, NAND)
+    wire(nl, (a, 0), (x, 0), (nd, 0))
+    wire(nl, (b, 0), (x, 1), (nd, 1))
+    nx = wire(nl, (x, 2))
+    nn = wire(nl, (nd, 2))
+    c.digital_clk()
+    assert c.node_digital(nx) == H
+    assert c.node_digital(nn) == H
+
+
+def test_dff_rising_edge():
+    c = mkc()
+    nl = c.nl
+    d_in = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    clk = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    ff = netops.add_model(nl, D_FF)
+    wire(nl, (d_in, 0), (ff, 0))
+    wire(nl, (clk, 0), (ff, 1))
+    nq = wire(nl, (ff, 2))
+    c.digital_clk()
+    assert c.node_digital(nq) == X      # q initial X, no edge yet
+    clk.set_attribute("boolean", float(H))   # rising edge
+    c.digital_clk()
+    assert c.node_digital(nq) == H
+    d_in.set_attribute("boolean", float(L))
+    c.digital_clk()                      # clk stays H: no edge
+    assert c.node_digital(nq) == H
+    clk.set_attribute("boolean", float(L))
+    c.digital_clk()                      # falling edge: no capture
+    assert c.node_digital(nq) == H
+    clk.set_attribute("boolean", float(H))
+    c.digital_clk()                      # rising edge captures L
+    assert c.node_digital(nq) == L
+
+
+def test_counter4_counts():
+    c = mkc()
+    nl = c.nl
+    clk = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    en = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    cnt = netops.add_model(nl, COUNTER4)
+    wire(nl, (clk, 0), (cnt, 4))
+    wire(nl, (en, 0), (cnt, 5))
+    qs = [wire(nl, (cnt, i)) for i in range(4)]  # q3..q0
+    c.digital_clk()
+
+    def value():
+        bits = [c.node_digital(q) for q in qs]
+        assert all(b in (L, H) for b in bits)
+        return (bits[0] << 3) | (bits[1] << 2) | (bits[2] << 1) | bits[3]
+
+    for k in range(1, 6):
+        clk.set_attribute("boolean", float(H))
+        c.digital_clk()
+        assert value() == k, k
+        clk.set_attribute("boolean", float(L))
+        c.digital_clk()
+        assert value() == k
+
+
+def test_tick_delay():
+    c = mkc()
+    nl = c.nl
+    src = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    td = netops.add_model(nl, TICK_DELAY)
+    wire(nl, (src, 0), (td, 0))
+    n_o = wire(nl, (td, 1))
+    c.digital_clk()
+    assert c.node_digital(n_o) == X      # initial held value
+    c.digital_clk()
+    assert c.node_digital(n_o) == H      # delayed by one tick
+
+
+def test_full_adder_block():
+    c = mkc()
+    nl = c.nl
+    for a, b, cin, (s, cout) in [
+        (L, L, L, (L, L)), (H, L, L, (H, L)), (H, H, L, (L, H)),
+        (H, H, H, (H, H)), (X, L, L, (X, X)),
+    ]:
+        c = mkc()
+        nl = c.nl
+        ia = netops.add_model(nl, INPUT, {"boolean": float(a)})
+        ib = netops.add_model(nl, INPUT, {"boolean": float(b)})
+        ic = netops.add_model(nl, INPUT, {"boolean": float(cin)})
+        fa = netops.add_model(nl, FULL_ADDER)
+        wire(nl, (ia, 0), (fa, 0))
+        wire(nl, (ib, 0), (fa, 1))
+        wire(nl, (ic, 0), (fa, 2))
+        ns = wire(nl, (fa, 3))
+        nc = wire(nl, (fa, 4))
+        c.digital_clk()
+        assert c.node_digital(ns) == s, (a, b, cin)
+        # X carry: for (X,L,L): a&b=L... carry = or(and(a,b)=X&...):
+        if cout != X:
+            assert c.node_digital(nc) == cout, (a, b, cin)
+
+
+def test_latch_transparent():
+    c = mkc()
+    nl = c.nl
+    d = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    en = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    lat = netops.add_model(nl, D_LATCH)
+    wire(nl, (d, 0), (lat, 0))
+    wire(nl, (en, 0), (lat, 1))
+    nq = wire(nl, (lat, 2))
+    c.digital_clk()
+    assert c.node_digital(nq) == H       # transparent
+    en.set_attribute("boolean", float(L))
+    d.set_attribute("boolean", float(L))
+    c.digital_clk()
+    assert c.node_digital(nq) == H       # held
+
+
+def test_tri_state_and_resolve2():
+    c = mkc()
+    nl = c.nl
+    d1 = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    e1 = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    d2 = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    e2 = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    t1 = netops.add_model(nl, TRI_STATE)
+    t2 = netops.add_model(nl, TRI_STATE)
+    res = netops.add_model(nl, RESOLVE2)
+    wire(nl, (d1, 0), (t1, 0))
+    wire(nl, (e1, 0), (t1, 1))
+    wire(nl, (d2, 0), (t2, 0))
+    wire(nl, (e2, 0), (t2, 1))
+    wire(nl, (t1, 2), (res, 0))
+    wire(nl, (t2, 2), (res, 1))
+    n_o = wire(nl, (res, 2))
+    c.digital_clk()
+    assert c.node_digital(n_o) == H      # t1 drives H, t2 is Z
+    e1.set_attribute("boolean", float(L))
+    c.digital_clk()
+    assert c.node_digital(n_o) == Z      # both Z
+    e2.set_attribute("boolean", float(H))
+    c.digital_clk()
+    assert c.node_digital(n_o) == L      # t2 drives L
+
+
+def test_jkff_and_tff():
+    c = mkc()
+    nl = c.nl
+    j = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    k = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    clk = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    ff = netops.add_model(nl, JK_FF)
+    wire(nl, (j, 0), (ff, 0))
+    wire(nl, (k, 0), (ff, 1))
+    wire(nl, (clk, 0), (ff, 2))
+    nq = wire(nl, (ff, 3))
+    c.digital_clk()
+    # J=K=1: toggle; toggling from X gives L (enum->bool cast semantics)
+    clk.set_attribute("boolean", float(H))
+    c.digital_clk()
+    assert c.node_digital(nq) == L
+    clk.set_attribute("boolean", float(L))
+    c.digital_clk()
+    clk.set_attribute("boolean", float(H))
+    c.digital_clk()
+    assert c.node_digital(nq) == H
+
+
+def test_eight_bit_io():
+    c = mkc()
+    nl = c.nl
+    src = netops.add_model(nl, EIGHT_BIT_INPUT, {"value": 0xA5})
+    dst = netops.add_model(nl, EIGHT_BIT_DISPLAY)
+    for i in range(8):
+        wire(nl, (src, i), (dst, i))
+    c.digital_clk()
+    assert int(dst.params["value"]) == 0xA5
+    assert int(dst.params["unknown_mask"]) == 0
+
+
+def test_comparator_mixed_signal():
+    """comparator_digital_clk.cpp analogue: compares two analog nodes."""
+    c = mkc()
+    nl = c.nl
+    v1 = netops.add_model(nl, VDC, {"V": 3.0})
+    v2 = netops.add_model(nl, VDC, {"V": 2.0})
+    r1 = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+    r2 = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+    cmp_ = netops.add_model(nl, COMPARATOR)
+    na = wire(nl, (v1, 0), (r1, 0))
+    nb = wire(nl, (v2, 0), (r2, 0))
+    netops.add_to_node(nl, v1, 1, nl.ground_node)
+    netops.add_to_node(nl, v2, 1, nl.ground_node)
+    netops.add_to_node(nl, r1, 1, nl.ground_node)
+    netops.add_to_node(nl, r2, 1, nl.ground_node)
+    netops.add_to_node(nl, cmp_, 0, na)
+    netops.add_to_node(nl, cmp_, 1, nb)
+    n_o = wire(nl, (cmp_, 2))
+    assert c.analyze()
+    c.digital_clk()
+    assert c.node_digital(n_o) == H      # 3.0 >= 2.0
+    v2.set_attribute("V", 4.0)
+    assert c.analyze()
+    c.digital_clk()
+    assert c.node_digital(n_o) == L
+
+
+def test_gate_drives_analog_node():
+    """hybirds.cpp analogue: digital output drives an analog net via an
+    injected source branch, read back after the next analyze()."""
+    c = mkc()
+    nl = c.nl
+    a = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    b = netops.add_model(nl, INPUT, {"boolean": float(H)})
+    g = netops.add_model(nl, AND, {"Hl": 5.0, "Ll": 0.0})
+    r = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+    wire(nl, (a, 0), (g, 0))
+    wire(nl, (b, 0), (g, 1))
+    n_o = wire(nl, (g, 2), (r, 0))       # hybrid node: gate + resistor
+    netops.add_to_node(nl, r, 1, nl.ground_node)
+    assert c.analyze()                   # drives inactive: node floats at 0
+    c.digital_clk()                      # AND(H,H)=H -> request 5V drive
+    assert c.analyze()
+    assert np.isclose(c.node_voltage(n_o).real, 5.0, atol=1e-9)
+    b.set_attribute("boolean", float(L))
+    c.digital_clk()
+    assert c.analyze()
+    assert np.isclose(c.node_voltage(n_o).real, 0.0, atol=1e-9)
+
+
+def test_schmitt_trigger_hysteresis():
+    c = mkc()
+    nl = c.nl
+    v = netops.add_model(nl, VDC, {"V": 0.0})
+    st = netops.add_model(nl, SCHMITT_TRIGGER)
+    n_in = wire(nl, (v, 0), (st, 0))
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    n_o = wire(nl, (st, 1))
+    assert c.analyze()
+    c.digital_clk()
+    assert c.node_digital(n_o) == L      # below Vth_low
+    v.set_attribute("V", 2.5)            # between thresholds: hold
+    assert c.analyze()
+    c.digital_clk()
+    assert c.node_digital(n_o) == L
+    v.set_attribute("V", 4.0)            # above Vth_high
+    assert c.analyze()
+    c.digital_clk()
+    assert c.node_digital(n_o) == H
+    v.set_attribute("V", 2.5)            # hold high
+    assert c.analyze()
+    c.digital_clk()
+    assert c.node_digital(n_o) == H
