@@ -1,0 +1,142 @@
+"""Headline benchmark: transient Newton circuit-steps/sec.
+
+Workload (BASELINE.md metric 'transient Newton-steps/sec on nonlinear
+netlists'): a Monte-Carlo batch of diode rectifier RC circuits advanced
+through fixed-step transient analysis — every step is a full masked
+Newton solve (assembly + dense LU) on device.
+
+``vs_baseline``: measured speedup against a straightforward
+numpy/LAPACK per-circuit Newton loop on this host's CPU (the reference
+publishes no numbers — BASELINE.md — so the denominator is the
+same-machine scalar-CPU path, the role its Eigen SparseLU plays).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("PE_BENCH_BATCH", "512"))
+STEPS = int(os.environ.get("PE_BENCH_STEPS", "200"))
+CPU_STEPS = int(os.environ.get("PE_BENCH_CPU_STEPS", "400"))
+
+
+def tpu_run():
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from phy_engine_tpu.parallel.batch import (batch_params, batch_state,
+                                               batch_x, batched_transient)
+
+    ir = g._build_rectifier()
+    env = g._env()
+    params_b = batch_params(ir, BATCH, jitter={"R": {"r": 0.05},
+                                               "C": {"C": 0.05}})
+    x_b = batch_x(ir, BATCH)
+    st_b = batch_state(ir, BATCH)
+
+    t0 = jnp.asarray(0.0, jnp.float64)
+    dt = jnp.asarray(5e-7, jnp.float64)
+
+    def run(params_b, x_b, st_b):
+        x2, st2, ok, last = batched_transient(
+            ir, params_b, x_b, st_b, env, t0, dt, STEPS)
+        return x2, ok
+
+    fn = jax.jit(run)
+    # warmup/compile
+    x2, ok = fn(params_b, x_b, st_b)
+    x2.block_until_ready()
+    n_rep = 3
+    t_start = time.perf_counter()
+    for _ in range(n_rep):
+        x2, ok = fn(params_b, x_b, st_b)
+    x2.block_until_ready()
+    elapsed = (time.perf_counter() - t_start) / n_rep
+    assert bool(np.asarray(ok).all()), "bench transient failed to converge"
+    return BATCH * STEPS / elapsed
+
+
+def cpu_baseline():
+    """Per-circuit Newton transient in numpy (scalar CPU reference)."""
+    Vp, freq = 5.0, 1e3
+    Rs, Rl, Cl = 100.0, 10e3, 1e-6
+    Is, N = 1e-14, 1.0
+    Ut = 1.380650524e-23 * (27.0 + 273.15) / 1.6021765314e-19
+    Ute = N * Ut
+    dt = 5e-7
+    # unknowns: [v_src, v_a, v_o, i_branch]
+    n = 4
+    x = np.zeros(n)
+    prev_g = 0.0
+    hist_i = 0.0
+    ud_last = 0.0
+
+    t_start = time.perf_counter()
+    steps_done = 0
+    t = 0.0
+    for step in range(CPU_STEPS):
+        t += dt
+        # capacitor companion
+        v_prev = x[2]
+        g_new = 2.0 * Cl / dt
+        hist_i = -(g_new + prev_g) * v_prev - hist_i
+        prev_g = g_new
+        e = Vp * np.sin(2 * np.pi * freq * t)
+        for _ in range(64):
+            A = np.zeros((n, n))
+            z = np.zeros(n)
+            gs = 1.0 / Rs
+            A[0, 0] += gs
+            A[0, 1] -= gs
+            A[1, 0] -= gs
+            A[1, 1] += gs
+            # diode between a and o with SPICE limiting
+            ud = x[1] - x[2]
+            # simple vlimit
+            if ud > 0.8 and abs(ud - ud_last) > 2 * Ute:
+                ud = ud_last + 2 * Ute * np.sign(ud - ud_last)
+            ud_last = ud
+            ee = np.exp(min(ud / Ute, 50.0))
+            gd = Is * ee / Ute
+            i_d = Is * (ee - 1.0)
+            ieq = i_d - ud * gd
+            A[1, 1] += gd
+            A[1, 2] -= gd
+            A[2, 1] -= gd
+            A[2, 2] += gd
+            z[1] -= ieq
+            z[2] += ieq
+            gl = 1.0 / Rl
+            A[2, 2] += gl + prev_g
+            z[2] -= hist_i
+            A[0, 3] = 1.0
+            A[3, 0] = 1.0
+            z[3] = e
+            x_new = np.linalg.solve(A, z)
+            if np.all(np.abs(x_new - x) <= 1e-6 + 1e-3 * np.maximum(
+                    np.abs(x_new), np.abs(x))):
+                x = x_new
+                break
+            x = x_new
+        steps_done += 1
+    elapsed = time.perf_counter() - t_start
+    return steps_done / elapsed
+
+
+def main():
+    cps_cpu = cpu_baseline()
+    cps_tpu = tpu_run()
+    print(json.dumps({
+        "metric": "transient_newton_circuit_steps_per_sec",
+        "value": round(cps_tpu, 1),
+        "unit": "circuit-steps/s",
+        "vs_baseline": round(cps_tpu / cps_cpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -354,7 +354,14 @@ def build_tick(ir: DigitalIR, n_analog_nodes: int):
             seq_state = dict(seq_state)
             seq_state["TICK_DELAY"] = {"h_v": in_v, "h_u": in_u}
 
-        # 4. sequential devices
+        # 4a. pre-sequential comb settle: clock/reset/enable nets that
+        # pass through gates must reflect this tick's inputs before the
+        # FFs sample them (the worklist engine interleaves naturally;
+        # the behavioral simulator pushes inputs down first — same here)
+        latch_st = [seq_state[f"DLATCH{i}"] for i in range(len(latch_segs))]
+        sv, su, latch_st = comb_pass(sv, su, latch_st)
+
+        # 4b. sequential devices
         seq_state = dict(seq_state)
         for seg in seq_segs:
             key = seg.op
@@ -363,7 +370,6 @@ def build_tick(ir: DigitalIR, n_analog_nodes: int):
             seq_state[key] = st2
 
         # 5/6. combinational settle
-        latch_st = [seq_state[f"DLATCH{i}"] for i in range(len(latch_segs))]
         if not has_fixpoint:
             sv, su, latch_st = comb_pass(sv, su, latch_st)
         else:

@@ -86,6 +86,13 @@ def assemble(ir: AnalogIR, params, x, states, ctx: StampCtx,
             return _stamp(Pr, vr, br, sr, ctx)
 
         a_vals, z_vals, st2 = jax.vmap(one)(P, vp, vb, st)
+        # optional per-instance mask (sharding padding / soft delete)
+        msk = getattr(fam, "mask", None)
+        if msk is not None:
+            m = jnp.asarray(msk, dtype)
+            a_vals = a_vals * m[:, None]
+            if fam.z_rows.size:
+                z_vals = z_vals * m[:, None]
         A = A.at[jnp.asarray(fam.a_rows), jnp.asarray(fam.a_cols)].add(
             a_vals.astype(dtype))
         if fam.z_rows.size:

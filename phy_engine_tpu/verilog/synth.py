@@ -1,0 +1,983 @@
+"""Logic synthesis: elaborated Verilog -> PE gate netlist (O0 lowering).
+
+Counterpart of the reference's ``pe_synth.h`` entry
+``synthesize_to_pe_netlist`` (pe_synth.h:17558) at optimization level O0:
+a *correct* structural lowering — bit-blasted expression DAGs to 2-input
+gates and adder blocks, always_ff to DFF/DFF_ARSTN (non-zero reset values
+via the XOR-retiming trick), always_comb latches as combinational
+feedback loops (which the TPU digital engine's fixpoint group evaluates
+exactly like level-sensitive latches), ``#N`` delays to TICK_DELAY
+chains.  The optimization pipeline (strash/DCE/QM/espresso/...) is a
+later round; constant folding and trivial-gate elision happen inline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+from ..netlist.netlist import Netlist, Node
+from ..netlist import operations as ops
+from ..models import (AND, OR, NOT, XOR, XNOR, NAND, NOR, YES, INPUT,
+                      TRI_STATE, RESOLVE2, D_FF, D_FF_ARSTN, FULL_ADDER,
+                      HALF_ADDER, TICK_DELAY)
+from .elaborate import InstanceState
+from .fourstate import Val
+from .simulate import EvalCtx, eval_expr, self_width, SimError
+from .parser import CompileError
+
+# a Net is a constant code 0/1/2 (int) or a Node
+NetT = Union[int, Node]
+
+C0, C1, CX = 0, 1, 2
+
+
+@dataclass
+class SynthOptions:
+    opt_level: int = 0
+    loop_unroll_limit: int = 4096
+
+
+@dataclass
+class SynthReport:
+    gate_count: int = 0
+    ff_count: int = 0
+    warnings: List[str] = field(default_factory=list)
+
+
+class SynthContext:
+    def __init__(self, nl: Netlist, options: SynthOptions):
+        self.nl = nl
+        self.opt = options
+        self.report = SynthReport()
+        self._const_nodes: Dict[int, Node] = {}
+
+    # ---- net helpers ------------------------------------------------------
+    def new_node(self) -> Node:
+        return ops.create_node(self.nl)
+
+    def const_node(self, code: int) -> Node:
+        """A net held at a constant by an INPUT device."""
+        if code not in self._const_nodes:
+            inp = ops.add_model(self.nl, INPUT,
+                                {"boolean": float(code)})
+            n = self.new_node()
+            ops.add_to_node(self.nl, inp, 0, n)
+            self._const_nodes[code] = n
+        return self._const_nodes[code]
+
+    def as_node(self, net: NetT) -> Node:
+        if isinstance(net, Node):
+            return net
+        return self.const_node(net)
+
+    # ---- gate emission with constant folding ------------------------------
+    def gate2(self, mdef, a: NetT, b: NetT, out: Optional[Node] = None,
+              fold=None) -> NetT:
+        if isinstance(a, int) and isinstance(b, int) and fold is not None:
+            code = fold(a, b)
+            if out is not None:
+                self.buf(code, out)
+                return out
+            return code
+        g = ops.add_model(self.nl, mdef)
+        ops.add_to_node(self.nl, g, 0, self.as_node(a))
+        ops.add_to_node(self.nl, g, 1, self.as_node(b))
+        o = out if out is not None else self.new_node()
+        ops.add_to_node(self.nl, g, 2, o)
+        self.report.gate_count += 1
+        return o
+
+    def g_and(self, a, b, out=None):
+        from ..digital.logic import AND_TABLE
+        if a is C0 or b is C0:
+            return self._const_or_buf(C0, out)
+        if a is C1 and not isinstance(b, int):
+            return self._alias(b, out)
+        if b is C1 and not isinstance(a, int):
+            return self._alias(a, out)
+        return self.gate2(AND, a, b, out,
+                          fold=lambda x, y: int(AND_TABLE[x, y]))
+
+    def g_or(self, a, b, out=None):
+        from ..digital.logic import OR_TABLE
+        if a is C1 or b is C1:
+            return self._const_or_buf(C1, out)
+        if a is C0 and not isinstance(b, int):
+            return self._alias(b, out)
+        if b is C0 and not isinstance(a, int):
+            return self._alias(a, out)
+        return self.gate2(OR, a, b, out,
+                          fold=lambda x, y: int(OR_TABLE[x, y]))
+
+    def g_xor(self, a, b, out=None):
+        from ..digital.logic import XOR_TABLE
+        if a is C0 and not isinstance(b, int):
+            return self._alias(b, out)
+        if b is C0 and not isinstance(a, int):
+            return self._alias(a, out)
+        if a is C1 and not isinstance(b, int):
+            return self.g_not(b, out)
+        if b is C1 and not isinstance(a, int):
+            return self.g_not(a, out)
+        return self.gate2(XOR, a, b, out,
+                          fold=lambda x, y: int(XOR_TABLE[x, y]))
+
+    def g_xnor(self, a, b, out=None):
+        from ..digital.logic import XNOR_TABLE
+        return self.gate2(XNOR, a, b, out,
+                          fold=lambda x, y: int(XNOR_TABLE[x, y]))
+
+    def g_not(self, a, out=None):
+        from ..digital.logic import NOT_TABLE
+        if isinstance(a, int):
+            return self._const_or_buf(int(NOT_TABLE[a]), out)
+        g = ops.add_model(self.nl, NOT)
+        ops.add_to_node(self.nl, g, 0, a)
+        o = out if out is not None else self.new_node()
+        ops.add_to_node(self.nl, g, 1, o)
+        self.report.gate_count += 1
+        return o
+
+    def buf(self, a: NetT, out: Node):
+        """Drive `out` with the value of net a via a YES buffer."""
+        g = ops.add_model(self.nl, YES)
+        ops.add_to_node(self.nl, g, 0, self.as_node(a))
+        ops.add_to_node(self.nl, g, 1, out)
+        self.report.gate_count += 1
+        return out
+
+    def _const_or_buf(self, code: int, out: Optional[Node]):
+        if out is None:
+            return code
+        return self.buf(code, out)
+
+    def _alias(self, net: NetT, out: Optional[Node]):
+        if out is None:
+            return net
+        return self.buf(net, out)
+
+    def g_mux(self, c: NetT, f: NetT, t: NetT, out=None):
+        """out = c ? t : f  (note arg order: false, true)."""
+        if isinstance(c, int):
+            if c == C1:
+                return self._alias(t, out)
+            if c == C0:
+                return self._alias(f, out)
+        if t is f and out is None:
+            return t
+        nc = self.g_not(c)
+        a1 = self.g_and(c, t)
+        a0 = self.g_and(nc, f)
+        return self.g_or(a0, a1, out)
+
+    def full_add(self, a: NetT, b: NetT, cin: NetT):
+        """Returns (sum, cout), using FULL_ADDER blocks unless constant."""
+        consts = [x for x in (a, b, cin) if isinstance(x, int)]
+        if len(consts) == 3:
+            total = sum(consts)
+            if any(x == CX for x in consts):
+                return CX, CX
+            return total & 1, (total >> 1) & 1
+        if cin is C0:
+            if isinstance(b, int) and b == C0:
+                return a, C0
+            if isinstance(a, int) and a == C0:
+                return b, C0
+            g = ops.add_model(self.nl, HALF_ADDER)
+            ops.add_to_node(self.nl, g, 0, self.as_node(a))
+            ops.add_to_node(self.nl, g, 1, self.as_node(b))
+            s = self.new_node()
+            c = self.new_node()
+            ops.add_to_node(self.nl, g, 2, s)
+            ops.add_to_node(self.nl, g, 3, c)
+            self.report.gate_count += 1
+            return s, c
+        g = ops.add_model(self.nl, FULL_ADDER)
+        ops.add_to_node(self.nl, g, 0, self.as_node(a))
+        ops.add_to_node(self.nl, g, 1, self.as_node(b))
+        ops.add_to_node(self.nl, g, 2, self.as_node(cin))
+        s = self.new_node()
+        c = self.new_node()
+        ops.add_to_node(self.nl, g, 3, s)
+        ops.add_to_node(self.nl, g, 4, c)
+        self.report.gate_count += 1
+        return s, c
+
+
+# ---------------------------------------------------------------------------
+# bit-vector helpers over Net lists (LSB first)
+# ---------------------------------------------------------------------------
+
+def _const_bits(val: Val) -> List[NetT]:
+    out = []
+    for i in range(val.width):
+        code = val.bit(i)
+        out.append(CX if code >= 2 else code)
+    return out
+
+
+def _resize_bits(bits: List[NetT], width: int, signed: bool) -> List[NetT]:
+    if len(bits) >= width:
+        return bits[:width]
+    fill = bits[-1] if (signed and bits) else C0
+    return bits + [fill] * (width - len(bits))
+
+
+class BitSynth:
+    """Symbolic bit-level executor for one instance scope."""
+
+    def __init__(self, ctx: SynthContext, inst: InstanceState,
+                 sigbits: Dict[str, List[NetT]]):
+        self.ctx = ctx
+        self.inst = inst
+        self.sigbits = sigbits        # signal -> LSB-first nets
+        self._const_ctx = EvalCtx(params=inst.params, signals={},
+                                  functions=inst.functions, inst=inst)
+
+    # -- width helpers -------------------------------------------------------
+    def width_of(self, expr) -> int:
+        return self_width(expr, self._const_ctx_sig())
+
+    def _const_ctx_sig(self) -> EvalCtx:
+        # width queries need signal widths but not values
+        return EvalCtx(params=self.inst.params, signals={},
+                       functions=self.inst.functions, inst=self.inst)
+
+    def try_const(self, expr) -> Optional[Val]:
+        """Evaluate expr if it is constant (params only)."""
+        try:
+            return eval_expr(expr, self._const_ctx)
+        except Exception:
+            return None
+
+    # -- expression lowering ------------------------------------------------
+    def lower(self, expr, env: Dict[str, List[NetT]],
+              ctx_width: Optional[int] = None) -> List[NetT]:
+        op = expr[0]
+        if op == "num":
+            bits = _const_bits(expr[1])
+            if ctx_width and ctx_width > len(bits):
+                bits = _resize_bits(bits, ctx_width, expr[1].signed)
+            return bits
+        if op == "id":
+            name = expr[1]
+            if name in env:
+                bits = list(env[name])
+            elif name in self.inst.params:
+                bits = _const_bits(self.inst.params[name])
+            else:
+                raise CompileError(f"synth: unknown signal {name!r}")
+            signed = (name in self.inst.signals and
+                      self.inst.signals[name].signed)
+            if ctx_width and ctx_width > len(bits):
+                bits = _resize_bits(bits, ctx_width, signed)
+            return bits
+        if op == "index":
+            idx = self.try_const(expr[2])
+            base_bits = self.lower(expr[1], env)
+            if idx is not None and idx.known:
+                i = idx.to_int()
+                return [base_bits[i] if 0 <= i < len(base_bits) else CX]
+            # variable index -> mux tree
+            sel_bits = self.lower(expr[2], env)
+            return [self._mux_select(base_bits, sel_bits)]
+        if op == "slice":
+            hi = self.try_const(expr[2])
+            lo = self.try_const(expr[3])
+            if hi is None or lo is None:
+                raise CompileError("synth: non-constant slice bounds")
+            h, l = hi.to_signed_int(), lo.to_signed_int()
+            if h < l:
+                h, l = l, h
+            base_bits = self.lower(expr[1], env)
+            return [base_bits[i] if 0 <= i < len(base_bits) else CX
+                    for i in range(l, h + 1)]
+        if op == "pslice":
+            base = self.try_const(expr[2])
+            w = self.try_const(expr[3]).to_int()
+            base_bits = self.lower(expr[1], env)
+            if base is not None:
+                b = base.to_signed_int()
+                l = b if expr[4] == "+" else b - w + 1
+                return [base_bits[i] if 0 <= i < len(base_bits) else CX
+                        for i in range(l, l + w)]
+            raise CompileError("synth: variable part-select base")
+        if op == "concat":
+            out: List[NetT] = []
+            for part in reversed(expr[1]):      # LSB last in source
+                out.extend(self.lower(part, env))
+            return out
+        if op == "repl":
+            n = self.try_const(expr[1]).to_int()
+            inner = self.lower(expr[2], env)
+            return inner * n
+        if op == "unary":
+            return self._lower_unary(expr, env, ctx_width)
+        if op == "binary":
+            return self._lower_binary(expr, env, ctx_width)
+        if op == "cond":
+            c = self.reduce_or(self.lower(expr[1], env))
+            w = max(self.width_of(expr), ctx_width or 0)
+            t = _resize_bits(self.lower(expr[2], env, w), w, False)
+            f = _resize_bits(self.lower(expr[3], env, w), w, False)
+            return [self.ctx.g_mux(c, f[i], t[i]) for i in range(w)]
+        if op == "call":
+            return self._lower_call(expr, env, ctx_width)
+        if op == "syscall":
+            v = self.try_const(expr)
+            if v is not None:
+                return _const_bits(v)
+            if expr[1] in ("$signed", "$unsigned"):
+                return self.lower(expr[2][0], env, ctx_width)
+            raise CompileError(f"synth: unsupported syscall {expr[1]}")
+        raise CompileError(f"synth: unsupported expr {op}")
+
+    def _mux_select(self, bits: List[NetT], sel: List[NetT]) -> NetT:
+        cur = list(bits)
+        for k, s in enumerate(sel):
+            if len(cur) <= 1:
+                break
+            nxt = []
+            for i in range(0, len(cur), 2):
+                a = cur[i]
+                b = cur[i + 1] if i + 1 < len(cur) else CX
+                nxt.append(self.ctx.g_mux(s, a, b))
+            cur = nxt
+        return cur[0] if cur else CX
+
+    def reduce_or(self, bits: List[NetT]) -> NetT:
+        acc: NetT = C0
+        for b in bits:
+            acc = self.ctx.g_or(acc, b)
+        return acc
+
+    def reduce_and(self, bits: List[NetT]) -> NetT:
+        acc: NetT = C1
+        for b in bits:
+            acc = self.ctx.g_and(acc, b)
+        return acc
+
+    def reduce_xor(self, bits: List[NetT]) -> NetT:
+        acc: NetT = C0
+        for b in bits:
+            acc = self.ctx.g_xor(acc, b)
+        return acc
+
+    def _lower_unary(self, expr, env, ctx_width):
+        o = expr[1]
+        if o == "~":
+            bits = self.lower(expr[2], env, ctx_width)
+            return [self.ctx.g_not(b) for b in bits]
+        if o == "!":
+            return [self.ctx.g_not(self.reduce_or(
+                self.lower(expr[2], env)))]
+        if o == "&":
+            return [self.reduce_and(self.lower(expr[2], env))]
+        if o == "|":
+            return [self.reduce_or(self.lower(expr[2], env))]
+        if o == "^":
+            return [self.reduce_xor(self.lower(expr[2], env))]
+        if o == "~&":
+            return [self.ctx.g_not(self.reduce_and(
+                self.lower(expr[2], env)))]
+        if o == "~|":
+            return [self.ctx.g_not(self.reduce_or(
+                self.lower(expr[2], env)))]
+        if o in ("~^", "^~"):
+            return [self.ctx.g_not(self.reduce_xor(
+                self.lower(expr[2], env)))]
+        if o == "+":
+            return self.lower(expr[2], env, ctx_width)
+        if o == "-":
+            bits = self.lower(expr[2], env, ctx_width)
+            return self._negate(bits)
+        raise CompileError(f"synth: unary {o}")
+
+    def _negate(self, bits: List[NetT]) -> List[NetT]:
+        inv = [self.ctx.g_not(b) for b in bits]
+        out = []
+        carry: NetT = C1
+        for b in inv:
+            s, carry = self.ctx.full_add(b, C0, carry)
+            out.append(s)
+        return out
+
+    def _lower_binary(self, expr, env, ctx_width):
+        o = expr[1]
+        ctx = self._const_ctx_sig()
+        if o in ("+", "-", "&", "|", "^", "~^", "^~", "*"):
+            w = max(self.width_of(expr), ctx_width or 0)
+            a = _resize_bits(self.lower(expr[2], env, w), w, False)
+            b = _resize_bits(self.lower(expr[3], env, w), w, False)
+            if o == "&":
+                return [self.ctx.g_and(x, y) for x, y in zip(a, b)]
+            if o == "|":
+                return [self.ctx.g_or(x, y) for x, y in zip(a, b)]
+            if o == "^":
+                return [self.ctx.g_xor(x, y) for x, y in zip(a, b)]
+            if o in ("~^", "^~"):
+                return [self.ctx.g_xnor(x, y) for x, y in zip(a, b)]
+            if o == "+":
+                return self._add(a, b, w)
+            if o == "-":
+                return self._add(a, [self.ctx.g_not(x) for x in b], w,
+                                 cin=C1)
+            if o == "*":
+                return self._mul(a, b, w)
+        if o in ("==", "!="):
+            a = self.lower(expr[2], env)
+            b = self.lower(expr[3], env)
+            w = max(len(a), len(b))
+            a = _resize_bits(a, w, False)
+            b = _resize_bits(b, w, False)
+            eqs = [self.ctx.g_xnor(x, y) for x, y in zip(a, b)]
+            eq = self.reduce_and(eqs)
+            return [eq if o == "==" else self.ctx.g_not(eq)]
+        if o in ("<", "<=", ">", ">="):
+            a = self.lower(expr[2], env)
+            b = self.lower(expr[3], env)
+            w = max(len(a), len(b))
+            a = _resize_bits(a, w, False)
+            b = _resize_bits(b, w, False)
+            # a - b: borrow out means a < b (unsigned)
+            nb = [self.ctx.g_not(x) for x in b]
+            carry: NetT = C1
+            diff = []
+            for x, y in zip(a, nb):
+                s, carry = self.ctx.full_add(x, y, carry)
+                diff.append(s)
+            ge = carry                       # no borrow -> a >= b
+            lt = self.ctx.g_not(ge)
+            eq = self.reduce_and(
+                [self.ctx.g_xnor(x, y) for x, y in zip(a, b)])
+            if o == "<":
+                return [lt]
+            if o == ">=":
+                return [ge]
+            if o == ">":
+                return [self.ctx.g_and(ge, self.ctx.g_not(eq))]
+            return [self.ctx.g_or(lt, eq)]
+        if o in ("&&", "||"):
+            a = self.reduce_or(self.lower(expr[2], env))
+            b = self.reduce_or(self.lower(expr[3], env))
+            return [self.ctx.g_and(a, b) if o == "&&"
+                    else self.ctx.g_or(a, b)]
+        if o in ("<<", ">>", "<<<", ">>>"):
+            w = max(self.width_of(expr[2], ) if False else
+                    self_width(expr[2], ctx), ctx_width or 0)
+            a = _resize_bits(self.lower(expr[2], env, w), w, False)
+            shv = self.try_const(expr[3])
+            signed = False
+            if expr[2][0] == "id" and expr[2][1] in self.inst.signals:
+                signed = self.inst.signals[expr[2][1]].signed
+            fill_left = a[-1] if (o == ">>>" and signed) else C0
+            if shv is not None and shv.known:
+                sh = shv.to_int()
+                if o == "<<" or o == "<<<":
+                    return ([C0] * min(sh, w) + a)[:w]
+                shifted = a[sh:] if sh < w else []
+                return shifted + [fill_left] * (w - len(shifted))
+            sel = self.lower(expr[3], env)
+            cur = a
+            for k, s in enumerate(sel):
+                amt = 1 << k
+                if amt >= 2 * w:
+                    break
+                if o in ("<<", "<<<"):
+                    shifted = ([C0] * min(amt, w) + cur)[:w]
+                else:
+                    shifted = cur[amt:] + [fill_left] * min(amt, w)
+                cur = [self.ctx.g_mux(s, cur[i], shifted[i])
+                       for i in range(w)]
+            return cur
+        raise CompileError(f"synth: binary {o}")
+
+    def _add(self, a: List[NetT], b: List[NetT], w: int,
+             cin: NetT = C0) -> List[NetT]:
+        out = []
+        carry = cin
+        for x, y in zip(a, b):
+            s, carry = self.ctx.full_add(x, y, carry)
+            out.append(s)
+        return out[:w]
+
+    def _mul(self, a: List[NetT], b: List[NetT], w: int) -> List[NetT]:
+        acc: List[NetT] = [C0] * w
+        for i, bi in enumerate(b):
+            if bi is C0 or i >= w:
+                continue
+            part = [C0] * i + [self.ctx.g_and(x, bi) for x in a[:w - i]]
+            acc = self._add(acc, _resize_bits(part, w, False), w)
+        return acc
+
+    def _lower_call(self, expr, env, ctx_width):
+        f = self.inst.functions.get(expr[1])
+        if f is None:
+            raise CompileError(f"synth: unknown function {expr[1]}")
+        # inline: bind args symbolically and execute the body
+        local_env = dict(env)
+        cctx = self._const_ctx
+        for decl, a in zip(f.args, expr[2]):
+            w = 1
+            if decl.msb is not None:
+                hi = eval_expr(decl.msb, cctx).to_signed_int()
+                lo = eval_expr(decl.lsb, cctx).to_signed_int()
+                w = abs(hi - lo) + 1
+            local_env[decl.name] = _resize_bits(
+                self.lower(a, env, w), w, False)
+        rw = 1
+        if f.ret.msb is not None:
+            hi = eval_expr(f.ret.msb, cctx).to_signed_int()
+            lo = eval_expr(f.ret.lsb, cctx).to_signed_int()
+            rw = abs(hi - lo) + 1
+        local_env[f.name] = [CX] * rw
+        for lname, ldecl in f.locals.items():
+            w = 1
+            if ldecl.msb is not None:
+                hi = eval_expr(ldecl.msb, cctx).to_signed_int()
+                lo = eval_expr(ldecl.lsb, cctx).to_signed_int()
+                w = abs(hi - lo) + 1
+            local_env[lname] = [CX] * w
+        self.exec_stmt(f.body, local_env, None)
+        return local_env[f.name]
+
+    # -- symbolic statement execution ---------------------------------------
+    def exec_stmt(self, stmt, env: Dict[str, List[NetT]],
+                  nba: Optional[Dict[str, List[NetT]]]):
+        if stmt is None:
+            return
+        op = stmt[0]
+        if op == "block":
+            for s in stmt[1]:
+                self.exec_stmt(s, env, nba)
+            return
+        if op == "blocking":
+            self._assign(stmt[1], stmt[2], env, env)
+            return
+        if op == "nonblocking":
+            tgt = nba if nba is not None else env
+            self._assign(stmt[1], stmt[2], env, tgt)
+            return
+        if op == "if":
+            cval = self.try_const(stmt[1])
+            if cval is not None and cval.known:
+                self.exec_stmt(stmt[2] if cval.to_int() else stmt[3],
+                               env, nba)
+                return
+            c = self.reduce_or(self.lower(stmt[1], env))
+            env_t = dict(env)
+            nba_t = dict(nba) if nba is not None else None
+            env_f = dict(env)
+            nba_f = dict(nba) if nba is not None else None
+            self.exec_stmt(stmt[2], env_t, nba_t)
+            self.exec_stmt(stmt[3], env_f, nba_f)
+            self._merge(c, env, env_f, env_t, env_f, env_t)
+            if nba is not None:
+                # a branch with no pending NBA for a signal holds the
+                # signal's current value (FF reload) in that branch
+                self._merge(c, nba, nba_f, nba_t, env_f, env_t)
+            return
+        if op == "case":
+            self._exec_case(stmt, env, nba)
+            return
+        if op == "for":
+            # constant unroll using the behavioral evaluator for the
+            # loop variable (pe_synth.h loop_unroll_limit analogue)
+            self._exec_for(stmt, env, nba)
+            return
+        if op == "systask":
+            return
+        if op == "delay":
+            # #N -> TICK_DELAY chain is applied at the assign level in a
+            # later pass; for now execute the body directly
+            self.exec_stmt(stmt[2], env, nba)
+            return
+        raise CompileError(f"synth: unsupported statement {op}")
+
+    def _exec_for(self, stmt, env, nba):
+        init, cond, step, body = stmt[1], stmt[2], stmt[3], stmt[4]
+        if init[0] != "blocking" or init[1][0] != "id":
+            raise CompileError("synth: for-loop needs constant control")
+        var = init[1][1]
+        cctx = EvalCtx(params=dict(self.inst.params), signals={},
+                       functions=self.inst.functions, inst=self.inst)
+        cctx.params[var] = eval_expr(init[2], cctx)
+        count = 0
+        while True:
+            c = eval_expr(cond, cctx)
+            if not c.to_int():
+                break
+            # expose the loop var as a constant to the body
+            saved = self.inst.params.get(var)
+            self.inst.params[var] = cctx.params[var]
+            self.exec_stmt(body, env, nba)
+            if saved is None:
+                self.inst.params.pop(var, None)
+            else:
+                self.inst.params[var] = saved
+            cctx.params[var] = eval_expr(step[2], cctx)
+            count += 1
+            if count > self.ctx.opt.loop_unroll_limit:
+                raise CompileError("synth: loop unroll limit exceeded")
+
+    def _exec_case(self, stmt, env, nba):
+        kind, sel_expr, items, default = stmt[1], stmt[2], stmt[3], stmt[4]
+        sel = self.lower(sel_expr, env)
+        # build (match_net, body) list then mux from default upward
+        branches = []
+        for pats, body in items:
+            conds = []
+            for p in pats:
+                pv = self.try_const(p)
+                if pv is None:
+                    pbits = self.lower(p, env)
+                    w = max(len(sel), len(pbits))
+                    a = _resize_bits(sel, w, False)
+                    b = _resize_bits(pbits, w, False)
+                    conds.append(self.reduce_and(
+                        [self.ctx.g_xnor(x, y) for x, y in zip(a, b)]))
+                else:
+                    w = max(len(sel), pv.width)
+                    a = _resize_bits(sel, w, False)
+                    eqs = []
+                    for i in range(w):
+                        code = pv.bit(i)
+                        if kind in ("casez", "casex") and code == 3:
+                            continue          # z wildcard
+                        if kind == "casex" and code == 2:
+                            continue          # x wildcard
+                        if code == 1:
+                            eqs.append(a[i])
+                        elif code == 0:
+                            eqs.append(self.ctx.g_not(a[i]))
+                        else:
+                            eqs.append(CX)
+                    conds.append(self.reduce_and(eqs) if eqs else C1)
+            m = conds[0]
+            for c2 in conds[1:]:
+                m = self.ctx.g_or(m, c2)
+            branches.append((m, body))
+        # evaluate in priority order: default env, then later items win
+        env_acc = dict(env)
+        nba_acc = dict(nba) if nba is not None else None
+        self.exec_stmt(default, env_acc, nba_acc)
+        for m, body in reversed(branches):
+            env_t = dict(env)
+            nba_t = dict(nba) if nba is not None else None
+            self.exec_stmt(body, env_t, nba_t)
+            self._merge(m, env_acc, dict(env_acc), env_t, env_acc, env_t)
+            if nba is not None:
+                self._merge(m, nba_acc, dict(nba_acc), nba_t,
+                            env_acc, env_t)
+        env.clear()
+        env.update(env_acc)
+        if nba is not None:
+            nba.clear()
+            nba.update(nba_acc)
+        return
+
+    def _assign(self, lhs, rhs, read_env, write_env):
+        if lhs[0] == "id":
+            name = lhs[1]
+            w = len(read_env.get(name, [])) or self.width_of(lhs)
+            bits = _resize_bits(self.lower(rhs, read_env, w), w, False)
+            write_env[name] = bits
+            return
+        if lhs[0] == "index":
+            idx = self.try_const(lhs[2])
+            name = lhs[1][1]
+            cur = list(write_env.get(name, read_env.get(name, [])))
+            val = self.lower(rhs, read_env, 1)
+            if idx is not None and idx.known:
+                i = idx.to_int()
+                if 0 <= i < len(cur):
+                    cur[i] = val[0]
+                write_env[name] = cur
+                return
+            sel = self.lower(lhs[2], read_env)
+            # demux write: bit i = (sel==i) ? val : old
+            for i in range(len(cur)):
+                m = self._index_match(sel, i)
+                cur[i] = self.ctx.g_mux(m, cur[i], val[0])
+            write_env[name] = cur
+            return
+        if lhs[0] == "slice":
+            hi = self.try_const(lhs[2]).to_signed_int()
+            lo = self.try_const(lhs[3]).to_signed_int()
+            if hi < lo:
+                hi, lo = lo, hi
+            name = lhs[1][1]
+            cur = list(write_env.get(name, read_env.get(name, [])))
+            bits = _resize_bits(self.lower(rhs, read_env, hi - lo + 1),
+                                hi - lo + 1, False)
+            for k, i in enumerate(range(lo, hi + 1)):
+                if 0 <= i < len(cur):
+                    cur[i] = bits[k]
+            write_env[name] = cur
+            return
+        if lhs[0] == "concat":
+            parts = lhs[1]
+            widths = [self.width_of(p) for p in parts]
+            total = sum(widths)
+            bits = _resize_bits(self.lower(rhs, read_env, total), total,
+                                False)
+            pos = total
+            for p, w in zip(parts, widths):
+                pos -= w
+                self._assign_bits(p, bits[pos:pos + w], read_env,
+                                  write_env)
+            return
+        raise CompileError(f"synth: unsupported lvalue {lhs[0]}")
+
+    def _assign_bits(self, lhs, bits, read_env, write_env):
+        if lhs[0] == "id":
+            name = lhs[1]
+            w = len(read_env.get(name, [])) or self.width_of(lhs)
+            write_env[name] = _resize_bits(bits, w, False)
+            return
+        raise CompileError("synth: complex concat lvalue element")
+
+    def _index_match(self, sel: List[NetT], i: int) -> NetT:
+        terms = []
+        for k, s in enumerate(sel):
+            want = (i >> k) & 1
+            terms.append(s if want else self.ctx.g_not(s))
+        return self.reduce_and(terms)
+
+    def _merge(self, c: NetT, out_env, env_f, env_t,
+               fb_f=None, fb_t=None):
+        """out = c ? env_t[k] : env_f[k]; a missing key falls back to the
+        same branch's signal value (hold), never the other branch's."""
+        keys = set(env_f) | set(env_t)
+        for k in keys:
+            f = env_f.get(k)
+            t = env_t.get(k)
+            if f is None:
+                f = (fb_f or {}).get(k, self.sigbits.get(k))
+            if t is None:
+                t = (fb_t or {}).get(k, self.sigbits.get(k))
+            if f is None or t is None:
+                out_env[k] = list(t if f is None else f)
+                continue
+            if f is t or f == t:
+                out_env[k] = list(t)
+                continue
+            w = max(len(f), len(t))
+            fb = _resize_bits(list(f), w, False)
+            tb = _resize_bits(list(t), w, False)
+            out_env[k] = [self.ctx.g_mux(c, fb[i], tb[i])
+                          for i in range(w)]
+
+
+# ---------------------------------------------------------------------------
+# top-level synthesis
+# ---------------------------------------------------------------------------
+
+def synthesize_to_netlist(nl: Netlist, design, top_inst: InstanceState,
+                          port_nets: Dict[str, List[Node]],
+                          options: Optional[SynthOptions] = None
+                          ) -> SynthReport:
+    """Lower an elaborated instance tree into gate models in `nl`.
+
+    ``port_nets``: top port name -> list of Nodes (LSB first; a single
+    Node is accepted for 1-bit ports).
+    """
+    opt = options or SynthOptions()
+    ctx = SynthContext(nl, opt)
+    _synth_instance(ctx, top_inst, port_nets)
+    return ctx.report
+
+
+def _signal_nodes(ctx: SynthContext, inst: InstanceState,
+                  port_nets: Dict[str, List[Node]]
+                  ) -> Dict[str, List[NetT]]:
+    sigbits: Dict[str, List[NetT]] = {}
+    for name, sig in inst.signals.items():
+        if sig.array_len:
+            raise CompileError(
+                f"synth: memories not supported yet ({name})")
+        if name in port_nets:
+            nets = port_nets[name]
+            if isinstance(nets, Node):
+                nets = [nets]
+            if len(nets) != sig.width:
+                raise CompileError(
+                    f"synth: port {name} width {sig.width} got "
+                    f"{len(nets)} nets")
+            sigbits[name] = list(nets)
+        else:
+            sigbits[name] = [ctx.new_node() for _ in range(sig.width)]
+    return sigbits
+
+
+def _synth_instance(ctx: SynthContext, inst: InstanceState,
+                    port_nets: Dict[str, List[Node]]):
+    sigbits = _signal_nodes(ctx, inst, port_nets)
+    bs = BitSynth(ctx, inst, sigbits)
+
+    # continuous assigns: drive the target nodes
+    for lhs, rhs in inst.assigns:
+        w = bs.width_of(lhs)
+        bits = _resize_bits(bs.lower(rhs, sigbits, w), w, False)
+        _drive_lvalue(ctx, bs, lhs, bits, sigbits)
+
+    # always blocks
+    for ab in inst.always_blocks:
+        if ab.sensitivity is not None and any(
+                e in ("pos", "neg") for e, _ in ab.sensitivity):
+            _synth_ff_block(ctx, bs, ab, sigbits)
+        else:
+            _synth_comb_block(ctx, bs, ab, sigbits)
+
+    # children
+    for child in inst.children:
+        child_ports: Dict[str, List[Node]] = {}
+        for b in child.bindings:
+            sig = child.signals[b.port]
+            if b.direction == "input":
+                bits = _resize_bits(
+                    bs.lower(b.expr, sigbits, sig.width), sig.width, False)
+                child_ports[b.port] = [ctx.as_node(x) for x in bits]
+            else:
+                # output: child drives parent lvalue nets
+                nets = _lvalue_nodes(ctx, bs, b.expr, sigbits, sig.width)
+                child_ports[b.port] = nets
+        _synth_instance(ctx, child, child_ports)
+
+
+def _lvalue_nodes(ctx: SynthContext, bs: BitSynth, lhs,
+                  sigbits, width: int) -> List[Node]:
+    """Nets for an output-port connection target."""
+    if lhs[0] == "id":
+        nets = sigbits[lhs[1]]
+        return [ctx.as_node(x) for x in _resize_bits(nets, width, False)]
+    if lhs[0] == "slice":
+        hi = bs.try_const(lhs[2]).to_signed_int()
+        lo = bs.try_const(lhs[3]).to_signed_int()
+        if hi < lo:
+            hi, lo = lo, hi
+        nets = sigbits[lhs[1][1]]
+        return [ctx.as_node(nets[i]) for i in range(lo, hi + 1)]
+    if lhs[0] == "index":
+        i = bs.try_const(lhs[2]).to_int()
+        nets = sigbits[lhs[1][1]]
+        return [ctx.as_node(nets[i])]
+    if lhs[0] == "concat":
+        out = []
+        for p in reversed(lhs[1]):
+            out.extend(_lvalue_nodes(ctx, bs, p, sigbits,
+                                     bs.width_of(p)))
+        return out
+    raise CompileError("synth: unsupported output port target")
+
+
+def _drive_lvalue(ctx: SynthContext, bs: BitSynth, lhs,
+                  bits: List[NetT], sigbits):
+    nodes = _lvalue_nodes(ctx, bs, lhs, sigbits, len(bits))
+    for n, b in zip(nodes, bits):
+        ctx.buf(b, n)
+
+
+def _synth_comb_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
+    """always_comb / always @*: feedback-style lowering — targets read
+    their own output nets, so incomplete assignment becomes a latch loop
+    handled by the digital engine's fixpoint group."""
+    env = {k: list(v) for k, v in sigbits.items()}
+    bs.exec_stmt(ab.body, env, None)
+    for name, bits in env.items():
+        if name not in sigbits:
+            continue
+        old = sigbits[name]
+        if bits == old:
+            continue
+        for n, b in zip(old, bits):
+            if b is not n:
+                ctx.buf(b, ctx.as_node(n))
+
+
+def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
+    """always @(posedge clk [or negedge rst]) -> DFF / DFF_ARSTN."""
+    clk_expr = None
+    rst_edges = []
+    for edge, x in ab.sensitivity:
+        if edge == "pos" and clk_expr is None:
+            clk_expr = x
+        else:
+            rst_edges.append((edge, x))
+    body = ab.body
+    reset_cond = None
+    reset_stmt = None
+    main_stmt = body
+    # async-reset pattern: if (<rst cond>) ... else ...
+    if rst_edges and body is not None:
+        b = body
+        if b[0] == "block" and len(b[1]) == 1:
+            b = b[1][0]
+        if b[0] == "if":
+            reset_cond, reset_stmt, main_stmt = b[1], b[2], b[3]
+    if clk_expr is None:
+        # e.g. negedge-clocked FF: invert the clock
+        edge, x = rst_edges.pop(0)
+        clk_bits = bs.lower(x, sigbits)
+        clk_net = ctx.g_not(clk_bits[0])
+    else:
+        clk_net = bs.lower(clk_expr, sigbits)[0]
+    clk_node = ctx.as_node(clk_net)
+
+    # symbolic next-state
+    env = {k: list(v) for k, v in sigbits.items()}
+    nba: Dict[str, List[NetT]] = {}
+    bs.exec_stmt(main_stmt if reset_cond is not None else body, env, nba)
+    # blocking assigns to state regs inside always_ff count as state too
+    targets = dict(nba)
+    for name, bits in env.items():
+        if name in sigbits and bits != sigbits[name] and name not in targets:
+            targets[name] = bits
+
+    # reset values
+    reset_vals: Dict[str, List[int]] = {}
+    arst_net = None
+    if reset_cond is not None:
+        renv = {k: list(v) for k, v in sigbits.items()}
+        rnba: Dict[str, List[NetT]] = {}
+        bs.exec_stmt(reset_stmt, renv, rnba)
+        for name, bits in rnba.items():
+            if all(isinstance(x, int) for x in bits):
+                reset_vals[name] = bits
+        # reset condition -> active-low arst_n net
+        c = bs.lower(reset_cond, sigbits)
+        cond_net = bs.reduce_or(c)
+        arst_net = ctx.as_node(ctx.g_not(cond_net))
+
+    for name, bits in targets.items():
+        if name not in sigbits:
+            continue
+        q_nodes = sigbits[name]
+        rv = reset_vals.get(name)
+        for i, (d_net, q_net) in enumerate(zip(bits, q_nodes)):
+            q_node = ctx.as_node(q_net)
+            if arst_net is not None and rv is not None:
+                rbit = rv[i] if i < len(rv) else 0
+                if rbit == 1:
+                    # reset-to-1: store inverted (DFF_ARSTN resets to 0)
+                    d_inv = ctx.g_not(d_net)
+                    ff = ops.add_model(ctx.nl, D_FF_ARSTN)
+                    ops.add_to_node(ctx.nl, ff, 0, ctx.as_node(d_inv))
+                    ops.add_to_node(ctx.nl, ff, 1, clk_node)
+                    ops.add_to_node(ctx.nl, ff, 2, arst_net)
+                    qi = ctx.new_node()
+                    ops.add_to_node(ctx.nl, ff, 3, qi)
+                    ctx.g_not(qi, out=q_node)
+                else:
+                    ff = ops.add_model(ctx.nl, D_FF_ARSTN)
+                    ops.add_to_node(ctx.nl, ff, 0, ctx.as_node(d_net))
+                    ops.add_to_node(ctx.nl, ff, 1, clk_node)
+                    ops.add_to_node(ctx.nl, ff, 2, arst_net)
+                    ops.add_to_node(ctx.nl, ff, 3, q_node)
+            else:
+                ff = ops.add_model(ctx.nl, D_FF)
+                ops.add_to_node(ctx.nl, ff, 0, ctx.as_node(d_net))
+                ops.add_to_node(ctx.nl, ff, 1, clk_node)
+                ops.add_to_node(ctx.nl, ff, 2, q_node)
+            ctx.report.ff_count += 1
