@@ -500,11 +500,74 @@ class DigitalEngine:
                 jnp.asarray(np.array(vs, np.uint32)),
                 jnp.asarray(np.array(us, np.uint32)))
 
+    def _samp_map(self):
+        """sig -> (analog node index, ll, hl) for threshold-sampled nets."""
+        if not hasattr(self, "_smap"):
+            self._smap = {int(s): (int(n), float(ll), float(hl))
+                          for s, n, ll, hl in zip(
+                              self.ir.samp_sig, self.ir.samp_node,
+                              self.ir.samp_ll, self.ir.samp_hl)}
+        return self._smap
+
+    def _run_vmods(self, analog_v: np.ndarray, forced=None):
+        """Host pre-pass: run embedded Verilog modules one behavioral
+        tick (verilog_module.h:212-303) and return their outputs as
+        forced-signal triples.  INPUT devices conceptually run first in
+        the before-phase, so their forced values overlay the snapshot
+        the module samples."""
+        from ..verilog.simulate import simulate as bsim
+        from ..verilog.fourstate import Val
+        sigs, vs, us = [], [], []
+        sv = np.asarray(self.sv).copy()
+        su = np.asarray(self.su).copy()
+        if forced is not None:
+            f_sig, f_v, f_u = forced
+            sv[np.asarray(f_sig)] = np.asarray(f_v)
+            su[np.asarray(f_sig)] = np.asarray(f_u)
+        smap = self._samp_map()
+        for inst, in_ports, in_sigs, out_ports, out_sigs in self.ir.vmods:
+            rt = inst.runtime["rt"]
+            inst.runtime["tick"] += 1
+            tick = inst.runtime["tick"]
+            for pname, sig in zip(in_ports, in_sigs):
+                if sig in smap:
+                    nidx, ll, hl = smap[sig]
+                    volt = analog_v[nidx] if 0 <= nidx < len(analog_v) \
+                        else 0.0
+                    code = 1 if volt >= hl else (0 if volt <= ll else 2)
+                else:
+                    code = int((sv[sig] & 1) | ((su[sig] & 1) << 1))
+                w = rt.values[pname].width
+                if code == 0:
+                    rt.values[pname] = Val.from_int(0, w)
+                elif code == 1:
+                    rt.values[pname] = Val.from_int(1, w)
+                else:
+                    rt.values[pname] = Val.all_x(w)
+            bsim(rt, tick)
+            for pname, sig in zip(out_ports, out_sigs):
+                val = rt.values[pname]
+                code = val.bit(0)
+                sigs.append(sig)
+                vs.append(0xFFFFFFFF if (code & 1) else 0)
+                us.append(0xFFFFFFFF if (code & 2) else 0)
+        return sigs, vs, us
+
     def tick(self, analog_v: np.ndarray):
         """One digital_clk(); returns drive dict (or None)."""
         if self.ir is None:
             return None
         fs, fv, fu = self._forced_arrays()
+        if self.ir.vmods:
+            vsig, vv, vu = self._run_vmods(np.asarray(analog_v),
+                                           (fs, fv, fu))
+            if vsig:
+                fs = jnp.concatenate([fs, jnp.asarray(
+                    np.array(vsig, np.int32))])
+                fv = jnp.concatenate([fv, jnp.asarray(
+                    np.array(vv, np.uint32))])
+                fu = jnp.concatenate([fu, jnp.asarray(
+                    np.array(vu, np.uint32))])
         av = jnp.asarray(analog_v, jnp.float64)
         self.sv, self.su, self.seq_state, drives = self._tick_jit(
             self.sv, self.su, self.seq_state, fs, fv, fu, av)

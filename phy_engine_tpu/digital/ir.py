@@ -79,6 +79,9 @@ class DigitalIR:
     drv_hl: np.ndarray
     node_sig: Dict[int, int]             # id(Node) -> signal
     cyclic_budget: int = 64
+    # VERILOG_MODULE host devices: (inst, in_ports, in_sigs, out_ports,
+    # out_sigs)
+    vmods: List[Tuple] = field(default_factory=list)
 
 
 def lower_digital(nl: Netlist) -> Optional[DigitalIR]:
@@ -143,9 +146,24 @@ def lower_digital(nl: Netlist) -> Optional[DigitalIR]:
     seq_records = []
     io_in, io_out = [], []
     tick_records = []
+    vmods = []             # VERILOG_MODULE host devices
 
     for inst in dmods:
         op = inst.mdef.digital_op
+        if op == "VERILOG":
+            # one pin per top port; direction from the compiled module
+            ports = inst.params.get("_ports", [])
+            in_ports, in_sigs_l, out_ports, out_sigs_l = [], [], [], []
+            for pi, (pname, pdir, _w) in enumerate(ports):
+                if pdir in ("input", "inout", None):
+                    in_ports.append(pname)
+                    in_sigs_l.append(in_sig(inst, pi))
+                if pdir in ("output", "inout"):
+                    out_ports.append(pname)
+                    out_sigs_l.append(out_sig(inst, pi))
+            vmods.append((inst, in_ports, in_sigs_l, out_ports,
+                          out_sigs_l))
+            continue
         ins = [in_sig(inst, i) for i in inst.mdef.din_pins]
         outs = [out_sig(inst, i) for i in inst.mdef.dout_pins]
         if op in ("INPUT", "INPUT8"):
@@ -271,6 +289,7 @@ def lower_digital(nl: Netlist) -> Optional[DigitalIR]:
     ir = DigitalIR(
         n_signals=n_signals, levels=levels, cyclic=cyclic, seq=seq,
         inputs=io_in, outputs=io_out, tick_delays=tick_seg,
+        vmods=vmods,
         samp_sig=samp_sig, samp_node=np.zeros(ns, np.int32),
         samp_ll=samp_ll, samp_hl=samp_hl,
         drv_sig=drv_sig, drv_node=np.zeros(nd, np.int32),

@@ -109,14 +109,31 @@ class Circuit:
             self._ir.version = self.nl.version
             if self._digital is not None:
                 self._digital.bind(self._ir.n_nodes)
-            self._x = analog.initial_x(self._ir, self.dtype)
-            # seed from node voltages (supports warm restart after load)
-            if any(abs(n.voltage) > 0 for n in self._ir.node_list):
-                x = np.zeros(self._ir.n_unknowns)
-                for i, node in enumerate(self._ir.node_list):
-                    x[i] = node.voltage.real
-                self._x = jnp.asarray(x, self.dtype)
-            self._states = analog.initial_state(self._ir, self.dtype)
+            # seed solution vector from node voltages + branch currents
+            # (warm restart / checkpoint resume)
+            x = np.zeros(self._ir.n_unknowns)
+            warm = False
+            for i, node in enumerate(self._ir.node_list):
+                x[i] = node.voltage.real
+                warm = warm or node.voltage.real != 0.0
+            for fam in self._ir.families:
+                for inst in fam.instances:
+                    for br in inst.branches:
+                        if br.index >= 0 and br.current.real != 0.0:
+                            x[br.index] = br.current.real
+                            warm = True
+            self._x = jnp.asarray(x, self.dtype) if warm else \
+                analog.initial_x(self._ir, self.dtype)
+            # seed device state from restored runtime (checkpoint resume)
+            st = analog.initial_state(self._ir, self.dtype)
+            for fam in self._ir.families:
+                key = fam.mdef.id_name
+                for i, inst in enumerate(fam.instances):
+                    for sname in st.get(key, {}):
+                        if sname in inst.runtime:
+                            st[key][sname] = st[key][sname].at[i].set(
+                                float(inst.runtime[sname]))
+            self._states = st
             self._drives = None
         return self._ir
 

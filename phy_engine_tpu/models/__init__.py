@@ -13,6 +13,7 @@ from .digital_gates import (AND, OR, NOT, YES, XOR, XNOR, NAND, NOR, IMP,
                             HALF_ADDER, FULL_ADDER, HALF_SUBTRACTOR,
                             FULL_SUBTRACTOR, MUL2, COUNTER4,
                             RANDOM_GENERATOR4)
+from .verilog_module import VERILOG_MODULE, make_verilog_module
 
 __all__ = [n for n in dir() if n.isupper()] + [
     "ModelDef", "DeviceClass", "UpdatePhase", "register",
