@@ -1,0 +1,114 @@
+"""verilog2penl: Verilog -> PE netlist file.
+
+CLI parity with ``src/verilog2penl.cpp:64-120``:
+
+    verilog2penl OUT.penl IN.v [--top NAME] [--module | --synth]
+                 [-O0..-O5|-Omax] [--time] [--report]
+                 [--loop-unroll N]
+
+``--module`` embeds the design as a VERILOG_MODULE device (event-driven
+runtime); ``--synth`` (default) lowers to primitive gates.  Optimization
+levels above O0 currently run the O0 pipeline (the optimization passes
+land in a later milestone) — the flags are accepted for compatibility.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def make_resolver(base_dir: str):
+    def resolve(name: str):
+        p = os.path.join(base_dir, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return f.read()
+        return None
+    return resolve
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="verilog2penl", description=__doc__)
+    ap.add_argument("output")
+    ap.add_argument("input")
+    ap.add_argument("--top", default=None)
+    ap.add_argument("--module", action="store_true",
+                    help="embed as VERILOG_MODULE instead of synthesizing")
+    ap.add_argument("--synth", action="store_true", default=True)
+    for lvl in range(6):
+        ap.add_argument(f"-O{lvl}", dest="opt_level", action="store_const",
+                        const=lvl)
+    ap.add_argument("-Omax", dest="opt_level", action="store_const",
+                    const=5)
+    ap.add_argument("--loop-unroll", type=int, default=4096)
+    ap.add_argument("--time", dest="timing", action="store_true")
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args(argv)
+
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.io import save
+
+    t0 = time.perf_counter()
+    with open(args.input) as f:
+        src = f.read()
+    resolver = make_resolver(os.path.dirname(os.path.abspath(args.input)))
+
+    nl = pe.Netlist()
+    if args.module:
+        from phy_engine_tpu.models import make_verilog_module, INPUT, OUTPUT
+        vm = make_verilog_module(src, top=args.top,
+                                 include_resolver=resolver)
+        netops.add_model(nl, vm)
+        ports = vm.params["_ports"]
+        for pi, (pname, pdir, _w) in enumerate(ports):
+            node = netops.create_node(nl, pname)
+            netops.add_to_node(nl, vm, pi, node)
+            io = OUTPUT if pdir == "output" else INPUT
+            m = netops.add_model(nl, io, name=pname)
+            netops.add_to_node(nl, m, 0, node)
+        report = None
+    else:
+        from phy_engine_tpu.verilog import (compile_source, build_design,
+                                            elaborate, find_module)
+        from phy_engine_tpu.verilog.preprocess import PreprocessOptions
+        from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                                  SynthOptions)
+        from phy_engine_tpu.models import INPUT, OUTPUT
+        mods = compile_source(src, PreprocessOptions(
+            include_resolver=resolver))
+        design = build_design(mods)
+        topm = find_module(design, args.top) if args.top else mods[-1]
+        inst = elaborate(design, topm)
+        port_nets = {}
+        for pname in topm.ports:
+            sig = inst.signals[pname]
+            nets = [netops.create_node(nl, f"{pname}[{i}]")
+                    for i in range(sig.width)]
+            port_nets[pname] = nets
+            io = OUTPUT if sig.decl.direction == "output" else INPUT
+            for i, n in enumerate(nets):
+                m = netops.add_model(nl, io, name=f"{pname}[{i}]")
+                netops.add_to_node(nl, m, 0, n)
+        report = synthesize_to_netlist(
+            nl, design, inst, port_nets,
+            SynthOptions(opt_level=args.opt_level or 0,
+                         loop_unroll_limit=args.loop_unroll))
+
+    save(args.output, nl)
+    dt = time.perf_counter() - t0
+    if args.report and report is not None:
+        print(f"gates: {report.gate_count}  ffs: {report.ff_count}",
+              file=sys.stderr)
+        for w in report.warnings:
+            print(f"warning: {w}", file=sys.stderr)
+    if args.timing:
+        print(f"time: {dt * 1e3:.1f} ms", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

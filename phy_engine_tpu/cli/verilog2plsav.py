@@ -1,0 +1,85 @@
+"""verilog2plsav: Verilog -> synthesized gates -> PhysicsLab .sav scene.
+
+CLI parity with ``src/verilog2plsav.cpp:343-420``:
+
+    verilog2plsav OUT.sav IN.v [--top NAME] [-O0..-O5|-Omax]
+                  [--loop-unroll N] [--report] [--time]
+                  [--name SCENE_NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from .verilog2penl import make_resolver
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="verilog2plsav", description=__doc__)
+    ap.add_argument("output")
+    ap.add_argument("input")
+    ap.add_argument("--top", default=None)
+    for lvl in range(6):
+        ap.add_argument(f"-O{lvl}", dest="opt_level", action="store_const",
+                        const=lvl)
+    ap.add_argument("-Omax", dest="opt_level", action="store_const",
+                    const=5)
+    ap.add_argument("--loop-unroll", type=int, default=4096)
+    ap.add_argument("--name", default=None)
+    ap.add_argument("--time", dest="timing", action="store_true")
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args(argv)
+
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.preprocess import PreprocessOptions
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+    from phy_engine_tpu.models import INPUT, OUTPUT
+    from phy_engine_tpu.io.plsav import circuit_to_experiment
+
+    t0 = time.perf_counter()
+    with open(args.input) as f:
+        src = f.read()
+    resolver = make_resolver(os.path.dirname(os.path.abspath(args.input)))
+    mods = compile_source(src, PreprocessOptions(include_resolver=resolver))
+    design = build_design(mods)
+    topm = find_module(design, args.top) if args.top else mods[-1]
+    inst = elaborate(design, topm)
+
+    nl = pe.Netlist()
+    port_nets = {}
+    for pname in topm.ports:
+        sig = inst.signals[pname]
+        nets = [netops.create_node(nl, f"{pname}[{i}]")
+                for i in range(sig.width)]
+        port_nets[pname] = nets
+        io = OUTPUT if sig.decl.direction == "output" else INPUT
+        for i, n in enumerate(nets):
+            m = netops.add_model(nl, io, name=f"{pname}[{i}]")
+            netops.add_to_node(nl, m, 0, n)
+    report = synthesize_to_netlist(
+        nl, design, inst, port_nets,
+        SynthOptions(opt_level=args.opt_level or 0,
+                     loop_unroll_limit=args.loop_unroll))
+    ex = circuit_to_experiment(
+        nl, name=args.name or os.path.splitext(
+            os.path.basename(args.output))[0])
+    ex.save(args.output)
+    dt = time.perf_counter() - t0
+    if args.report:
+        print(f"gates: {report.gate_count}  ffs: {report.ff_count}  "
+              f"elements: {len(ex.elements)}  wires: {len(ex.wires)}",
+              file=sys.stderr)
+    if args.timing:
+        print(f"time: {dt * 1e3:.1f} ms", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
