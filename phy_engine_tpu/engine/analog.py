@@ -126,8 +126,104 @@ def assemble(ir: AnalogIR, params, x, states, ctx: StampCtx,
 
 
 # ---------------------------------------------------------------------------
+# sparse (COO) assembly for large systems — same stamps, no dense matrix
+# ---------------------------------------------------------------------------
+
+def _sparse_pattern(ir: AnalogIR):
+    """Concatenated static COO pattern (cached on the IR)."""
+    if getattr(ir, "_sp_pat", None) is None:
+        import numpy as _np
+        rows = [f.a_rows.reshape(-1) for f in ir.families
+                if f.a_rows.size]
+        cols = [f.a_cols.reshape(-1) for f in ir.families
+                if f.a_cols.size]
+        diag = _np.arange(ir.n_nodes, dtype=_np.int32)
+        rows.append(diag)
+        cols.append(diag)
+        ir._sp_pat = (_np.concatenate(rows).astype(_np.int32),
+                      _np.concatenate(cols).astype(_np.int32))
+    return ir._sp_pat
+
+
+def assemble_sparse(ir: AnalogIR, params, x, states, ctx: StampCtx,
+                    drives=None, dtype=jnp.float64):
+    """COO values + RHS (same device kernels as `assemble`)."""
+    n = ir.n_unknowns
+    x_ext = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    Z = jnp.zeros(n + 1, dtype)
+    val_parts = []
+    new_states = {}
+    for fam in ir.families:
+        key = fam.mdef.id_name
+        P = params[key]
+        st = states.get(key, {})
+        vp = x_ext[jnp.asarray(fam.pin_nodes)]
+        vb = x_ext[jnp.asarray(fam.br_idx)]
+
+        def one(Pr, vr, br, sr, _stamp=fam.mdef.stamp):
+            return _stamp(Pr, vr, br, sr, ctx)
+
+        a_vals, z_vals, st2 = jax.vmap(one)(P, vp, vb, st)
+        msk = getattr(fam, "mask", None)
+        if msk is not None:
+            m = jnp.asarray(msk, dtype)
+            a_vals = a_vals * m[:, None]
+            if fam.z_rows.size:
+                z_vals = z_vals * m[:, None]
+        if fam.a_rows.size:
+            val_parts.append(a_vals.astype(dtype).reshape(-1))
+        if fam.z_rows.size:
+            Z = Z.at[jnp.asarray(fam.z_rows)].add(z_vals.astype(dtype))
+        new_states[key] = st2
+    gmin = ctx.env.get("g_min", 0.0)
+    val_parts.append(jnp.full(ir.n_nodes, gmin, dtype))
+    s_rows, s_cols = _sparse_pattern(ir)
+    rows = jnp.asarray(s_rows)
+    cols = jnp.asarray(s_cols)
+    vals = jnp.concatenate(val_parts)
+
+    if ir.n_drive_slots:
+        k = ir.n_drive_slots
+        base = ir.n_nodes + ir.n_branches
+        drows = jnp.arange(base, base + k, dtype=jnp.int32)
+        if drives is None:
+            node = jnp.full(k, n, jnp.int32)
+            active = jnp.zeros(k, dtype)
+            dv = jnp.zeros(k, dtype)
+        else:
+            active = drives["active"].astype(dtype)
+            node = jnp.where(drives["active"] > 0.5,
+                             drives["node"].astype(jnp.int32),
+                             jnp.int32(n))
+            dv = drives["v"].astype(dtype)
+        rows = jnp.concatenate([rows, node, drows, drows])
+        cols = jnp.concatenate([cols, drows, node, drows])
+        vals = jnp.concatenate([vals, active, active, 1.0 - active])
+        Z = Z.at[drows].add(active * dv)
+    return rows, cols, vals, Z[:n], new_states
+
+
+# ---------------------------------------------------------------------------
 # Newton-Raphson (masked, jit-friendly)
 # ---------------------------------------------------------------------------
+
+def _device_converged(ir: AnalogIR, params, x, states):
+    """AND of per-family check_conv vetos (circuit.h:950-965)."""
+    ok = jnp.bool_(True)
+    x_ext = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    for fam in ir.families:
+        if fam.mdef.check_conv is None:
+            continue
+        key = fam.mdef.id_name
+        vp = x_ext[jnp.asarray(fam.pin_nodes)]
+
+        def one(Pr, vr, sr, _f=fam.mdef.check_conv):
+            return _f(Pr, vr, sr)
+
+        flags = jax.vmap(one)(params[key], vp, states.get(key, {}))
+        ok = ok & jnp.all(flags)
+    return ok
+
 
 def _converged(x_old, x_new, n_nodes, env):
     va, vr = env["v_abstol"], env["v_reltol"]
@@ -145,17 +241,32 @@ def _converged(x_old, x_new, n_nodes, env):
 
 def newton_solve(ir: AnalogIR, params, x0, states0, ctx: StampCtx,
                  drives=None, dtype=jnp.float64,
-                 max_iter: int = MAX_NEWTON_ITER):
+                 max_iter: int = MAX_NEWTON_ITER,
+                 method: str = "dense"):
     """Newton outer loop (circuit.h:892-985).
 
     Returns (x, states, ok).  Linear circuits take the single-solve fast
     path exactly like ``if(!has_nonlinear_device()) return solve_once()``.
+    ``method``: 'dense' (batched LU) or 'sparse' (COO BiCGStab, for
+    large systems — the CUDA-solver threshold policy of
+    circuit.h:115-121 lives in the Circuit driver).
     """
-    def solve_once(x, st):
-        A, Z, st2 = assemble(ir, params, x, st, ctx, drives, dtype)
-        x_new = dense_solve(A, Z)
-        ok = jnp.all(jnp.isfinite(x_new))
-        return x_new, st2, ok
+    if method == "sparse":
+        from ..ops.sparse import bicgstab
+
+        def solve_once(x, st):
+            rows, cols, vals, Z, st2 = assemble_sparse(
+                ir, params, x, st, ctx, drives, dtype)
+            x_new, ok, _it = bicgstab(rows, cols, vals, Z,
+                                      ir.n_unknowns, x0=x)
+            ok = ok & jnp.all(jnp.isfinite(x_new))
+            return x_new, st2, ok
+    else:
+        def solve_once(x, st):
+            A, Z, st2 = assemble(ir, params, x, st, ctx, drives, dtype)
+            x_new = dense_solve(A, Z)
+            ok = jnp.all(jnp.isfinite(x_new))
+            return x_new, st2, ok
 
     if not ir.nonlinear:
         x, st, ok = solve_once(x0, states0)
@@ -169,6 +280,7 @@ def newton_solve(ir: AnalogIR, params, x0, states0, ctx: StampCtx,
         x, st, it, _conv, _ok = c
         x_new, st2, ok = solve_once(x, st)
         conv = _converged(x, x_new, ir.n_nodes, ctx.env) & ok
+        conv = conv & _device_converged(ir, params, x_new, st2)
         x_safe = jnp.where(ok, x_new, x)
         return (x_safe, st2, it + 1, conv, ok)
 
@@ -205,7 +317,7 @@ def step_update_all(ir: AnalogIR, params, x, states, dt, t):
 # ---------------------------------------------------------------------------
 
 def transient(ir: AnalogIR, params, x0, states0, env, t0, dt, num_steps,
-              drives=None, dtype=jnp.float64):
+              drives=None, dtype=jnp.float64, method: str = "dense"):
     """Run ``num_steps`` fixed TR steps from (x0, states0) at time t0.
 
     Returns (x_final, states_final, ok_all, xs) where xs is the (num_steps,
@@ -216,7 +328,8 @@ def transient(ir: AnalogIR, params, x0, states0, env, t0, dt, num_steps,
         t = t0 + (i + 1.0) * dt
         st = step_update_all(ir, params, x, st, dt, t)
         ctx = StampCtx(mode="tr", t=t, dt=dt, env=env)
-        x_new, st2, ok = newton_solve(ir, params, x, st, ctx, drives, dtype)
+        x_new, st2, ok = newton_solve(ir, params, x, st, ctx, drives,
+                                      dtype, method=method)
         # failed step: keep previous solution (reference rolls back
         # tr_duration, circuit.h:249-253)
         x_keep = jnp.where(ok, x_new, x)

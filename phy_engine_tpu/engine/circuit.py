@@ -64,9 +64,18 @@ class TRSettings:
 class Circuit:
     def __init__(self, netlist: Optional[Netlist] = None,
                  env: Optional[Environment] = None,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64,
+                 solver: str = "auto",
+                 sparse_threshold: int = 2048):
+        """``solver``: 'auto' | 'dense' | 'sparse' (env var
+        PE_TPU_SOLVER overrides; threshold policy mirrors the
+        reference's CUDA node threshold, circuit.h:115-121)."""
+        import os as _os
         self.nl = netlist if netlist is not None else Netlist()
         self.env = env if env is not None else Environment()
+        self.solver = _os.environ.get("PE_TPU_SOLVER", solver)
+        self.sparse_threshold = int(_os.environ.get(
+            "PE_TPU_SPARSE_THRESHOLD", sparse_threshold))
         self.at = AnalyzeType.OP
         self.ac = ACSettings()
         self.tr = TRSettings()
@@ -153,6 +162,13 @@ class Circuit:
     def _env_scalars(self):
         return analog.env_scalars(self.env)
 
+    def _method(self) -> str:
+        if self.solver in ("dense", "sparse"):
+            return self.solver
+        ir = self._ir
+        n = ir.n_unknowns if ir is not None else 0
+        return "sparse" if n >= self.sparse_threshold else "dense"
+
     # -- analysis ----------------------------------------------------------
     def analyze(self) -> bool:
         ir = self.prepare()
@@ -180,7 +196,7 @@ class Circuit:
     def _analyze_op(self, mode: str) -> bool:
         ir = self._ir
         params = self._params()
-        x, st, ok = _jit_newton(ir, self.dtype, mode)(
+        x, st, ok = _jit_newton(ir, self.dtype, mode, self._method())(
             params, self._x, self._states,
             jnp.asarray(self.tr_duration, self.dtype),
             self._env_scalars(), self._drives)
@@ -195,7 +211,8 @@ class Circuit:
         params = self._params()
         dt = self.tr.t_step
         num_steps = max(1, int(round(self.tr.t_stop / dt)))
-        x, st, ok, xs = _jit_transient(ir, self.dtype, num_steps)(
+        x, st, ok, xs = _jit_transient(ir, self.dtype, num_steps,
+                                       self._method())(
             params, self._x, self._states, self._env_scalars(),
             jnp.asarray(self.tr_duration, self.dtype),
             jnp.asarray(dt, self.dtype), self._drives)
@@ -310,23 +327,25 @@ _TRANS_CACHE: Dict[Tuple[int, Any, int], Any] = {}
 _AC_CACHE: Dict[int, Any] = {}
 
 
-def _jit_newton(ir: AnalogIR, dtype, mode: str):
-    key = (id(ir), dtype, mode)
+def _jit_newton(ir: AnalogIR, dtype, mode: str, method: str = "dense"):
+    key = (id(ir), dtype, mode, method)
     if key not in _NEWTON_CACHE:
         def run(params, x0, states, t, env, drives):
             ctx = StampCtx(mode=mode, t=t, dt=jnp.zeros((), dtype), env=env)
             return analog.newton_solve(ir, params, x0, states, ctx,
-                                       drives, dtype)
+                                       drives, dtype, method=method)
         _NEWTON_CACHE[key] = jax.jit(run)
     return _NEWTON_CACHE[key]
 
 
-def _jit_transient(ir: AnalogIR, dtype, num_steps: int):
-    key = (id(ir), dtype, num_steps)
+def _jit_transient(ir: AnalogIR, dtype, num_steps: int,
+                   method: str = "dense"):
+    key = (id(ir), dtype, num_steps, method)
     if key not in _TRANS_CACHE:
         def run(params, x0, states, env, t0, dt, drives):
             return analog.transient(ir, params, x0, states, env, t0, dt,
-                                    num_steps, drives, dtype)
+                                    num_steps, drives, dtype,
+                                    method=method)
         _TRANS_CACHE[key] = jax.jit(run)
     return _TRANS_CACHE[key]
 

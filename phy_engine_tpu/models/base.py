@@ -87,6 +87,11 @@ class ModelDef:
     ac_stamp: Optional[Callable] = None
     # step_update(P, v, ib, state, dt, t) -> new_state
     step_update: Optional[Callable] = None
+    # check_conv(P, v, state) -> bool: per-device Newton convergence veto
+    # (the reference's per-model check_convergence(), base.h:
+    # can_check_convergence).  Used e.g. to keep iterating while SPICE
+    # junction limiting is still active.
+    check_conv: Optional[Callable] = None
     nonlinear: bool = False
 
     # ---- digital metadata ----

@@ -154,9 +154,17 @@ def _pn_ac(P, state, omega):
             jnp.zeros(2), jnp.zeros(2))
 
 
+def _pn_check_conv(P, v, state):
+    """Not converged while vlimit is still clamping: the raw junction
+    voltage must agree with the limited one used for the stamps."""
+    Is_eff, Isr_eff, N, Nr, Ut, Bv_eff, Uth, Bv_set, tt = _pn_derived(P)
+    ud_raw = v[0] - v[1]
+    return jnp.abs(ud_raw - state["ud_last"]) <= 2.0 * N * Ut + 1e-9
+
+
 PN_JUNCTION = register(ModelDef(
     name="PN Junction", id_name="PN", device_class=DeviceClass.NONLINEAR,
-    pins=("A", "B"),
+    pins=("A", "B"), check_conv=_pn_check_conv,
     defaults={"Is": 1e-14, "N": 1.0, "Isr": 0.0, "Nr": 2.0, "Temp": 27.0,
               "Ibv": 1e-3, "Bv": 40.0, "Bv_set": 1.0, "Area": 1.0,
               "tt": 0.0},

@@ -1,0 +1,79 @@
+"""Sparse (COO BiCGStab) solver path tests — the large-circuit story
+(reference: cuda_sparse_lu.h iterative paths + 100k random-link bench)."""
+
+import numpy as np
+import pytest
+
+import phy_engine_tpu as pe
+from phy_engine_tpu import netops
+from phy_engine_tpu.models import RESISTANCE, VDC, PN_JUNCTION
+from phy_engine_tpu.engine.circuit import AnalyzeType
+
+
+def random_mesh_circuit(n_nodes=400, n_links=1600, seed=3, solver="auto",
+                        threshold=2048):
+    rng = np.random.default_rng(seed)
+    c = pe.Circuit(solver=solver, sparse_threshold=threshold)
+    nl = c.nl
+    nodes = [netops.create_node(nl) for _ in range(n_nodes)]
+    v = netops.add_model(nl, VDC, {"V": 5.0})
+    netops.add_to_node(nl, v, 0, nodes[0])
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    # grounding resistor on a few nodes to keep everything connected
+    for k in range(0, n_nodes, max(1, n_nodes // 8)):
+        r = netops.add_model(nl, RESISTANCE,
+                             {"r": float(rng.uniform(10, 1e4))})
+        netops.add_to_node(nl, r, 0, nodes[k])
+        netops.add_to_node(nl, r, 1, nl.ground_node)
+    for _ in range(n_links):
+        a, b = rng.integers(0, n_nodes, 2)
+        if a == b:
+            continue
+        r = netops.add_model(nl, RESISTANCE,
+                             {"r": float(rng.uniform(10, 1e4))})
+        netops.add_to_node(nl, r, 0, nodes[int(a)])
+        netops.add_to_node(nl, r, 1, nodes[int(b)])
+    c.set_analyze_type(AnalyzeType.DC)
+    return c, nodes
+
+
+def test_sparse_matches_dense():
+    """CPU(dense-LU) vs sparse-BiCGStab agreement — the reference's
+    CPU-vs-GPU cross-check (0013.cuda/cuda_random_links_correctness)."""
+    cd, nodes_d = random_mesh_circuit(solver="dense")
+    cs, nodes_s = random_mesh_circuit(solver="sparse")
+    assert cd.analyze()
+    assert cs.analyze()
+    vd = np.array([cd.node_voltage(n).real for n in nodes_d])
+    vs = np.array([cs.node_voltage(n).real for n in nodes_s])
+    assert np.max(np.abs(vd - vs)) < 1e-6 * max(1.0, np.abs(vd).max())
+
+
+def test_sparse_nonlinear_newton():
+    """Sparse path inside the Newton loop (diode + mesh)."""
+    c, nodes = random_mesh_circuit(n_nodes=200, n_links=800, seed=5,
+                                   solver="sparse")
+    nl = c.nl
+    d = netops.add_model(nl, PN_JUNCTION, {})
+    netops.add_to_node(nl, d, 0, nodes[1])
+    netops.add_to_node(nl, d, 1, nl.ground_node)
+    assert c.analyze()
+    vd = c.node_voltage(nodes[1]).real
+    assert 0.0 < vd < 1.0     # diode clamps its node near a forward drop
+
+    c2, nodes2 = random_mesh_circuit(n_nodes=200, n_links=800, seed=5,
+                                     solver="dense")
+    nl2 = c2.nl
+    d2 = netops.add_model(nl2, PN_JUNCTION, {})
+    netops.add_to_node(nl2, d2, 0, nodes2[1])
+    netops.add_to_node(nl2, d2, 1, nl2.ground_node)
+    assert c2.analyze()
+    assert np.isclose(vd, c2.node_voltage(nodes2[1]).real, atol=1e-6)
+
+
+def test_auto_threshold_picks_sparse():
+    c, _ = random_mesh_circuit(n_nodes=100, n_links=300, solver="auto",
+                               threshold=50)
+    c.prepare()
+    assert c._method() == "sparse"
+    assert c.analyze()
