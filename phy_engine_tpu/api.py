@@ -129,6 +129,14 @@ _CODE_TABLE: Dict[int, Tuple] = {
     ElementCode.BJT_PNP: (M.BJT_PNP, ("Is", "N", "BetaF", "Temp", "Area")),
     ElementCode.NMOSFET: (M.NMOSFET, ("Kp", "lambda", "Vth")),
     ElementCode.PMOSFET: (M.PMOSFET, ("Kp", "lambda", "Vth")),
+    ElementCode.BSIM3V32_NMOS: (M.BSIM3V32_NMOS,
+                                ("W", "L", "Kp", "lambda", "Vth0",
+                                 "gamma", "phi", "Cgs", "Cgd", "Cgb",
+                                 "diode_Is", "diode_N", "Temp")),
+    ElementCode.BSIM3V32_PMOS: (M.BSIM3V32_PMOS,
+                                ("W", "L", "Kp", "lambda", "Vth0",
+                                 "gamma", "phi", "Cgs", "Cgd", "Cgb",
+                                 "diode_Is", "diode_N", "Temp")),
     ElementCode.DIGITAL_INPUT: (M.INPUT, ("boolean",)),
     ElementCode.DIGITAL_OUTPUT: (M.OUTPUT, ()),
     ElementCode.DIGITAL_OR: (M.OR, ()),

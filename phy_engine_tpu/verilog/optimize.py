@@ -1,0 +1,318 @@
+"""Netlist-level synthesis optimization passes (O1+).
+
+The first tier of the reference's pe_synth pipeline
+(pe_synth.h:17595-17625 pass gating): YES-wire removal, double-inverter
+fusion, constant propagation (4-state-safe), structural hashing
+(strash), and dead-code elimination — run to fixpoint.  The heavier
+passes (QM/Espresso/resub/techmap, pe_synth.h:10202+) are later
+milestones.
+
+Passes operate directly on the gate netlist produced by synth.py.
+Protected nets (ports) are never deleted; when a pass would merge into a
+protected net it re-drives the protected node instead.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..netlist.netlist import Netlist, Node, ModelInstance
+from ..netlist import operations as ops
+from ..models.base import DeviceClass
+from ..digital import logic
+
+# opcodes that are pure combinational functions of their inputs
+_PURE = {"AND", "OR", "XOR", "XNOR", "NAND", "NOR", "IMP", "NIMP",
+         "CASE_EQ", "RESOLVE2", "NOT", "YES", "IS_UNKNOWN", "TRI",
+         "HALF_ADDER", "FULL_ADDER", "HALF_SUBTRACTOR",
+         "FULL_SUBTRACTOR", "MUL2"}
+_COMMUTATIVE = {"AND", "OR", "XOR", "XNOR", "NAND", "NOR", "CASE_EQ",
+                "RESOLVE2"}
+
+_TABLES2 = {"AND": logic.AND_TABLE, "OR": logic.OR_TABLE,
+            "XOR": logic.XOR_TABLE, "XNOR": logic.XNOR_TABLE,
+            "NAND": logic.NAND_TABLE, "NOR": logic.NOR_TABLE,
+            "IMP": logic.IMP_TABLE, "NIMP": logic.NIMP_TABLE,
+            "RESOLVE2": logic.RESOLVE2_TABLE}
+_TABLES1 = {"NOT": logic.NOT_TABLE, "YES": logic.YES_TABLE}
+
+
+class OptStats:
+    def __init__(self):
+        self.removed_gates = 0
+        self.merged_nets = 0
+        self.folded_const = 0
+        self.strashed = 0
+
+    def total(self):
+        return (self.removed_gates + self.merged_nets +
+                self.folded_const + self.strashed)
+
+
+def _is_gate(inst: ModelInstance) -> bool:
+    return (inst.mdef.device_class == DeviceClass.DIGITAL and
+            inst.mdef.digital_op in _PURE)
+
+
+def _in_nodes(inst):
+    return [inst.pins[i].node for i in inst.mdef.din_pins]
+
+
+def _out_nodes(inst):
+    return [inst.pins[i].node for i in inst.mdef.dout_pins]
+
+
+def _readers(node: Node):
+    """Input pins attached to this net."""
+    out = []
+    for pin in node.pins:
+        if pin.index in pin.model.mdef.din_pins:
+            out.append(pin)
+    return out
+
+
+def _drivers(node: Node):
+    out = []
+    for pin in node.pins:
+        if pin.index in pin.model.mdef.dout_pins:
+            out.append(pin)
+    return out
+
+
+def _const_code(inst: ModelInstance) -> Optional[int]:
+    """INPUT devices created as constants by the synthesizer."""
+    if inst.mdef.digital_op == "INPUT":
+        return int(inst.params.get("boolean", 2)) & 3
+    return None
+
+
+def _net_const(node: Node) -> Optional[int]:
+    drv = _drivers(node)
+    if len(drv) != 1:
+        return None
+    return _const_code(drv[0].model)
+
+
+def dce(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
+    """Remove gates (and FFs) whose every output is unread+unprotected."""
+    changed = False
+    for inst in list(nl.live_models()):
+        if inst.mdef.device_class != DeviceClass.DIGITAL:
+            continue
+        if inst.mdef.digital_op in ("OUTPUT", "OUTPUT8", "VERILOG"):
+            continue
+        outs = [inst.pins[i].node for i in inst.mdef.dout_pins]
+        if not outs:
+            continue
+        dead = True
+        for n in outs:
+            if n is None:
+                continue
+            if id(n) in protected or _readers(n) or \
+                    n.num_of_analog_node > 0:
+                dead = False
+                break
+        if dead:
+            dead_nets = [n for n in outs if n is not None]
+            ops.delete_model(nl, inst)
+            for n in dead_nets:
+                if n in nl.nodes and not n.pins:
+                    nl.nodes.remove(n)
+            stats.removed_gates += 1
+            changed = True
+    return changed
+
+
+def yes_fuse(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
+    """Remove YES buffers by merging their nets (yes-wire removal)."""
+    changed = False
+    for inst in list(nl.live_models()):
+        if inst.mdef.digital_op != "YES":
+            continue
+        a = inst.pins[0].node
+        b = inst.pins[1].node
+        if a is None or b is None or a is b:
+            continue
+        if a.num_of_analog_node > 0 or b.num_of_analog_node > 0:
+            continue
+        # b must have no other driver
+        if len(_drivers(b)) != 1:
+            continue
+        if id(b) in protected and id(a) in protected:
+            continue
+        if id(b) in protected:
+            # merge a into b: move a's pins onto b (b's node survives)
+            ops.delete_model(nl, inst)
+            if len(_drivers(a)) == 0 and id(a) not in protected and \
+                    _net_const(a) is None:
+                pass
+            ops.merge_node(nl, b, a)
+        else:
+            ops.delete_model(nl, inst)
+            ops.merge_node(nl, a, b)
+        stats.removed_gates += 1
+        stats.merged_nets += 1
+        changed = True
+    return changed
+
+
+def not_fuse(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
+    """NOT(NOT(x)) -> x (double-inverter fusion)."""
+    changed = False
+    for inst in list(nl.live_models()):
+        if inst.mdef.digital_op != "NOT":
+            continue
+        mid = inst.pins[1].node
+        if mid is None or id(mid) in protected or \
+                mid.num_of_analog_node > 0:
+            continue
+        readers = _readers(mid)
+        if not readers or any(r.model.mdef.digital_op != "NOT"
+                              for r in readers):
+            continue
+        src = inst.pins[0].node
+        if src is None:
+            continue
+        # every reader is a second NOT: bypass both
+        for r in list(readers):
+            second = r.model
+            out2 = second.pins[1].node
+            if out2 is None:
+                continue
+            ops.delete_model(nl, second)
+            if id(out2) in protected or out2.num_of_analog_node > 0:
+                # re-drive protected net with a YES from src
+                from ..models import YES
+                g = ops.add_model(nl, YES)
+                ops.add_to_node(nl, g, 0, src)
+                ops.add_to_node(nl, g, 1, out2)
+            else:
+                ops.merge_node(nl, src, out2)
+            stats.removed_gates += 1
+            changed = True
+    return changed
+
+
+def const_prop(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
+    """Fold gates whose inputs are all constant nets (4-state-safe)."""
+    from ..models import INPUT
+    changed = False
+    for inst in list(nl.live_models()):
+        if not _is_gate(inst):
+            continue
+        op = inst.mdef.digital_op
+        ins = _in_nodes(inst)
+        if any(n is None for n in ins):
+            continue
+        codes = [_net_const(n) for n in ins]
+        if any(c is None for c in codes):
+            continue
+        outs = _out_nodes(inst)
+        out_codes = _eval_const(op, codes)
+        if out_codes is None:
+            continue
+        ops.delete_model(nl, inst)
+        for n, code in zip(outs, out_codes):
+            if n is None:
+                continue
+            src = ops.add_model(nl, INPUT, {"boolean": float(code)})
+            ops.add_to_node(nl, src, 0, n)
+        stats.folded_const += 1
+        changed = True
+    return changed
+
+
+def _eval_const(op: str, codes: List[int]) -> Optional[List[int]]:
+    import numpy as np
+    U32 = np.uint32
+
+    def pl(c):
+        return U32(c & 1), U32((c >> 1) & 1)
+
+    def code(v, u):
+        return (int(v) & 1) | ((int(u) & 1) << 1)
+
+    if op in _TABLES1:
+        return [int(_TABLES1[op][codes[0]])]
+    if op in _TABLES2:
+        return [int(_TABLES2[op][codes[0], codes[1]])]
+    if op == "XNOR":
+        return [int(logic.XNOR_TABLE[codes[0], codes[1]])]
+    if op == "IS_UNKNOWN":
+        return [1 if codes[0] >= 2 else 0]
+    if op == "CASE_EQ":
+        return [1 if codes[0] == codes[1] else 0]
+    if op == "TRI":
+        va, ua = pl(codes[0])
+        vb, ub = pl(codes[1])
+        v, u = logic.op_tri_state(va, ua, vb, ub)
+        return [code(v, u)]
+    if op == "HALF_ADDER":
+        a, b = codes
+        s = int(logic.XOR_TABLE[a, b])
+        c = int(logic.AND_TABLE[a, b])
+        return [s, c]
+    if op == "FULL_ADDER":
+        a, b, ci = codes
+        x = int(logic.XOR_TABLE[a, b])
+        s = int(logic.XOR_TABLE[x, ci])
+        c1 = int(logic.AND_TABLE[a, b])
+        c2 = int(logic.AND_TABLE[ci, x])
+        return [s, int(logic.OR_TABLE[c1, c2])]
+    return None
+
+
+def strash(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
+    """Structural hashing: merge gates with identical op + input nets."""
+    from ..models import YES
+    changed = False
+    seen: Dict[Tuple, ModelInstance] = {}
+    for inst in list(nl.live_models()):
+        if not _is_gate(inst) or inst.mdef.digital_op == "TRI":
+            continue
+        ins = _in_nodes(inst)
+        if any(n is None for n in ins):
+            continue
+        key_ids = [id(n) for n in ins]
+        if inst.mdef.digital_op in _COMMUTATIVE:
+            key_ids = sorted(key_ids)
+        key = (inst.mdef.digital_op, tuple(key_ids))
+        first = seen.get(key)
+        if first is None:
+            seen[key] = inst
+            continue
+        # merge inst's outputs onto first's
+        f_outs = _out_nodes(first)
+        i_outs = _out_nodes(inst)
+        ops.delete_model(nl, inst)
+        for fo, io in zip(f_outs, i_outs):
+            if io is None or fo is None or fo is io:
+                continue
+            if id(io) in protected or io.num_of_analog_node > 0:
+                g = ops.add_model(nl, YES)
+                ops.add_to_node(nl, g, 0, fo)
+                ops.add_to_node(nl, g, 1, io)
+            else:
+                ops.merge_node(nl, fo, io)
+        stats.strashed += 1
+        changed = True
+    return changed
+
+
+def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
+                     max_rounds: int = 50) -> OptStats:
+    """Run the O1 pass pipeline to fixpoint."""
+    stats = OptStats()
+    if level <= 0:
+        return stats
+    protected = {id(n) for n in protected_nodes}
+    for _ in range(max_rounds):
+        changed = False
+        changed |= const_prop(nl, protected, stats)
+        changed |= yes_fuse(nl, protected, stats)
+        changed |= not_fuse(nl, protected, stats)
+        changed |= strash(nl, protected, stats)
+        changed |= dce(nl, protected, stats)
+        if not changed:
+            break
+    return stats

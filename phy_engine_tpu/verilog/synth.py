@@ -42,6 +42,8 @@ class SynthOptions:
 class SynthReport:
     gate_count: int = 0
     ff_count: int = 0
+    gate_count_pre_opt: int = 0
+    opt_stats: Any = None
     warnings: List[str] = field(default_factory=list)
 
 
@@ -786,6 +788,20 @@ def synthesize_to_netlist(nl: Netlist, design, top_inst: InstanceState,
     opt = options or SynthOptions()
     ctx = SynthContext(nl, opt)
     _synth_instance(ctx, top_inst, port_nets)
+    ctx.report.gate_count_pre_opt = ctx.report.gate_count
+    if opt.opt_level >= 1:
+        from .optimize import optimize_netlist
+        protected = []
+        for nets in port_nets.values():
+            protected.extend(nets if isinstance(nets, list) else [nets])
+        stats = optimize_netlist(nl, protected, opt.opt_level)
+        ctx.report.opt_stats = stats
+        # recount
+        from ..models.base import DeviceClass
+        ctx.report.gate_count = sum(
+            1 for m in nl.live_models()
+            if m.mdef.device_class == DeviceClass.DIGITAL and
+            m.mdef.digital_op not in ("INPUT", "OUTPUT", "VERILOG"))
     return ctx.report
 
 
