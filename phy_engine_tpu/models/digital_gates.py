@@ -64,7 +64,8 @@ TRI_STATE = _dig("TRI", "TRI", "TRI", ("i", "en", "o"), (0, 1), (2,),
 # ---- IO --------------------------------------------------------------------
 INPUT = _dig("INPUT", "INPUT", "INPUT", ("o",), (), (0,),
              phase=UpdatePhase.BEFORE,
-             defaults={"boolean": 2.0, **_LH}, attrs=("boolean",),
+             defaults={"boolean": 2.0, "synth_const": 0.0, **_LH},
+             attrs=("boolean",),
              state=(("value", 2.0),))
 OUTPUT = _dig("OUTPUT", "OUTPUT", "OUTPUT", ("i",), (0,), (),
               defaults={"value": 2.0, **_LH}, attrs=("value",),

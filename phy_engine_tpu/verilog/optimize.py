@@ -80,8 +80,12 @@ def _drivers(node: Node):
 
 
 def _const_code(inst: ModelInstance) -> Optional[int]:
-    """INPUT devices created as constants by the synthesizer."""
-    if inst.mdef.digital_op == "INPUT":
+    """INPUT devices created as constants by the synthesizer.
+
+    Only synthesizer-tagged constants qualify — a plain INPUT is a
+    runtime-settable external pin and must never be folded."""
+    if inst.mdef.digital_op == "INPUT" and \
+            inst.params.get("synth_const"):
         return int(inst.params.get("boolean", 2)) & 3
     return None
 
@@ -215,7 +219,8 @@ def const_prop(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
         for n, code in zip(outs, out_codes):
             if n is None:
                 continue
-            src = ops.add_model(nl, INPUT, {"boolean": float(code)})
+            src = ops.add_model(nl, INPUT, {"boolean": float(code),
+                                            "synth_const": 1.0})
             ops.add_to_node(nl, src, 0, n)
         stats.folded_const += 1
         changed = True

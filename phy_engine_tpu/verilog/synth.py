@@ -62,7 +62,8 @@ class SynthContext:
         """A net held at a constant by an INPUT device."""
         if code not in self._const_nodes:
             inp = ops.add_model(self.nl, INPUT,
-                                {"boolean": float(code)})
+                                {"boolean": float(code),
+                                 "synth_const": 1.0})
             n = self.new_node()
             ops.add_to_node(self.nl, inp, 0, n)
             self._const_nodes[code] = n

@@ -1,0 +1,100 @@
+"""Synthesis optimization pass tests (0015.verilog_compile pattern:
+correctness + gate-count assertions per pass)."""
+
+import numpy as np
+import pytest
+
+from phy_engine_tpu.verilog.synth import SynthOptions
+from tests_helpers_synth import crosscheck_opt
+
+
+def test_o1_reduces_gates_and_preserves_function():
+    src = """
+module m(input [3:0] a, input [3:0] b, output [3:0] y, output z);
+  wire [3:0] t1 = a & b;
+  wire [3:0] t2 = a & b;        // duplicate -> strash
+  wire [3:0] t3 = ~(~t1);       // double inverter
+  assign y = t3 | (t2 & 4'b0000);   // const-and -> 0, or -> t2
+  assign z = 1'b1 & 1'b1;       // constant folding
+endmodule
+"""
+    rng = np.random.default_rng(11)
+    vectors = [{"a": int(rng.integers(16)), "b": int(rng.integers(16))}
+               for _ in range(12)]
+    r0 = crosscheck_opt(src, "m", vectors, ["y", "z"],
+                        SynthOptions(opt_level=0))
+    r1 = crosscheck_opt(src, "m", vectors, ["y", "z"],
+                        SynthOptions(opt_level=1))
+    assert r1.gate_count < r0.gate_count
+    assert r1.opt_stats.total() > 0
+
+
+def test_o1_on_alu():
+    src = """
+module alu(input [3:0] a, input [3:0] b, input [1:0] op,
+           output reg [3:0] y);
+  always @* begin
+    case (op)
+      2'd0: y = a + b;
+      2'd1: y = a - b;
+      2'd2: y = a & b;
+      default: y = a ^ b;
+    endcase
+  end
+endmodule
+"""
+    rng = np.random.default_rng(2)
+    vectors = [{"a": int(rng.integers(16)), "b": int(rng.integers(16)),
+                "op": int(rng.integers(4))} for _ in range(20)]
+    r0 = crosscheck_opt(src, "alu", vectors, ["y"],
+                        SynthOptions(opt_level=0))
+    r1 = crosscheck_opt(src, "alu", vectors, ["y"],
+                        SynthOptions(opt_level=1))
+    assert r1.gate_count <= r0.gate_count
+
+
+def test_o1_counter_still_clocks():
+    src = """
+module counter(input clk, input rst_n, output reg [3:0] q);
+  always @(posedge clk or negedge rst_n) begin
+    if (!rst_n) q <= 4'd0;
+    else q <= q + 4'd1;
+  end
+endmodule
+"""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT
+    from phy_engine_tpu.digital.logic import L, H
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import synthesize_to_netlist
+    mods = compile_source(src)
+    design = build_design(mods)
+    topm = find_module(design, "counter")
+    inst = elaborate(design, topm)
+    c = pe.Circuit()
+    nl = c.nl
+    port_nets = {p: [netops.create_node(nl)
+                     for _ in range(inst.signals[p].width)]
+                 for p in topm.ports}
+    clk = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    rst = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    netops.add_to_node(nl, clk, 0, port_nets["clk"][0])
+    netops.add_to_node(nl, rst, 0, port_nets["rst_n"][0])
+    synthesize_to_netlist(nl, design, inst, port_nets,
+                          SynthOptions(opt_level=1))
+    c.digital_clk()
+    rst.set_attribute("boolean", float(H))
+    c.digital_clk()
+
+    def value():
+        bits = [c.node_digital(n) for n in port_nets["q"]]
+        return sum(b << i for i, b in enumerate(bits))
+
+    for k in range(1, 6):
+        clk.set_attribute("boolean", float(H))
+        c.digital_clk()
+        assert value() == k, k
+        clk.set_attribute("boolean", float(L))
+        c.digital_clk()
