@@ -129,6 +129,7 @@ _CODE_TABLE: Dict[int, Tuple] = {
     ElementCode.BJT_PNP: (M.BJT_PNP, ("Is", "N", "BetaF", "Temp", "Area")),
     ElementCode.NMOSFET: (M.NMOSFET, ("Kp", "lambda", "Vth")),
     ElementCode.PMOSFET: (M.PMOSFET, ("Kp", "lambda", "Vth")),
+    ElementCode.FULL_BRIDGE_RECTIFIER: (M.FULL_BRIDGE_RECTIFIER, ()),
     ElementCode.BSIM3V32_NMOS: (M.BSIM3V32_NMOS,
                                 ("W", "L", "Kp", "lambda", "Vth0",
                                  "gamma", "phi", "Cgs", "Cgd", "Cgb",

@@ -3,7 +3,8 @@ from .linear import (RESISTANCE, CAPACITOR, INDUCTOR, VDC, VAC, IDC, IAC,
                      VCVS, VCCS, CCVS, CCCS, TRANSFORMER,
                      TRANSFORMER_CENTER_TAP, COUPLED_INDUCTORS, OP_AMP)
 from .sources import SAWTOOTH, SQUARE, PULSE, TRIANGLE
-from .nonlinear import PN_JUNCTION, BJT_NPN, BJT_PNP, NMOSFET, PMOSFET
+from .nonlinear import (PN_JUNCTION, BJT_NPN, BJT_PNP, NMOSFET, PMOSFET,
+                        FULL_BRIDGE_RECTIFIER)
 from .controller import SWITCH, RELAY, COMPARATOR
 from .digital_gates import (AND, OR, NOT, YES, XOR, XNOR, NAND, NOR, IMP,
                             NIMP, INPUT, OUTPUT, TRI_STATE, RESOLVE2,

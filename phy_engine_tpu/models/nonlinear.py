@@ -378,3 +378,99 @@ PMOSFET = register(ModelDef(
     stamp=_pmos_stamp, ac_stamp=_nmos_ac, nonlinear=True,
     attrs=("Kp", "lambda", "Vth"),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Full-bridge rectifier  (non-linear/full_bridge_rectifier.h)
+# ---------------------------------------------------------------------------
+# Composite of four PN junctions sharing one (default) parameter set:
+# D1 A->+, D2 B->+, D3 - -> A, D4 - -> B
+# (full_bridge_rectifier.h:20-47).  Lowered as a single 4-pin device whose
+# stamp evaluates the shared diode kernel over the four (anode,cathode)
+# pin pairs — same vmapped execution path as standalone diodes.
+
+_FBR_PAIRS = ((0, 2), (1, 2), (3, 0), (3, 1))
+
+
+def _fbr_sub(state, k):
+    return {"ud_last": state[f"ud_last{k}"], "geq": state[f"geq{k}"],
+            "tr_prev_g": state[f"tr_prev_g{k}"],
+            "tr_hist": state[f"tr_hist{k}"]}
+
+
+def _fbr_merge(new_state, ns, k):
+    for key in ("ud_last", "geq", "tr_prev_g", "tr_hist"):
+        new_state[f"{key}{k}"] = ns[key]
+
+
+def _fbr_stamp(P, v, ib, state, ctx):
+    a_parts, z_parts = [], []
+    new_state = dict(state)
+    for k, (a, c) in enumerate(_FBR_PAIRS):
+        av, zv, ns = _pn_stamp(P, jnp.stack([v[a], v[c]]), ib,
+                               _fbr_sub(state, k), ctx)
+        a_parts.append(av)
+        z_parts.append(zv)
+        _fbr_merge(new_state, ns, k)
+    return jnp.concatenate(a_parts), jnp.concatenate(z_parts), new_state
+
+
+def _fbr_step(P, v, ib, state, dt, t):
+    new_state = dict(state)
+    for k, (a, c) in enumerate(_FBR_PAIRS):
+        ns = _pn_step(P, jnp.stack([v[a], v[c]]), ib,
+                      _fbr_sub(state, k), dt, t)
+        _fbr_merge(new_state, ns, k)
+    return new_state
+
+
+def _fbr_ac(P, state, omega):
+    re_a, im_a, re_z, im_z = [], [], [], []
+    for k in range(4):
+        ra, ia, rz, iz = _pn_ac(P, _fbr_sub(state, k), omega)
+        re_a.append(ra)
+        im_a.append(ia)
+        re_z.append(rz)
+        im_z.append(iz)
+    return (jnp.concatenate(re_a), jnp.concatenate(im_a),
+            jnp.concatenate(re_z), jnp.concatenate(im_z))
+
+
+def _fbr_check_conv(P, v, state):
+    ok = True
+    for k, (a, c) in enumerate(_FBR_PAIRS):
+        ok = ok & _pn_check_conv(P, jnp.stack([v[a], v[c]]),
+                                 _fbr_sub(state, k))
+    return ok
+
+
+def _fbr_pattern(p, b):
+    rows, cols = [], []
+    for a, c in _FBR_PAIRS:
+        rows += [p[a], p[a], p[c], p[c]]
+        cols += [p[a], p[c], p[a], p[c]]
+    return rows, cols
+
+
+def _fbr_rhs(p, b):
+    out = []
+    for a, c in _FBR_PAIRS:
+        out += [p[a], p[c]]
+    return out
+
+
+FULL_BRIDGE_RECTIFIER = register(ModelDef(
+    name="Full Bridge Rectifier", id_name="FBR",
+    device_class=DeviceClass.NONLINEAR,
+    pins=("A", "B", "+", "-"),
+    defaults=dict(PN_JUNCTION.defaults),
+    param_order=PN_JUNCTION.param_order,
+    state_vars=tuple((f"{nm}{k}", init)
+                     for k in range(4)
+                     for nm, init in (("ud_last", 0.0), ("geq", 0.0),
+                                      ("tr_prev_g", 0.0),
+                                      ("tr_hist", 0.0))),
+    pattern=_fbr_pattern, rhs_pattern=_fbr_rhs,
+    stamp=_fbr_stamp, ac_stamp=_fbr_ac, step_update=_fbr_step,
+    check_conv=_fbr_check_conv, nonlinear=True,
+))

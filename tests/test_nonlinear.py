@@ -251,3 +251,41 @@ def test_diode_rc_rectifier_tr():
     wave = c.tr_waveform(n_out)
     assert wave.max() > 3.5          # peak minus a diode drop
     assert wave.min() > -0.5         # rectified: never strongly negative
+
+
+def test_full_bridge_rectifier_tr():
+    """Full-wave rectifier: both AC half-cycles drive the load positive
+    (full_bridge_rectifier.h composite-of-4-diodes semantics)."""
+    from phy_engine_tpu.models import VAC, FULL_BRIDGE_RECTIFIER
+    c = pe.Circuit()
+    nl = c.nl
+    freq = 1e3
+    v = netops.add_model(nl, VAC, {"Vp": 5.0, "freq": freq})
+    fbr = netops.add_model(nl, FULL_BRIDGE_RECTIFIER, {})
+    rl = netops.add_model(nl, RESISTANCE, {"r": 10e3})
+    # DC- is tied to ground so node voltages are referenced there.
+    n_a = netops.create_node(nl)
+    n_b = netops.create_node(nl)
+    n_p = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, n_a)
+    netops.add_to_node(nl, v, 1, n_b)
+    netops.add_to_node(nl, fbr, 0, n_a)
+    netops.add_to_node(nl, fbr, 1, n_b)
+    netops.add_to_node(nl, fbr, 2, n_p)
+    netops.add_to_node(nl, fbr, 3, nl.ground_node)
+    netops.add_to_node(nl, rl, 0, n_p)
+    netops.add_to_node(nl, rl, 1, nl.ground_node)
+    c.set_analyze_type(AnalyzeType.TR)
+    c.tr.t_step = 1.0 / freq / 200.0
+    c.tr.t_stop = 2.0 / freq
+    assert c.analyze()
+    wave = np.asarray(c.tr_waveform(n_p))
+    # full-wave: output stays non-negative and peaks near Vp - 2 diode
+    # drops on BOTH half cycles.
+    assert wave.max() > 3.0
+    assert wave.min() > -0.2
+    # second half-cycle also rectified: a peak exists in each half period
+    half = len(wave) // 4
+    assert wave[half:2 * half].max() > 3.0 or wave[:half].max() > 3.0
+    mid = len(wave) // 2
+    assert wave[mid:].max() > 3.0
