@@ -336,6 +336,24 @@ class BitSynth:
             raise CompileError(f"synth: unsupported syscall {expr[1]}")
         raise CompileError(f"synth: unsupported expr {op}")
 
+    def _expr_signed(self, expr) -> bool:
+        """Verilog self-determined signedness of an expression, as far
+        as shifts/compares need it: signed ids, $signed(...) casts, and
+        parenthesized/conditional combinations thereof."""
+        op = expr[0]
+        if op == "id" and expr[1] in self.inst.signals:
+            return self.inst.signals[expr[1]].signed
+        if op == "syscall" and expr[1] == "$signed":
+            return True
+        if op == "syscall" and expr[1] == "$unsigned":
+            return False
+        if op == "num":
+            return bool(getattr(expr[1], "signed", False))
+        if op == "cond":
+            return (self._expr_signed(expr[2]) and
+                    self._expr_signed(expr[3]))
+        return False
+
     def _mux_select(self, bits: List[NetT], sel: List[NetT]) -> NetT:
         cur = list(bits)
         for k, s in enumerate(sel):
@@ -441,8 +459,14 @@ class BitSynth:
             a = self.lower(expr[2], env)
             b = self.lower(expr[3], env)
             w = max(len(a), len(b))
-            a = _resize_bits(a, w, False)
-            b = _resize_bits(b, w, False)
+            # Verilog: comparison is signed iff BOTH operands are signed
+            sgn = self._expr_signed(expr[2]) and self._expr_signed(expr[3])
+            a = _resize_bits(a, w, sgn)
+            b = _resize_bits(b, w, sgn)
+            if sgn:
+                # signed compare == unsigned compare with MSBs flipped
+                a = a[:-1] + [self.ctx.g_not(a[-1])]
+                b = b[:-1] + [self.ctx.g_not(b[-1])]
             # a - b: borrow out means a < b (unsigned)
             nb = [self.ctx.g_not(x) for x in b]
             carry: NetT = C1
@@ -471,9 +495,7 @@ class BitSynth:
                     self_width(expr[2], ctx), ctx_width or 0)
             a = _resize_bits(self.lower(expr[2], env, w), w, False)
             shv = self.try_const(expr[3])
-            signed = False
-            if expr[2][0] == "id" and expr[2][1] in self.inst.signals:
-                signed = self.inst.signals[expr[2][1]].signed
+            signed = self._expr_signed(expr[2])
             fill_left = a[-1] if (o == ">>>" and signed) else C0
             if shv is not None and shv.known:
                 sh = shv.to_int()
