@@ -43,10 +43,13 @@ class OptStats:
         self.merged_nets = 0
         self.folded_const = 0
         self.strashed = 0
+        self.rebuilt = 0            # gates emitted by the O2 graph tier
+        self.graph_gates_saved = 0  # gate-count delta from the O2 tier
 
     def total(self):
         return (self.removed_gates + self.merged_nets +
-                self.folded_const + self.strashed)
+                self.folded_const + self.strashed +
+                self.graph_gates_saved)
 
 
 def _is_gate(inst: ModelInstance) -> bool:
@@ -305,19 +308,35 @@ def strash(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
 
 
 def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
-                     max_rounds: int = 50) -> OptStats:
-    """Run the O1 pass pipeline to fixpoint."""
+                     max_rounds: int = 50,
+                     binary_ok: bool = False) -> OptStats:
+    """Run the optimization pipeline to fixpoint.
+
+    O1: netlist-local passes (const-prop, YES/NOT fusion, strash, DCE).
+    O2+: adds the gate-graph tier (tree factoring, XOR extraction,
+    primitive selection — opt_graph.optimize_o2) between O1 fixpoints.
+    """
     stats = OptStats()
     if level <= 0:
         return stats
     protected = {id(n) for n in protected_nodes}
-    for _ in range(max_rounds):
-        changed = False
-        changed |= const_prop(nl, protected, stats)
-        changed |= yes_fuse(nl, protected, stats)
-        changed |= not_fuse(nl, protected, stats)
-        changed |= strash(nl, protected, stats)
-        changed |= dce(nl, protected, stats)
-        if not changed:
-            break
+
+    def o1_fixpoint():
+        for _ in range(max_rounds):
+            changed = False
+            changed |= const_prop(nl, protected, stats)
+            changed |= yes_fuse(nl, protected, stats)
+            changed |= not_fuse(nl, protected, stats)
+            changed |= strash(nl, protected, stats)
+            changed |= dce(nl, protected, stats)
+            if not changed:
+                return
+
+    o1_fixpoint()
+    if level >= 2:
+        from .opt_graph import optimize_o2
+        for _ in range(4):
+            if not optimize_o2(nl, protected, stats, binary_ok):
+                break
+            o1_fixpoint()
     return stats

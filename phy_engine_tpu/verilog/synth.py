@@ -36,6 +36,10 @@ C0, C1, CX = 0, 1, 2
 class SynthOptions:
     opt_level: int = 0
     loop_unroll_limit: int = 4096
+    # Allow optimizations that are only sound when external inputs are
+    # binary (never X/Z) — enables complement rules and truth-table
+    # passes, mirroring the reference's assume_binary_inputs relaxation.
+    assume_binary_inputs: bool = False
 
 
 @dataclass
@@ -817,7 +821,8 @@ def synthesize_to_netlist(nl: Netlist, design, top_inst: InstanceState,
         protected = []
         for nets in port_nets.values():
             protected.extend(nets if isinstance(nets, list) else [nets])
-        stats = optimize_netlist(nl, protected, opt.opt_level)
+        stats = optimize_netlist(nl, protected, opt.opt_level,
+                                 binary_ok=opt.assume_binary_inputs)
         ctx.report.opt_stats = stats
         # recount
         from ..models.base import DeviceClass

@@ -98,3 +98,59 @@ endmodule
         assert value() == k, k
         clk.set_attribute("boolean", float(L))
         c.digital_clk()
+
+
+def test_o2_factoring_and_xor_extraction():
+    src = """
+module m(input [3:0] a, input [3:0] b, input [3:0] c, output [3:0] y,
+         output [3:0] z, output w);
+  assign y = (a & b) | (a & c);                 // -> a & (b|c)
+  assign z = (a & ~b) | (~a & b);               // -> a ^ b
+  assign w = ~(a[0] & b[0]) | (a[1] & ~c[1]);   // NAND/NIMP selection
+endmodule
+"""
+    rng = np.random.default_rng(17)
+    vectors = [{"a": int(rng.integers(16)), "b": int(rng.integers(16)),
+                "c": int(rng.integers(16))} for _ in range(20)]
+    r1 = crosscheck_opt(src, "m", vectors, ["y", "z", "w"],
+                        SynthOptions(opt_level=1))
+    r2 = crosscheck_opt(src, "m", vectors, ["y", "z", "w"],
+                        SynthOptions(opt_level=2))
+    assert r2.gate_count < r1.gate_count
+    assert r2.opt_stats.graph_gates_saved > 0
+
+
+def test_o2_preserves_x_propagation():
+    """Kleene-safe tier must not strengthen X outputs: with an X input
+    the optimized netlist still reports X where O0 does."""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.digital.logic import X
+    from phy_engine_tpu.models import INPUT
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import synthesize_to_netlist
+
+    src = """
+module m(input a, input b, output y);
+  assign y = (a & ~b) | (~a & b);
+endmodule
+"""
+    results = {}
+    for lvl in (0, 2):
+        mods = compile_source(src)
+        design = build_design(mods)
+        topm = find_module(design, "m")
+        inst = elaborate(design, topm)
+        c = pe.Circuit()
+        nl = c.nl
+        port_nets = {p: [netops.create_node(nl)] for p in topm.ports}
+        ia = netops.add_model(nl, INPUT, {"boolean": float(X)})
+        ib = netops.add_model(nl, INPUT, {"boolean": 1.0})
+        netops.add_to_node(nl, ia, 0, port_nets["a"][0])
+        netops.add_to_node(nl, ib, 0, port_nets["b"][0])
+        synthesize_to_netlist(nl, design, inst, port_nets,
+                              SynthOptions(opt_level=lvl))
+        c.digital_clk()
+        results[lvl] = c.node_digital(port_nets["y"][0])
+    assert results[2] == results[0] == 2   # X stays X
