@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     ap.add_argument("-Omax", dest="opt_level", action="store_const",
                     const=5)
     ap.add_argument("--loop-unroll", type=int, default=4096)
+    ap.add_argument("--assume-binary-inputs", action="store_true",
+                    help="enable X/Z-unsafe optimizations (O3+ truth-table passes)")
     ap.add_argument("--time", dest="timing", action="store_true")
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args(argv)
@@ -96,7 +98,8 @@ def main(argv=None) -> int:
         report = synthesize_to_netlist(
             nl, design, inst, port_nets,
             SynthOptions(opt_level=args.opt_level or 0,
-                         loop_unroll_limit=args.loop_unroll))
+                         loop_unroll_limit=args.loop_unroll,
+                         assume_binary_inputs=args.assume_binary_inputs))
 
     save(args.output, nl)
     dt = time.perf_counter() - t0

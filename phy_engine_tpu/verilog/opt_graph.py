@@ -672,10 +672,12 @@ def _to_gategraph(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
 
 
 def optimize_o2(nl, protected_ids: Set[int], stats,
-                binary_ok: bool = False, rounds: int = 4) -> bool:
-    """The O2 tier: normalize -> constant/identity/absorption folding ->
-    tree factoring + XOR extraction (to fixpoint) -> primitive
-    selection -> re-emit.  Returns True if the netlist changed."""
+                binary_ok: bool = False, rounds: int = 4,
+                tt_passes: bool = False) -> bool:
+    """The O2/O3 graph tiers: normalize -> constant/identity/absorption
+    folding -> tree factoring + XOR extraction (to fixpoint) ->
+    [O3, binary inputs only: truth-table sweep] -> primitive selection
+    -> re-emit.  Returns True if the netlist changed."""
     g0 = extract(nl, protected_ids)
     if g0 is None:
         return False
@@ -685,26 +687,498 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
     mp = _normalize(g0, bld)
     out_map = {k: (net, mp[idx]) for k, (net, idx) in g0.outputs.items()}
 
-    for _ in range(rounds):
-        roots = [idx for (_, idx) in out_map.values()]
-        repl = _factor_pass(bld, roots)
-        new_map = {}
-        changed = False
-        for k, (net, idx) in out_map.items():
-            j = idx
-            while j in repl and repl[j] != j:
-                j = repl[j]
-            if j != idx:
-                changed = True
-            new_map[k] = (net, j)
-        out_map = new_map
-        if not changed:
-            break
+    def factor_rounds(out_map):
+        for _ in range(rounds):
+            roots = [idx for (_, idx) in out_map.values()]
+            repl = _factor_pass(bld, roots)
+            new_map = {}
+            changed = False
+            for k, (net, idx) in out_map.items():
+                j = idx
+                while j in repl and repl[j] != j:
+                    j = repl[j]
+                if j != idx:
+                    changed = True
+                new_map[k] = (net, j)
+            out_map = new_map
+            if not changed:
+                break
+        return out_map
 
-    g1 = _to_gategraph(bld, out_map)
-    after = g1.gate_count()
-    if after >= before:
+    # run the pass sequence, checkpointing after each stage; emit the
+    # best graph seen (a stage that inflates must not discard the wins
+    # of the stages around it)
+    best_g = None
+    best_count = before
+
+    def checkpoint(out_map):
+        nonlocal best_g, best_count
+        g = _to_gategraph(bld, out_map)
+        n = g.gate_count()
+        if n < best_count:
+            best_g, best_count = g, n
+
+    checkpoint(out_map)                  # normalize + re-selection only
+    if tt_passes and binary_ok:
+        out_map = tt_sweep(bld, out_map, stats)
+        checkpoint(out_map)
+        out_map = qm_cones(bld, out_map, stats)
+        checkpoint(out_map)
+    out_map = factor_rounds(out_map)
+    checkpoint(out_map)
+
+    if best_g is None:
         return False
-    emit(nl, g1, stats)
-    stats.graph_gates_saved += before - after
+    emit(nl, best_g, stats)
+    stats.graph_gates_saved += before - best_count
     return True
+
+
+# ---------------------------------------------------------------------------
+# O3: truth-table passes (binary-inputs relaxation required)
+# ---------------------------------------------------------------------------
+# The role of the reference's u64-packed truth-table batching
+# (pe_synth_cuda_u64_cones.cu:26-113, host fallback in pe_synth.h): 64
+# simulation patterns per word, vectorized over the whole graph with
+# numpy — functionally-equivalent (or complementary) nodes are detected
+# by signature, proven by exhaustive evaluation over their joint
+# support, and merged.
+
+def _live_order(bld: _Builder, roots: List[int]) -> List[int]:
+    order: List[int] = []
+    state: Dict[int, int] = {}
+    for root in roots:
+        stack = [(root, 0)]
+        while stack:
+            i, ph = stack.pop()
+            if ph == 0:
+                if state.get(i):
+                    continue
+                state[i] = 1
+                stack.append((i, 1))
+                for f in bld.nodes[i].fanins:
+                    if not state.get(f):
+                        stack.append((f, 0))
+            elif state[i] != 2:
+                state[i] = 2
+                order.append(i)
+    return order
+
+
+def _sim_words(bld: _Builder, order: List[int], leaf_words: Dict[int, object]):
+    """Vectorized evaluation: each node gets a numpy uint64 array (same
+    shape for all leaves).  Returns (words, tainted) where tainted marks
+    nodes whose cone contains a non-binary constant."""
+    import numpy as np
+    words: Dict[int, object] = {}
+    tainted: Set[int] = set()
+    for i in order:
+        n = bld.nodes[i]
+        if n.op == "PIN":
+            words[i] = leaf_words[i]
+        elif n.op == "CONST":
+            shape = next(iter(leaf_words.values())).shape
+            if n.const == 0:
+                words[i] = np.zeros(shape, np.uint64)
+            elif n.const == 1:
+                words[i] = np.full(shape, ~np.uint64(0))
+            else:
+                words[i] = np.zeros(shape, np.uint64)
+                tainted.add(i)
+        else:
+            f = n.fanins
+            if any(x in tainted for x in f):
+                tainted.add(i)
+            if n.op == "NOT":
+                words[i] = ~words[f[0]]
+            elif n.op == "AND":
+                words[i] = words[f[0]] & words[f[1]]
+            elif n.op == "OR":
+                words[i] = words[f[0]] | words[f[1]]
+            elif n.op == "XOR":
+                words[i] = words[f[0]] ^ words[f[1]]
+            else:
+                raise AssertionError(n.op)
+    return words, tainted
+
+
+def _supports(bld: _Builder, order: List[int]) -> Dict[int, int]:
+    """Leaf support as bitsets (python ints keyed by leaf order)."""
+    leaf_bit: Dict[int, int] = {}
+    supp: Dict[int, int] = {}
+    for i in order:
+        n = bld.nodes[i]
+        if n.op == "PIN":
+            leaf_bit[i] = len(leaf_bit)
+            supp[i] = 1 << leaf_bit[i]
+        elif n.op == "CONST":
+            supp[i] = 0
+        else:
+            s = 0
+            for f in n.fanins:
+                s |= supp[f]
+            supp[i] = s
+    return supp
+
+
+def _exact_equal(bld: _Builder, a: int, b: int, supp: Dict[int, int],
+                 neg: bool, max_support: int = 14) -> bool:
+    """Exhaustively prove cone(a) == cone(b) (or its complement)."""
+    import numpy as np
+    union = supp[a] | supp[b]
+    nsup = bin(union).count("1")
+    if nsup > max_support:
+        return False
+    leaves = []
+    bit = 0
+    u = union
+    while u:
+        if u & 1:
+            leaves.append(bit)
+        u >>= 1
+        bit += 1
+    # identify leaf node indices for those bits
+    # (supp maps node->bitset; leaves of interest have single-bit supp)
+    leaf_nodes: Dict[int, int] = {}
+    for i, s in supp.items():
+        if bld.nodes[i].op == "PIN" and s and (s & (s - 1)) == 0:
+            leaf_nodes[s.bit_length() - 1] = i
+
+    npat = 1 << nsup
+    nwords = max(1, npat // 64)
+    leaf_words: Dict[int, object] = {}
+    for k, lb in enumerate(leaves):
+        pat = np.zeros(nwords, np.uint64)
+        if k < 6:
+            base = np.uint64(0)
+            blk = 1 << k
+            # standard cofactor pattern within a 64-bit word
+            v = 0
+            for p in range(64):
+                if (p >> k) & 1:
+                    v |= 1 << p
+            pat[:] = np.uint64(v)
+        else:
+            idx = np.arange(nwords, dtype=np.uint64)
+            sel = (idx >> np.uint64(k - 6)) & np.uint64(1)
+            pat = np.where(sel == 1, ~np.uint64(0), np.uint64(0))
+        leaf_words[leaf_nodes[lb]] = pat
+
+    # evaluate both cones bottom-up (restricted walk)
+    memo: Dict[int, object] = {}
+
+    def ev(i: int):
+        if i in memo:
+            return memo[i]
+        n = bld.nodes[i]
+        if n.op == "PIN":
+            out = leaf_words.get(i)
+            if out is None:           # leaf outside union (impossible)
+                out = np.zeros(nwords, np.uint64)
+        elif n.op == "CONST":
+            out = (np.zeros(nwords, np.uint64) if n.const == 0
+                   else np.full(nwords, ~np.uint64(0)))
+        else:
+            f = [ev(x) for x in n.fanins]
+            out = {"NOT": lambda: ~f[0],
+                   "AND": lambda: f[0] & f[1],
+                   "OR": lambda: f[0] | f[1],
+                   "XOR": lambda: f[0] ^ f[1]}[n.op]()
+        memo[i] = out
+        return out
+
+    va, vb = ev(a), ev(b)
+    if npat < 64:
+        mask = np.uint64((1 << npat) - 1)
+        va = va & mask
+        vb = (vb if not neg else ~vb) & mask
+        return bool((va == vb).all())
+    return bool((va == (vb if not neg else ~vb)).all())
+
+
+def tt_sweep(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
+             stats, seed: int = 0, max_pairs: int = 4000
+             ) -> Dict[int, Tuple[object, int]]:
+    """Merge functionally-equivalent (or complementary) nodes.
+
+    Signature pass over 128 random patterns; candidates proven by
+    exhaustive evaluation over their joint support (<=14 leaves).  The
+    topologically-earlier node survives, so no cycles can form."""
+    import numpy as np
+    roots = [idx for (_, idx) in out_map.values()]
+    order = _live_order(bld, roots)
+    topo_pos = {i: k for k, i in enumerate(order)}
+
+    rng = np.random.default_rng(seed)
+    leaf_words = {i: rng.integers(0, 1 << 63, size=2, dtype=np.uint64)
+                  for i in order if bld.nodes[i].op == "PIN"}
+    if not leaf_words:
+        return out_map
+    words, tainted = _sim_words(bld, order, leaf_words)
+    supp = _supports(bld, order)
+
+    # canonical signature: min(sig, ~sig) with polarity flag
+    groups: Dict[bytes, List[Tuple[int, bool]]] = {}
+    for i in order:
+        n = bld.nodes[i]
+        if n.op in ("PIN", "CONST") or i in tainted:
+            continue
+        w = words[i]
+        wn = ~w
+        pos = w.tobytes()
+        neg = wn.tobytes()
+        if pos <= neg:
+            groups.setdefault(pos, []).append((i, False))
+        else:
+            groups.setdefault(neg, []).append((i, True))
+
+    repl: Dict[int, int] = {}
+    checked = 0
+    for key, members in groups.items():
+        if len(members) < 2 or checked > max_pairs:
+            continue
+        members.sort(key=lambda t: topo_pos[t[0]])
+        canon, cpol = members[0]
+        for j, jpol in members[1:]:
+            if checked > max_pairs:
+                break
+            checked += 1
+            neg = (jpol != cpol)
+            if _exact_equal(bld, canon, j, supp, neg):
+                repl[j] = bld.NOT(canon) if neg else canon
+                stats.tt_merged += 1
+
+    if not repl:
+        return out_map
+    # rebuild with substitution (bottom-up, re-simplifying)
+    new_idx: Dict[int, int] = {}
+
+    def sub(i: int) -> int:
+        if i in new_idx:
+            return new_idx[i]
+        j = repl.get(i, i)
+        if j != i:
+            out = sub(j)
+        else:
+            n = bld.nodes[i]
+            if n.op in ("PIN", "CONST"):
+                out = i
+            else:
+                f = [sub(x) for x in n.fanins]
+                out = {"NOT": lambda: bld.NOT(f[0]),
+                       "AND": lambda: bld.AND(f[0], f[1]),
+                       "OR": lambda: bld.OR(f[0], f[1]),
+                       "XOR": lambda: bld.XOR(f[0], f[1])}[n.op]()
+        new_idx[i] = out
+        return out
+
+    return {k: (net, sub(idx)) for k, (net, idx) in out_map.items()}
+
+
+# ---------------------------------------------------------------------------
+# O3: Quine-McCluskey two-level cone minimization (pe_synth.h:10202
+# qm_implicant / Petrick analogue; binary-inputs relaxation required)
+# ---------------------------------------------------------------------------
+
+def _qm_primes(minterms: List[int], nvars: int) -> List[Tuple[int, int]]:
+    """Prime implicants as (value, dc_mask) pairs."""
+    cur = {(m, 0) for m in minterms}
+    primes: Set[Tuple[int, int]] = set()
+    while cur:
+        nxt: Set[Tuple[int, int]] = set()
+        combined: Set[Tuple[int, int]] = set()
+        items = list(cur)
+        by_mask: Dict[int, List[Tuple[int, int]]] = {}
+        for it in items:
+            by_mask.setdefault(it[1], []).append(it)
+        for mask, group in by_mask.items():
+            group_set = set(g[0] for g in group)
+            for v, _ in group:
+                for b in range(nvars):
+                    bit = 1 << b
+                    if mask & bit:
+                        continue
+                    if (v | bit) != v and (v | bit) in group_set:
+                        nxt.add((v, mask | bit))
+                        combined.add((v, mask))
+                        combined.add((v | bit, mask))
+        primes |= cur - combined
+        cur = nxt
+    return list(primes)
+
+
+def _qm_cover(minterms: List[int], primes: List[Tuple[int, int]],
+              nvars: int) -> List[Tuple[int, int]]:
+    """Essential primes + greedy cover (Petrick-style exact cover is
+    exponential; greedy matches the reference's large-cone fallback)."""
+    def covers(p, m):
+        v, mask = p
+        return (m & ~mask) == (v & ~mask)
+
+    cover_of: Dict[int, List[int]] = {m: [] for m in minterms}
+    for pi, p in enumerate(primes):
+        for m in minterms:
+            if covers(p, m):
+                cover_of[m].append(pi)
+
+    chosen: Set[int] = set()
+    uncovered = set(minterms)
+    # essential primes
+    for m, ps in cover_of.items():
+        if len(ps) == 1:
+            chosen.add(ps[0])
+    for pi in chosen:
+        uncovered -= {m for m in uncovered if covers(primes[pi], m)}
+    # greedy
+    while uncovered:
+        best, best_cov = None, -1
+        for pi, p in enumerate(primes):
+            if pi in chosen:
+                continue
+            cov = sum(1 for m in uncovered if covers(p, m))
+            if cov > best_cov:
+                best, best_cov = pi, cov
+        if best is None or best_cov <= 0:
+            break
+        chosen.add(best)
+        uncovered -= {m for m in uncovered if covers(primes[best], m)}
+    return [primes[pi] for pi in chosen]
+
+
+def _build_sop(bld: _Builder, leaves: List[int],
+               terms: List[Tuple[int, int]], nvars: int,
+               invert: bool) -> int:
+    if not terms:
+        out = bld.const(0)
+        return bld.NOT(out) if invert else out
+    prods = []
+    for v, mask in terms:
+        lits = []
+        for b in range(nvars):
+            bit = 1 << b
+            if mask & bit:
+                continue
+            lits.append(leaves[b] if (v & bit) else bld.NOT(leaves[b]))
+        if not lits:
+            prods.append(bld.const(1))
+            continue
+        p = lits[0]
+        for q in lits[1:]:
+            p = bld.AND(p, q)
+        prods.append(p)
+    out = prods[0]
+    for p in prods[1:]:
+        out = bld.OR(out, p)
+    return bld.NOT(out) if invert else out
+
+
+def _cone_tt(bld: _Builder, root: int, leaves: List[int]):
+    """Truth table of the cone as a list of ints (bit m = f(minterm m))."""
+    import numpy as np
+    nvars = len(leaves)
+    npat = 1 << nvars
+    nwords = max(1, npat // 64)
+    leaf_words: Dict[int, object] = {}
+    for k in range(nvars):
+        if k < 6:
+            v = 0
+            for p in range(64):
+                if (p >> k) & 1:
+                    v |= 1 << p
+            leaf_words[leaves[k]] = np.full(nwords, np.uint64(v))
+        else:
+            idx = np.arange(nwords, dtype=np.uint64)
+            sel = (idx >> np.uint64(k - 6)) & np.uint64(1)
+            leaf_words[leaves[k]] = np.where(sel == 1, ~np.uint64(0),
+                                             np.uint64(0))
+    memo: Dict[int, object] = {}
+
+    def ev(i: int):
+        if i in memo:
+            return memo[i]
+        n = bld.nodes[i]
+        if n.op == "PIN":
+            out = leaf_words[i]
+        elif n.op == "CONST":
+            out = (np.zeros(nwords, np.uint64) if n.const == 0
+                   else np.full(nwords, ~np.uint64(0)))
+        else:
+            f = [ev(x) for x in n.fanins]
+            out = {"NOT": lambda: ~f[0], "AND": lambda: f[0] & f[1],
+                   "OR": lambda: f[0] | f[1],
+                   "XOR": lambda: f[0] ^ f[1]}[n.op]()
+        memo[i] = out
+        return out
+
+    return ev(root), npat
+
+
+def _live_gate_count(bld: _Builder, roots: List[int]) -> int:
+    return sum(1 for i in _live_order(bld, roots)
+               if bld.nodes[i].op not in ("PIN", "CONST"))
+
+
+def qm_cones(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
+             stats, max_support: int = 10,
+             max_cone: int = 300) -> Dict[int, Tuple[object, int]]:
+    """Re-express small output cones as a minimized two-level SOP (or
+    inverted SOP of the OFF-set, whichever is cheaper) when that lowers
+    the global live gate count."""
+    import numpy as np
+    roots = [idx for (_, idx) in out_map.values()]
+    order = _live_order(bld, roots)
+    supp = _supports(bld, order)
+    # taint: cones containing X/Z constants are not QM-able
+    tainted: Set[int] = set()
+    for i in order:
+        n = bld.nodes[i]
+        if n.op == "CONST" and n.const not in (0, 1):
+            tainted.add(i)
+        elif any(f in tainted for f in n.fanins):
+            tainted.add(i)
+
+    cur_cost = _live_gate_count(bld, roots)
+    new_map = dict(out_map)
+    for k, (net, idx) in out_map.items():
+        if idx in tainted:
+            continue
+        n = bld.nodes[idx]
+        if n.op in ("PIN", "CONST"):
+            continue
+        s = supp.get(idx, 0)
+        nsup = bin(s).count("1")
+        if nsup == 0 or nsup > max_support:
+            continue
+        leaves = [i for i in order
+                  if bld.nodes[i].op == "PIN" and (supp[i] & s)]
+        if len(leaves) != nsup:
+            continue
+        tt, npat = _cone_tt(bld, idx, leaves)
+        bits = np.unpackbits(
+            tt.view(np.uint8), bitorder="little")[:npat]
+        minterms = [m for m in range(npat) if bits[m]]
+        variants = []
+        if 0 < len(minterms) < npat:
+            on = _qm_cover(minterms, _qm_primes(minterms, nsup), nsup)
+            variants.append((on, False))
+            off_mt = [m for m in range(npat) if not bits[m]]
+            off = _qm_cover(off_mt, _qm_primes(off_mt, nsup), nsup)
+            variants.append((off, True))
+        elif not minterms:
+            variants.append(([], False))
+        else:
+            variants.append(([], True))
+
+        best = None
+        for terms, inv in variants:
+            cand = _build_sop(bld, leaves, terms, nsup, inv)
+            trial = [cand if r == idx else r for r in
+                     [x for (_, x) in new_map.values()]]
+            cost = _live_gate_count(bld, trial)
+            if cost < cur_cost and (best is None or cost < best[1]):
+                best = (cand, cost)
+        if best is not None:
+            new_map[k] = (net, best[0])
+            cur_cost = best[1]
+            stats.qm_rewritten += 1
+    return new_map

@@ -45,6 +45,8 @@ class OptStats:
         self.strashed = 0
         self.rebuilt = 0            # gates emitted by the O2 graph tier
         self.graph_gates_saved = 0  # gate-count delta from the O2 tier
+        self.tt_merged = 0          # nodes merged by the O3 TT sweep
+        self.qm_rewritten = 0       # cones rebuilt by O3 QM minimization
 
     def total(self):
         return (self.removed_gates + self.merged_nets +
@@ -281,6 +283,11 @@ def strash(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
         ins = _in_nodes(inst)
         if any(n is None for n in ins):
             continue
+        # gates with a disconnected output are zombies awaiting DCE —
+        # neither canonical nor mergeable (merging a live gate into one
+        # would drop the live gate's net drivers)
+        if any(n is None for n in _out_nodes(inst)):
+            continue
         key_ids = [id(n) for n in ins]
         if inst.mdef.digital_op in _COMMUTATIVE:
             key_ids = sorted(key_ids)
@@ -335,8 +342,13 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
     o1_fixpoint()
     if level >= 2:
         from .opt_graph import optimize_o2
-        for _ in range(4):
-            if not optimize_o2(nl, protected, stats, binary_ok):
+        tt = level >= 3 and binary_ok
+        # level 2: iterate the cheap algebraic tier; level >=3: one
+        # round of the heavier TT tier (the sweep converges in one pass;
+        # re-extraction of a 20k-gate netlist is the dominant cost)
+        for _ in range(1 if tt else 2):
+            if not optimize_o2(nl, protected, stats, binary_ok,
+                               tt_passes=tt):
                 break
             o1_fixpoint()
     return stats

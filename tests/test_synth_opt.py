@@ -154,3 +154,86 @@ endmodule
         c.digital_clk()
         results[lvl] = c.node_digital(port_nets["y"][0])
     assert results[2] == results[0] == 2   # X stays X
+
+
+def test_o3_tt_sweep_and_qm():
+    """O3 (binary-inputs relaxation): TT-equivalence sweep + QM cone
+    minimization collapse a 7-segment decoder far below O1."""
+    src = """
+module seg7(input [3:0] d, output reg [6:0] s);
+  always @* begin
+    case (d)
+      4'h0: s = 7'b0111111; 4'h1: s = 7'b0000110;
+      4'h2: s = 7'b1011011; 4'h3: s = 7'b1001111;
+      4'h4: s = 7'b1100110; 4'h5: s = 7'b1101101;
+      4'h6: s = 7'b1111101; 4'h7: s = 7'b0000111;
+      4'h8: s = 7'b1111111; 4'h9: s = 7'b1101111;
+      4'hA: s = 7'b1110111; 4'hB: s = 7'b1111100;
+      4'hC: s = 7'b0111001; 4'hD: s = 7'b1011110;
+      4'hE: s = 7'b1111001; default: s = 7'b1110001;
+    endcase
+  end
+endmodule
+"""
+    vectors = [{"d": i} for i in range(16)]      # exhaustive
+    r1 = crosscheck_opt(src, "seg7", vectors, ["s"],
+                        SynthOptions(opt_level=1))
+    r3 = crosscheck_opt(src, "seg7", vectors, ["s"],
+                        SynthOptions(opt_level=3,
+                                     assume_binary_inputs=True))
+    assert r3.gate_count < r1.gate_count // 2
+    assert r3.opt_stats.tt_merged > 0
+    assert r3.opt_stats.qm_rewritten > 0
+
+
+def test_o3_counter_still_clocks():
+    """Sequential boundary safety: TT tier must not break FF cones."""
+    src = """
+module counter(input clk, input rst_n, output reg [3:0] q,
+               output wrap);
+  assign wrap = (q == 4'hF);
+  always @(posedge clk or negedge rst_n) begin
+    if (!rst_n) q <= 4'd0;
+    else q <= q + 4'd1;
+  end
+endmodule
+"""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT
+    from phy_engine_tpu.digital.logic import L, H
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import synthesize_to_netlist
+    mods = compile_source(src)
+    design = build_design(mods)
+    topm = find_module(design, "counter")
+    inst = elaborate(design, topm)
+    c = pe.Circuit()
+    nl = c.nl
+    port_nets = {p: [netops.create_node(nl)
+                     for _ in range(inst.signals[p].width)]
+                 for p in topm.ports}
+    clk = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    rst = netops.add_model(nl, INPUT, {"boolean": float(L)})
+    netops.add_to_node(nl, clk, 0, port_nets["clk"][0])
+    netops.add_to_node(nl, rst, 0, port_nets["rst_n"][0])
+    synthesize_to_netlist(nl, design, inst, port_nets,
+                          SynthOptions(opt_level=3,
+                                       assume_binary_inputs=True))
+    c.digital_clk()
+    rst.set_attribute("boolean", float(H))
+    c.digital_clk()
+
+    def value():
+        return sum(c.node_digital(n) << i
+                   for i, n in enumerate(port_nets["q"]))
+
+    for k in range(1, 17):
+        clk.set_attribute("boolean", float(H))
+        c.digital_clk()
+        assert value() == (k & 15), k
+        expected_wrap = 1 if (k & 15) == 15 else 0
+        assert c.node_digital(port_nets["wrap"][0]) == expected_wrap
+        clk.set_attribute("boolean", float(L))
+        c.digital_clk()
