@@ -864,36 +864,11 @@ def _exact_equal(bld: _Builder, a: int, b: int, supp: Dict[int, int],
             pat = np.where(sel == 1, ~np.uint64(0), np.uint64(0))
         leaf_words[leaf_nodes[lb]] = pat
 
-    # evaluate both cones bottom-up (restricted walk)
-    memo: Dict[int, object] = {}
-
-    def ev(i: int):
-        if i in memo:
-            return memo[i]
-        n = bld.nodes[i]
-        if n.op == "PIN":
-            out = leaf_words.get(i)
-            if out is None:           # leaf outside union (impossible)
-                out = np.zeros(nwords, np.uint64)
-        elif n.op == "CONST":
-            out = (np.zeros(nwords, np.uint64) if n.const == 0
-                   else np.full(nwords, ~np.uint64(0)))
-        else:
-            f = [ev(x) for x in n.fanins]
-            out = {"NOT": lambda: ~f[0],
-                   "AND": lambda: f[0] & f[1],
-                   "OR": lambda: f[0] | f[1],
-                   "XOR": lambda: f[0] ^ f[1]}[n.op]()
-        memo[i] = out
-        return out
-
-    va, vb = ev(a), ev(b)
-    if npat < 64:
-        mask = np.uint64((1 << npat) - 1)
-        va = va & mask
-        vb = (vb if not neg else ~vb) & mask
-        return bool((va == vb).all())
-    return bool((va == (vb if not neg else ~vb)).all())
+    # evaluate both cones with the native TT backend
+    from ..native import rows_equal
+    order2 = _cone_order(bld, [a, b])
+    vals = _eval_nodes(bld, order2, leaf_words, nwords)
+    return rows_equal(vals[a], vals[b], npat, neg)
 
 
 def tt_sweep(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
@@ -914,7 +889,13 @@ def tt_sweep(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
                   for i in order if bld.nodes[i].op == "PIN"}
     if not leaf_words:
         return out_map
-    words, tainted = _sim_words(bld, order, leaf_words)
+    words = _eval_nodes(bld, order, leaf_words, 2)
+    tainted: Set[int] = set()
+    for i in order:
+        n = bld.nodes[i]
+        if (n.op == "CONST" and n.const not in (0, 1)) or \
+                any(f in tainted for f in n.fanins):
+            tainted.add(i)
     supp = _supports(bld, order)
 
     # canonical signature: min(sig, ~sig) with polarity flag
@@ -1091,26 +1072,9 @@ def _cone_tt(bld: _Builder, root: int, leaves: List[int]):
             sel = (idx >> np.uint64(k - 6)) & np.uint64(1)
             leaf_words[leaves[k]] = np.where(sel == 1, ~np.uint64(0),
                                              np.uint64(0))
-    memo: Dict[int, object] = {}
-
-    def ev(i: int):
-        if i in memo:
-            return memo[i]
-        n = bld.nodes[i]
-        if n.op == "PIN":
-            out = leaf_words[i]
-        elif n.op == "CONST":
-            out = (np.zeros(nwords, np.uint64) if n.const == 0
-                   else np.full(nwords, ~np.uint64(0)))
-        else:
-            f = [ev(x) for x in n.fanins]
-            out = {"NOT": lambda: ~f[0], "AND": lambda: f[0] & f[1],
-                   "OR": lambda: f[0] | f[1],
-                   "XOR": lambda: f[0] ^ f[1]}[n.op]()
-        memo[i] = out
-        return out
-
-    return ev(root), npat
+    order2 = _cone_order(bld, [root])
+    vals = _eval_nodes(bld, order2, leaf_words, nwords)
+    return vals[root], npat
 
 
 def _live_gate_count(bld: _Builder, roots: List[int]) -> int:
@@ -1182,3 +1146,46 @@ def qm_cones(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
             cur_cost = best[1]
             stats.qm_rewritten += 1
     return new_map
+
+
+# ---------------------------------------------------------------------------
+# native-batched evaluation plumbing
+# ---------------------------------------------------------------------------
+
+def _eval_nodes(bld: _Builder, order: List[int],
+                leaf_fill: Dict[int, object], n_words: int):
+    """Evaluate ``order`` (topo-sorted builder nodes) over packed words
+    via the native TT backend (numpy fallback inside).  ``leaf_fill``
+    maps PIN node idx -> uint64[n_words]; unlisted leaves read zeros.
+    Returns a dict idx -> row (view into the matrix)."""
+    import numpy as np
+    from ..native import (eval_graph, OP_LEAF, OP_NOT, OP_AND, OP_OR,
+                          OP_XOR, OP_CONST0, OP_CONST1)
+    pos = {idx: row for row, idx in enumerate(order)}
+    n = len(order)
+    op = np.zeros(n, np.int32)
+    f0 = np.zeros(n, np.int32)
+    f1 = np.zeros(n, np.int32)
+    words = np.zeros((n, n_words), np.uint64)
+    code = {"NOT": OP_NOT, "AND": OP_AND, "OR": OP_OR, "XOR": OP_XOR}
+    for row, idx in enumerate(order):
+        nd = bld.nodes[idx]
+        if nd.op == "PIN":
+            op[row] = OP_LEAF
+            fill = leaf_fill.get(idx)
+            if fill is not None:
+                words[row] = fill
+        elif nd.op == "CONST":
+            # non-binary consts are handled by taint tracking upstream
+            op[row] = OP_CONST1 if nd.const == 1 else OP_CONST0
+        else:
+            op[row] = code[nd.op]
+            f0[row] = pos[nd.fanins[0]]
+            if len(nd.fanins) > 1:
+                f1[row] = pos[nd.fanins[1]]
+    eval_graph(op, f0, f1, words)
+    return {idx: words[row] for row, idx in enumerate(order)}
+
+
+def _cone_order(bld: _Builder, roots: List[int]) -> List[int]:
+    return _live_order(bld, roots)
