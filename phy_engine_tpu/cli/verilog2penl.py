@@ -46,6 +46,14 @@ def main(argv=None) -> int:
     ap.add_argument("--loop-unroll", type=int, default=4096)
     ap.add_argument("--assume-binary-inputs", action="store_true",
                     help="enable X/Z-unsafe optimizations (O3+ truth-table passes)")
+    ap.add_argument("--opt-verify", action="store_true",
+                    help="Omax: verify candidate netlists (exhaustive <=12 inputs, else random vectors)")
+    ap.add_argument("--omax-restarts", type=int, default=4)
+    ap.add_argument("--omax-budget", type=float, default=None,
+                    help="Omax wall-clock budget in seconds")
+    ap.add_argument("--opt-cost", choices=("gate_count", "weighted"),
+                    default="gate_count")
+    ap.add_argument("--omax-seed", type=int, default=0)
     ap.add_argument("--time", dest="timing", action="store_true")
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args(argv)
@@ -99,7 +107,12 @@ def main(argv=None) -> int:
             nl, design, inst, port_nets,
             SynthOptions(opt_level=args.opt_level or 0,
                          loop_unroll_limit=args.loop_unroll,
-                         assume_binary_inputs=args.assume_binary_inputs))
+                         assume_binary_inputs=args.assume_binary_inputs,
+                         omax_restarts=args.omax_restarts,
+                         omax_time_budget_s=args.omax_budget,
+                         omax_verify=args.opt_verify,
+                         omax_cost_model=args.opt_cost,
+                         omax_seed=args.omax_seed))
 
     save(args.output, nl)
     dt = time.perf_counter() - t0

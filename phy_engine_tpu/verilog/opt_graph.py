@@ -1189,3 +1189,197 @@ def _eval_nodes(bld: _Builder, order: List[int],
 
 def _cone_order(bld: _Builder, roots: List[int]) -> List[int]:
     return _live_order(bld, roots)
+
+
+# ---------------------------------------------------------------------------
+# Omax (O4/O5): budgeted multi-start search + equivalence verification
+# (pe_synth.h Omax loop: deterministic by default, randomized restarts,
+#  gate_count/weighted cost models, exhaustive-or-random verification)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_WEIGHTS = {"AND": 1.0, "OR": 1.0, "NOT": 0.5, "YES": 0.25,
+                    "XOR": 1.5, "XNOR": 1.5, "NAND": 1.0, "NOR": 1.0,
+                    "IMP": 1.0, "NIMP": 1.0}
+
+
+def graph_cost(g: GateGraph, cost_model: str = "gate_count",
+               weights: Optional[Dict[str, float]] = None) -> float:
+    live = g.live_set()
+    if cost_model == "weighted":
+        w = dict(_DEFAULT_WEIGHTS)
+        if weights:
+            w.update(weights)
+        return sum(w.get(g.nodes[i].op, 1.0) for i in live
+                   if g.nodes[i].op not in ("PIN", "CONST"))
+    return float(sum(1 for i in live
+                     if g.nodes[i].op not in ("PIN", "CONST")))
+
+
+def _eval_gategraph(g: GateGraph, leaf_words: Dict[int, object],
+                    n_words: int) -> Dict[int, object]:
+    """Evaluate a GateGraph (composite ops included) over packed words.
+    ``leaf_words`` is keyed by id(net) of PIN leaves."""
+    import numpy as np
+    vals: Dict[int, object] = {}
+    order = _toposort(g, g.live_set())
+    ones = np.full(n_words, ~np.uint64(0))
+    zeros = np.zeros(n_words, np.uint64)
+    for i in order:
+        n = g.nodes[i]
+        if n.op == "PIN":
+            vals[i] = leaf_words.get(id(n.net), zeros)
+        elif n.op == "CONST":
+            vals[i] = ones.copy() if n.const == 1 else zeros.copy()
+        else:
+            f = [vals[x] for x in n.fanins]
+            if n.op == "AND":
+                vals[i] = f[0] & f[1]
+            elif n.op == "OR":
+                vals[i] = f[0] | f[1]
+            elif n.op == "XOR":
+                vals[i] = f[0] ^ f[1]
+            elif n.op == "XNOR":
+                vals[i] = ~(f[0] ^ f[1])
+            elif n.op == "NAND":
+                vals[i] = ~(f[0] & f[1])
+            elif n.op == "NOR":
+                vals[i] = ~(f[0] | f[1])
+            elif n.op == "IMP":
+                vals[i] = ~f[0] | f[1]
+            elif n.op == "NIMP":
+                vals[i] = f[0] & ~f[1]
+            elif n.op in ("NOT",):
+                vals[i] = ~f[0]
+            elif n.op == "YES":
+                vals[i] = f[0]
+            else:
+                raise AssertionError(n.op)
+    return vals
+
+
+def graphs_equivalent(g0: GateGraph, g1: GateGraph,
+                      exhaustive_limit: int = 12,
+                      random_words: int = 16, seed: int = 0) -> bool:
+    """Binary-domain equivalence of two graphs over the same output
+    nets: exhaustive when the combined leaf count is small, else random
+    vectors (the reference's Omax opt-verify scheme)."""
+    import numpy as np
+    leaves: Dict[int, object] = {}
+    for g in (g0, g1):
+        for n in g.nodes:
+            if n.op == "PIN":
+                leaves[id(n.net)] = n.net
+    keys = sorted(leaves)
+    nsup = len(keys)
+    if nsup <= exhaustive_limit:
+        npat = 1 << nsup
+        n_words = max(1, npat // 64)
+        lw: Dict[int, object] = {}
+        for k, key in enumerate(keys):
+            if k < 6:
+                v = 0
+                for p in range(64):
+                    if (p >> k) & 1:
+                        v |= 1 << p
+                lw[key] = np.full(n_words, np.uint64(v))
+            else:
+                idx = np.arange(n_words, dtype=np.uint64)
+                sel = (idx >> np.uint64(k - 6)) & np.uint64(1)
+                lw[key] = np.where(sel == 1, ~np.uint64(0), np.uint64(0))
+        tail = npat if npat < 64 else 0
+    else:
+        n_words = random_words
+        rng = np.random.default_rng(seed)
+        lw = {key: rng.integers(0, 1 << 63, n_words, dtype=np.uint64)
+              for key in keys}
+        tail = 0
+
+    v0 = _eval_gategraph(g0, lw, n_words)
+    v1 = _eval_gategraph(g1, lw, n_words)
+    outs0 = {k: idx for k, (_, idx) in g0.outputs.items()}
+    outs1 = {k: idx for k, (_, idx) in g1.outputs.items()}
+    if set(outs0) != set(outs1):
+        return False
+    mask = np.uint64((1 << tail) - 1) if tail else ~np.uint64(0)
+    for k in outs0:
+        a = v0[outs0[k]]
+        b = v1[outs1[k]]
+        if tail:
+            if (a[0] & mask) != (b[0] & mask):
+                return False
+        elif not bool((a == b).all()):
+            return False
+    return True
+
+
+def optimize_omax(nl, protected_ids: Set[int], stats,
+                  binary_ok: bool, restarts: int = 4,
+                  time_budget_s: Optional[float] = None,
+                  verify: bool = False,
+                  cost_model: str = "gate_count",
+                  weights: Optional[Dict[str, float]] = None,
+                  seed: int = 0) -> bool:
+    """Multi-start graph optimization: each restart runs the pass
+    pipeline with a different TT seed and stage order; the best graph by
+    the chosen cost model is (optionally verified then) emitted."""
+    import time as _time
+    t0 = _time.monotonic()
+    g0 = extract(nl, protected_ids)
+    if g0 is None:
+        return False
+    base_cost = graph_cost(g0, cost_model, weights)
+
+    orders = [("tt", "qm", "factor"), ("factor", "tt", "qm"),
+              ("tt", "factor", "qm"), ("qm", "tt", "factor")]
+    best_g: Optional[GateGraph] = None
+    best_cost = base_cost
+    tried = 0
+    for r in range(max(1, restarts)):
+        if time_budget_s is not None and \
+                _time.monotonic() - t0 > time_budget_s:
+            break
+        tried += 1
+        bld = _Builder(binary_ok)
+        mp = _normalize(g0, bld)
+        out_map = {k: (net, mp[idx])
+                   for k, (net, idx) in g0.outputs.items()}
+
+        def factor(om):
+            for _ in range(3):
+                roots = [idx for (_, idx) in om.values()]
+                repl = _factor_pass(bld, roots)
+                nm = {}
+                ch = False
+                for k, (net, idx) in om.items():
+                    j = idx
+                    while j in repl and repl[j] != j:
+                        j = repl[j]
+                    ch |= j != idx
+                    nm[k] = (net, j)
+                om = nm
+                if not ch:
+                    break
+            return om
+
+        for stage in orders[r % len(orders)]:
+            if stage == "factor":
+                out_map = factor(out_map)
+            elif stage == "tt" and binary_ok:
+                out_map = tt_sweep(bld, out_map, stats, seed=seed + r)
+            elif stage == "qm" and binary_ok:
+                out_map = qm_cones(bld, out_map, stats)
+            g = _to_gategraph(bld, out_map)
+            c = graph_cost(g, cost_model, weights)
+            if c < best_cost:
+                if verify and not graphs_equivalent(g0, g, seed=seed):
+                    stats.omax_verify_rejected += 1
+                    continue
+                best_g, best_cost = g, c
+
+    stats.omax_restarts = tried
+    stats.omax_best_cost = best_cost
+    if best_g is None:
+        return False
+    emit(nl, best_g, stats)
+    stats.graph_gates_saved += int(base_cost - best_cost)
+    return True

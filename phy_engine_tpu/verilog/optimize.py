@@ -47,6 +47,9 @@ class OptStats:
         self.graph_gates_saved = 0  # gate-count delta from the O2 tier
         self.tt_merged = 0          # nodes merged by the O3 TT sweep
         self.qm_rewritten = 0       # cones rebuilt by O3 QM minimization
+        self.omax_restarts = 0      # restarts executed by the Omax loop
+        self.omax_best_cost = 0.0   # winning cost under the cost model
+        self.omax_verify_rejected = 0  # candidates failing opt-verify
 
     def total(self):
         return (self.removed_gates + self.merged_nets +
@@ -316,7 +319,8 @@ def strash(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
 
 def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
                      max_rounds: int = 50,
-                     binary_ok: bool = False) -> OptStats:
+                     binary_ok: bool = False,
+                     omax: Optional[dict] = None) -> OptStats:
     """Run the optimization pipeline to fixpoint.
 
     O1: netlist-local passes (const-prop, YES/NOT fusion, strash, DCE).
@@ -343,12 +347,19 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
     if level >= 2:
         from .opt_graph import optimize_o2
         tt = level >= 3 and binary_ok
-        # level 2: iterate the cheap algebraic tier; level >=3: one
-        # round of the heavier TT tier (the sweep converges in one pass;
-        # re-extraction of a 20k-gate netlist is the dominant cost)
-        for _ in range(1 if tt else 2):
-            if not optimize_o2(nl, protected, stats, binary_ok,
-                               tt_passes=tt):
-                break
+        if level >= 4:
+            from .opt_graph import optimize_omax
+            optimize_omax(nl, protected, stats, binary_ok,
+                          **(omax or {}))
             o1_fixpoint()
+        else:
+            from .opt_graph import optimize_o2
+            # level 2: iterate the cheap algebraic tier; level >=3: one
+            # round of the heavier TT tier (the sweep converges in one
+            # pass; re-extraction of a 20k netlist is the dominant cost)
+            for _ in range(1 if tt else 2):
+                if not optimize_o2(nl, protected, stats, binary_ok,
+                                   tt_passes=tt):
+                    break
+                o1_fixpoint()
     return stats

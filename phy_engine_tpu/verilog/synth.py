@@ -40,6 +40,14 @@ class SynthOptions:
     # binary (never X/Z) — enables complement rules and truth-table
     # passes, mirroring the reference's assume_binary_inputs relaxation.
     assume_binary_inputs: bool = False
+    # Omax (opt_level >= 4) knobs, mirroring pe_synth_options' Omax
+    # budget/verify/cost fields.
+    omax_restarts: int = 4
+    omax_time_budget_s: Optional[float] = None
+    omax_verify: bool = False
+    omax_cost_model: str = "gate_count"     # or "weighted"
+    omax_weights: Optional[dict] = None
+    omax_seed: int = 0
 
 
 @dataclass
@@ -821,8 +829,15 @@ def synthesize_to_netlist(nl: Netlist, design, top_inst: InstanceState,
         protected = []
         for nets in port_nets.values():
             protected.extend(nets if isinstance(nets, list) else [nets])
-        stats = optimize_netlist(nl, protected, opt.opt_level,
-                                 binary_ok=opt.assume_binary_inputs)
+        stats = optimize_netlist(
+            nl, protected, opt.opt_level,
+            binary_ok=opt.assume_binary_inputs,
+            omax={"restarts": opt.omax_restarts,
+                  "time_budget_s": opt.omax_time_budget_s,
+                  "verify": opt.omax_verify,
+                  "cost_model": opt.omax_cost_model,
+                  "weights": opt.omax_weights,
+                  "seed": opt.omax_seed})
         ctx.report.opt_stats = stats
         # recount
         from ..models.base import DeviceClass

@@ -237,3 +237,44 @@ endmodule
         assert c.node_digital(port_nets["wrap"][0]) == expected_wrap
         clk.set_attribute("boolean", float(L))
         c.digital_clk()
+
+
+def test_omax_multistart_with_verification():
+    src = """
+module m(input [3:0] a, input [3:0] b, output [3:0] y, output p);
+  assign y = (a & b) | (a & ~b) | (~a & b);   // == a | b
+  assign p = ^(a ^ b);
+endmodule
+"""
+    rng = np.random.default_rng(23)
+    vectors = [{"a": int(rng.integers(16)), "b": int(rng.integers(16))}
+               for _ in range(24)]
+    r = crosscheck_opt(src, "m", vectors, ["y", "p"],
+                       SynthOptions(opt_level=5,
+                                    assume_binary_inputs=True,
+                                    omax_verify=True,
+                                    omax_restarts=3))
+    st = r.opt_stats
+    assert st.omax_restarts >= 1
+    assert st.omax_best_cost > 0
+    # a|b per bit (4 OR) + parity tree — far below the raw SOP
+    assert r.gate_count <= 16
+
+
+def test_graphs_equivalent_detects_mismatch():
+    from phy_engine_tpu.verilog.opt_graph import (GateGraph,
+                                                  graphs_equivalent)
+
+    class FakeNet:
+        pass
+
+    na, nb, nout = FakeNet(), FakeNet(), FakeNet()
+    g0 = GateGraph()
+    g0.set_output(nout, g0.gate("AND", g0.leaf(na), g0.leaf(nb)))
+    g1 = GateGraph()
+    g1.set_output(nout, g1.gate("OR", g1.leaf(na), g1.leaf(nb)))
+    g2 = GateGraph()
+    g2.set_output(nout, g2.gate("NOT", g2.gate(
+        "NAND", g2.leaf(na), g2.leaf(nb))))
+    assert not graphs_equivalent(g0, g1)
+    assert graphs_equivalent(g0, g2)       # ~(a NAND b) == a & b
