@@ -252,7 +252,18 @@ class BitSynth:
 
     # -- width helpers -------------------------------------------------------
     def width_of(self, expr) -> int:
+        info = self._array_ref(expr)
+        if info is not None:
+            return info[1]
         return self_width(expr, self._const_ctx_sig())
+
+    def _array_ref(self, expr) -> Optional[Tuple[int, int]]:
+        """(depth, word_width) when expr is an index into a memory."""
+        if expr[0] == "index" and expr[1][0] == "id":
+            sig = self.inst.signals.get(expr[1][1])
+            if sig is not None and sig.array_len:
+                return sig.array_len, sig.width
+        return None
 
     def _const_ctx_sig(self) -> EvalCtx:
         # width queries need signal widths but not values
@@ -290,6 +301,18 @@ class BitSynth:
             return bits
         if op == "index":
             idx = self.try_const(expr[2])
+            arr = self._array_ref(expr)
+            if arr is not None:
+                depth, w = arr
+                flat = list(env[expr[1][1]])
+                if idx is not None and idx.known:
+                    i = idx.to_int()
+                    if 0 <= i < depth:
+                        return flat[i * w:(i + 1) * w]
+                    return [CX] * w
+                sel_bits = self.lower(expr[2], env)
+                return [self._mux_select(flat[j::w], sel_bits)
+                        for j in range(w)]
             base_bits = self.lower(expr[1], env)
             if idx is not None and idx.known:
                 i = idx.to_int()
@@ -645,9 +668,14 @@ class BitSynth:
             c = eval_expr(cond, cctx)
             if not c.to_int():
                 break
-            # expose the loop var as a constant to the body
+            # expose the loop var as a constant to the body — both via
+            # params (for try_const index folding) and via env (for
+            # direct uses like slices of the loop variable, which would
+            # otherwise read the local's X initializer)
             saved = self.inst.params.get(var)
             self.inst.params[var] = cctx.params[var]
+            if var in env:
+                env[var] = _const_bits(cctx.params[var])
             self.exec_stmt(body, env, nba)
             if saved is None:
                 self.inst.params.pop(var, None)
@@ -725,6 +753,25 @@ class BitSynth:
             idx = self.try_const(lhs[2])
             name = lhs[1][1]
             cur = list(write_env.get(name, read_env.get(name, [])))
+            arr = self._array_ref(lhs)
+            if arr is not None:
+                depth, w = arr
+                val = _resize_bits(self.lower(rhs, read_env, w), w, False)
+                if idx is not None and idx.known:
+                    i = idx.to_int()
+                    if 0 <= i < depth:
+                        cur[i * w:(i + 1) * w] = val
+                    write_env[name] = cur
+                    return
+                sel = self.lower(lhs[2], read_env)
+                # demux write: word i = (sel==i) ? val : old
+                for i in range(depth):
+                    m = self._index_match(sel, i)
+                    for j in range(w):
+                        cur[i * w + j] = self.ctx.g_mux(
+                            m, cur[i * w + j], val[j])
+                write_env[name] = cur
+                return
             val = self.lower(rhs, read_env, 1)
             if idx is not None and idx.known:
                 i = idx.to_int()
@@ -854,8 +901,12 @@ def _signal_nodes(ctx: SynthContext, inst: InstanceState,
     sigbits: Dict[str, List[NetT]] = {}
     for name, sig in inst.signals.items():
         if sig.array_len:
-            raise CompileError(
-                f"synth: memories not supported yet ({name})")
+            # memory: array_len words flattened word-major into one bit
+            # list; reads become per-bit mux trees, writes demux into
+            # per-word enables, and FF lowering sees plain bit targets
+            sigbits[name] = [ctx.new_node()
+                             for _ in range(sig.array_len * sig.width)]
+            continue
         if name in port_nets:
             nets = port_nets[name]
             if isinstance(nets, Node):

@@ -241,3 +241,45 @@ endmodule
     set_input(c, ins, "d", 3)
     c.digital_clk()
     assert read_output(c, outs, "q") == 9    # held
+
+
+def test_synth_memory_array():
+    """Memories lower to FF words with demux writes and mux-tree reads
+    (register-file pattern)."""
+    src = """
+module regfile(input clk, input we, input [1:0] waddr,
+               input [7:0] wdata, input [1:0] raddr,
+               output [7:0] rdata);
+  reg [7:0] store [3:0];
+  always @(posedge clk) if (we) store[waddr] <= wdata;
+  assign rdata = store[raddr];
+endmodule
+"""
+    c, ins, outs, rt, report = synth_harness(src, "regfile")
+    assert report.ff_count == 32
+    vals = {0: 0x11, 1: 0x22, 2: 0x33, 3: 0x44}
+
+    def clock():
+        set_input(c, ins, "clk", 1)
+        c.digital_clk()
+        set_input(c, ins, "clk", 0)
+        c.digital_clk()
+
+    set_input(c, ins, "clk", 0)
+    set_input(c, ins, "we", 1)
+    c.digital_clk()              # settle: clock history must see L first
+    for addr, v in vals.items():
+        set_input(c, ins, "waddr", addr)
+        set_input(c, ins, "wdata", v)
+        clock()
+    set_input(c, ins, "we", 0)
+    for addr, v in vals.items():
+        set_input(c, ins, "raddr", addr)
+        c.digital_clk()
+        assert read_output(c, outs, "rdata") == v, addr
+    # unchanged under further clocks with we=0
+    set_input(c, ins, "wdata", 0xEE)
+    clock()
+    set_input(c, ins, "raddr", 2)
+    c.digital_clk()
+    assert read_output(c, outs, "rdata") == 0x33
