@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("PE_BENCH_BATCH", "512"))
+BATCH = int(os.environ.get("PE_BENCH_BATCH", "2048"))
 STEPS = int(os.environ.get("PE_BENCH_STEPS", "200"))
 CPU_STEPS = int(os.environ.get("PE_BENCH_CPU_STEPS", "400"))
 

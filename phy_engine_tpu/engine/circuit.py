@@ -15,6 +15,9 @@ structural version (engine.lower), then calls cached jitted kernels from
 from __future__ import annotations
 
 import enum
+import os
+import sys
+import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -196,26 +199,59 @@ class Circuit:
     def _analyze_op(self, mode: str) -> bool:
         ir = self._ir
         params = self._params()
+        t0 = time.perf_counter()
         x, st, ok = _jit_newton(ir, self.dtype, mode, self._method())(
             params, self._x, self._states,
             jnp.asarray(self.tr_duration, self.dtype),
             self._env_scalars(), self._drives)
         ok = bool(ok)
+        self._profile_solve(mode, t0, x if ok else None, params, st)
         if ok:
             self._x, self._states = x, st
             self._writeback(np.asarray(x))
         return ok
+
+    def _profile_solve(self, tag: str, t0: float, x, params, states):
+        """Env-gated per-solve report (the reference's
+        PHY_ENGINE_PROFILE_SOLVE[_VALIDATE], circuit.h:35-57,1359-1479:
+        wall breakdown + sampled residual check on stderr)."""
+        if os.environ.get("PE_TPU_PROFILE_SOLVE", "") in ("", "0"):
+            return
+        wall_ms = (time.perf_counter() - t0) * 1e3
+        ir = self._ir
+        line = (f"[pe-tpu-profile] {tag}: unknowns={ir.n_unknowns} "
+                f"nodes={ir.n_nodes} method={self._method()} "
+                f"wall_ms={wall_ms:.2f} ok={x is not None}")
+        if x is not None and os.environ.get(
+                "PE_TPU_PROFILE_SOLVE_VALIDATE", "") not in ("", "0"):
+            ctx = StampCtx(mode="op" if tag in ("op", "dc") else tag,
+                           t=jnp.asarray(self.tr_duration, self.dtype),
+                           dt=jnp.zeros((), self.dtype),
+                           env=self._env_scalars())
+            A, Z, _ = analog.assemble(ir, params, x, states, ctx,
+                                      self._drives, self.dtype)
+            resid = float(jnp.max(jnp.abs(A @ x - Z)))
+            line += f" max_residual={resid:.3e}"
+        print(line, file=sys.stderr)
 
     def _analyze_tr(self) -> bool:
         ir = self._ir
         params = self._params()
         dt = self.tr.t_step
         num_steps = max(1, int(round(self.tr.t_stop / dt)))
+        t0 = time.perf_counter()
         x, st, ok, xs = _jit_transient(ir, self.dtype, num_steps,
                                        self._method())(
             params, self._x, self._states, self._env_scalars(),
             jnp.asarray(self.tr_duration, self.dtype),
             jnp.asarray(dt, self.dtype), self._drives)
+        if os.environ.get("PE_TPU_PROFILE_SOLVE", "") not in ("", "0"):
+            wall = (time.perf_counter() - t0) * 1e3
+            print(f"[pe-tpu-profile] tr: unknowns={ir.n_unknowns} "
+                  f"steps={num_steps} method={self._method()} "
+                  f"wall_ms={wall:.2f} "
+                  f"ms_per_step={wall / num_steps:.4f} ok={bool(ok)}",
+                  file=sys.stderr)
         ok = bool(ok)
         if ok:
             self._x, self._states = x, st

@@ -208,3 +208,29 @@ def test_parameter_edit_no_restructure():
     assert c.analyze()
     assert c._ir is ir_before          # no recompile on parameter edit
     assert np.isclose(c.node_voltage(mid).real, 1.5)
+
+
+def test_profile_solve_hooks(capfd, monkeypatch):
+    """PE_TPU_PROFILE_SOLVE[_VALIDATE] print a per-solve stderr report
+    with a residual check (reference: PHY_ENGINE_PROFILE_SOLVE)."""
+    monkeypatch.setenv("PE_TPU_PROFILE_SOLVE", "1")
+    monkeypatch.setenv("PE_TPU_PROFILE_SOLVE_VALIDATE", "1")
+    c = make_circuit()
+    nl = c.nl
+    r1 = netops.add_model(nl, RESISTANCE, {"r": 1000.0})
+    r2 = netops.add_model(nl, RESISTANCE, {"r": 3000.0})
+    v = netops.add_model(nl, VDC, {"V": 8.0})
+    top = netops.create_node(nl)
+    mid = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, top)
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    netops.add_to_node(nl, r1, 0, top)
+    netops.add_to_node(nl, r1, 1, mid)
+    netops.add_to_node(nl, r2, 0, mid)
+    netops.add_to_node(nl, r2, 1, nl.ground_node)
+    assert c.analyze()
+    err = capfd.readouterr().err
+    assert "[pe-tpu-profile]" in err
+    assert "max_residual=" in err
+    resid = float(err.split("max_residual=")[1].split()[0])
+    assert resid < 1e-6
