@@ -401,3 +401,27 @@ def insert_slice(tgt: Val, hi: int, lo: int, src: Val) -> Val:
     v = (tgt.v & ~m) | ((src.v & mask(w)) << lo)
     u = (tgt.u & ~m) | ((src.u & mask(w)) << lo)
     return Val.make(v, u, tgt.width, tgt.signed)
+
+
+def v_resolve(a: Val, b: Val) -> Val:
+    """Two-driver net resolution: Z yields the other driver, agreement
+    keeps the value, disagreement or X gives X (node.h multi-driver
+    semantics / resolve2.h), bitwise over the packed planes."""
+    w = max(a.width, b.width)
+    m = mask(w)
+    # widen with Z so missing bits never clobber the other driver
+    def widen(x):
+        ext = m & ~mask(x.width)
+        return x.v | ext, x.u | ext
+    av, au = widen(a)
+    bv, bu = widen(b)
+    az = au & av
+    bz = bu & bv
+    u0 = au | bu | (av ^ bv)
+    v0 = av & bv & ~u0
+    sel_a = az            # a floats: take b
+    sel_b = bz & ~az      # b floats: take a
+    rest = m & ~az & ~(bz & ~az)
+    rv = (sel_a & bv) | (sel_b & av) | (rest & v0)
+    ru = (sel_a & bu) | (sel_b & au) | (rest & u0)
+    return Val.make(rv, ru, w)

@@ -539,6 +539,16 @@ def exec_stmt(stmt: Any, ctx: EvalCtx, nba: Optional[List]):
     raise SimError(f"unsupported statement {op}")
 
 
+def _lhs_base(lhs: Any) -> Optional[str]:
+    """Base signal name of an lvalue (None for concat targets)."""
+    if lhs[0] == "id":
+        return lhs[1]
+    if lhs[0] in ("index", "slice", "pslice"):
+        inner = lhs[1]
+        return inner[1] if inner[0] == "id" else None
+    return None
+
+
 def _lhs_width(lhs: Any, ctx: EvalCtx) -> Optional[int]:
     try:
         return self_width(lhs, ctx)
@@ -631,6 +641,19 @@ class Runtime:
         return EvalCtx(params=self.inst.params, signals=self.values,
                        functions=self.inst.functions, inst=self.inst,
                        tick=tick, rng=self.rng)
+
+    def multi_assign_sigs(self):
+        """Signal names with more than one continuous-assign driver
+        (cached; used for per-delta net resolution)."""
+        if not hasattr(self, "_multi_sigs"):
+            counts: Dict[str, int] = {}
+            for lhs, _rhs in self.inst.assigns:
+                base = _lhs_base(lhs)
+                if base is not None and not isinstance(
+                        self.values.get(base), list):
+                    counts[base] = counts.get(base, 0) + 1
+            self._multi_sigs = {k for k, n in counts.items() if n > 1}
+        return self._multi_sigs
 
 
 def _run_initial(rt: Runtime, tick: int):
@@ -743,13 +766,35 @@ def _comb_pass(rt: Runtime, tick: int) -> bool:
                     crt.values[b.port] = nv
                     changed = True
 
-    # continuous assigns
+    # continuous assigns; signals with several assign drivers resolve
+    # contributions bitwise (Z yields, conflict -> X) like the
+    # reference's per-delta multi-driver resolution
+    multi = rt.multi_assign_sigs()
+    contribs: Dict[str, List] = {}
     for lhs, rhs in rt.inst.assigns:
         w = _lhs_width(lhs, ctx)
         v = eval_expr(rhs, ctx, w)
+        base = _lhs_base(lhs)
+        if base is not None and base in multi:
+            sig = rt.values[base]
+            saved = sig
+            rt.values[base] = Val.all_z(sig.width)
+            _do_assign(lhs, fs.resize(v, w) if w else v, ctx)
+            contribs.setdefault(base, []).append(rt.values[base])
+            rt.values[base] = saved
+            continue
         before = dict(rt.values)
         _do_assign(lhs, fs.resize(v, w) if w else v, ctx)
         if before != rt.values:
+            changed = True
+    for base, parts in contribs.items():
+        new = parts[0]
+        for p in parts[1:]:
+            new = fs.v_resolve(new, p)
+        new = fs.resize(new, rt.values[base].width,
+                        rt.values[base].signed)
+        if rt.values[base] != new:
+            rt.values[base] = new
             changed = True
 
     # level-sensitive always blocks

@@ -870,6 +870,7 @@ def synthesize_to_netlist(nl: Netlist, design, top_inst: InstanceState,
     opt = options or SynthOptions()
     ctx = SynthContext(nl, opt)
     _synth_instance(ctx, top_inst, port_nets)
+    _resolve_multi_drivers(ctx)
     ctx.report.gate_count_pre_opt = ctx.report.gate_count
     if opt.opt_level >= 1:
         from .optimize import optimize_netlist
@@ -929,6 +930,26 @@ def _synth_instance(ctx: SynthContext, inst: InstanceState,
     # continuous assigns: drive the target nodes
     for lhs, rhs in inst.assigns:
         w = bs.width_of(lhs)
+        tri = _tri_pattern(bs, rhs)
+        if tri is not None:
+            # assign y = en ? d : 'bz  ->  TRI_STATE per bit
+            # (pe_synth tri-state lowering; Z branch may be either arm)
+            en_expr, data_expr, active_high = tri
+            en = bs.reduce_or(bs.lower(en_expr, sigbits))
+            if not active_high:
+                en = ctx.g_not(en)
+            en_node = ctx.as_node(en)
+            dbits = _resize_bits(bs.lower(data_expr, sigbits, w), w,
+                                 False)
+            nodes = _lvalue_nodes(ctx, bs, lhs, sigbits, w)
+            from ..models import TRI_STATE
+            for d, n in zip(dbits, nodes):
+                g = ops.add_model(ctx.nl, TRI_STATE)
+                ops.add_to_node(ctx.nl, g, 0, ctx.as_node(d))
+                ops.add_to_node(ctx.nl, g, 1, en_node)
+                ops.add_to_node(ctx.nl, g, 2, n)
+                ctx.report.gate_count += 1
+            continue
         bits = _resize_bits(bs.lower(rhs, sigbits, w), w, False)
         _drive_lvalue(ctx, bs, lhs, bits, sigbits)
 
@@ -954,6 +975,52 @@ def _synth_instance(ctx: SynthContext, inst: InstanceState,
                 nets = _lvalue_nodes(ctx, bs, b.expr, sigbits, sig.width)
                 child_ports[b.port] = nets
         _synth_instance(ctx, child, child_ports)
+
+
+def _tri_pattern(bs: BitSynth, rhs):
+    """(en_expr, data_expr, en_active_high) when rhs is a conditional
+    with an all-Z arm (tri-state driver idiom)."""
+    if rhs[0] != "cond":
+        return None
+    for data_i, z_i, active in ((2, 3, True), (3, 2, False)):
+        zv = bs.try_const(rhs[z_i])
+        if zv is not None and zv.width > 0:
+            m = (1 << zv.width) - 1
+            if zv.v == m and zv.u == m:        # all bits Z
+                return rhs[1], rhs[data_i], active
+    return None
+
+
+def _resolve_multi_drivers(ctx: SynthContext):
+    """Nets with several digital drivers get a RESOLVE2 chain
+    (pe_synth resolve_multi_driver_digital_nets): each driver moves to a
+    private subnet and the chain's final output re-drives the net."""
+    from ..models import RESOLVE2
+    from ..models.base import DeviceClass
+    nl = ctx.nl
+    for node in list(nl.nodes):
+        drv = [p for p in list(node.pins)
+               if p.model.mdef.device_class == DeviceClass.DIGITAL
+               and p.index in p.model.mdef.dout_pins
+               and p.model.mdef.digital_op not in ("INPUT", "INPUT8")]
+        if len(drv) < 2:
+            continue
+        subnets = []
+        for p in drv:
+            n2 = ops.create_node(nl)
+            m, idx = p.model, p.index
+            ops.remove_from_node(nl, m, idx)
+            ops.add_to_node(nl, m, idx, n2)
+            subnets.append(n2)
+        cur = subnets[0]
+        for k, nx in enumerate(subnets[1:]):
+            out = node if k == len(subnets) - 2 else ops.create_node(nl)
+            r = ops.add_model(nl, RESOLVE2)
+            ops.add_to_node(nl, r, 0, cur)
+            ops.add_to_node(nl, r, 1, nx)
+            ops.add_to_node(nl, r, 2, out)
+            ctx.report.gate_count += 1
+            cur = out
 
 
 def _lvalue_nodes(ctx: SynthContext, bs: BitSynth, lhs,

@@ -283,3 +283,43 @@ endmodule
     set_input(c, ins, "raddr", 2)
     c.digital_clk()
     assert read_output(c, outs, "rdata") == 0x33
+
+
+def test_synth_tristate_bus():
+    """Two tri-state drivers on a shared bus: 1'bz conditional assigns
+    lower to TRI_STATE gates + a RESOLVE2 chain (pe_synth
+    resolve_multi_driver_digital_nets analogue)."""
+    src = """
+module bus2(input [3:0] d0, input [3:0] d1, input en0, input en1,
+            output [3:0] y);
+  assign y = en0 ? d0 : 4'bzzzz;
+  assign y = en1 ? d1 : 4'bzzzz;
+endmodule
+"""
+    c, ins, outs, rt, report = synth_harness(src, "bus2")
+    from phy_engine_tpu.verilog.simulate import Val, simulate as bsim
+    tick = [0]
+
+    def drive(d0, d1, en0, en1):
+        for nm, v, w in (("d0", d0, 4), ("d1", d1, 4),
+                         ("en0", en0, 1), ("en1", en1, 1)):
+            set_input(c, ins, nm, v)
+            rt.values[nm] = Val.from_int(v, w)
+        c.digital_clk()
+        tick[0] += 1
+        bsim(rt, tick[0])
+
+    def read_codes():
+        return [c.node_digital(n) for n in outs["y"]]
+
+    drive(0xA, 0x5, 1, 0)
+    assert read_output(c, outs, "y") == 0xA
+    assert rt.values["y"].to_int() == 0xA
+    drive(0xA, 0x5, 0, 1)
+    assert read_output(c, outs, "y") == 0x5
+    drive(0xA, 0x5, 0, 0)            # nobody drives: Z
+    assert all(code == 3 for code in read_codes())
+    drive(0xA, 0x5, 1, 1)            # conflict on differing bits: X
+    codes = read_codes()
+    # 0xA vs 0x5 differ in every bit -> all X
+    assert all(code == 2 for code in codes), codes
