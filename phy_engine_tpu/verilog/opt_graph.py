@@ -27,6 +27,8 @@ _GRAPH_OPS = {"AND", "OR", "XOR", "XNOR", "NAND", "NOR", "IMP", "NIMP",
 # ops whose output is a pure function usable as a *leaf* but whose body
 # we do not touch (multi-driver / tri-state / X-introspection semantics)
 CONST0, CONST1, CONSTX = -2, -3, -4
+# macro block ops: graph node -> (block model, output pin index)
+_MACRO_PINS = {"FA_S": 3, "FA_C": 4, "HA_S": 2, "HA_C": 3}
 
 
 @dataclass
@@ -192,6 +194,7 @@ def emit(nl, g: GateGraph, stats) -> None:
     MODEL = {"AND": M.AND, "OR": M.OR, "XOR": M.XOR, "XNOR": M.XNOR,
              "NAND": M.NAND, "NOR": M.NOR, "IMP": M.IMP, "NIMP": M.NIMP,
              "NOT": M.NOT, "YES": M.YES}
+    macro_insts: Dict[Tuple, object] = {}
 
     live = g.live_set()
     order = _toposort(g, live)
@@ -230,6 +233,20 @@ def emit(nl, g: GateGraph, stats) -> None:
         for pin in list(out_net.pins):
             if pin.index in pin.model.mdef.dout_pins:
                 ops.remove_from_node(nl, pin.model, pin.index)
+        if n.op in _MACRO_PINS:
+            kind = "FA" if n.op.startswith("FA") else "HA"
+            mkey = (kind, n.fanins)
+            minst = macro_insts.get(mkey)
+            if minst is None:
+                minst = ops.add_model(
+                    nl, M.FULL_ADDER if kind == "FA" else M.HALF_ADDER)
+                for k, fi in enumerate(n.fanins):
+                    ops.add_to_node(nl, minst, k, netf(fi))
+                macro_insts[mkey] = minst
+                stats.rebuilt += 1
+            ops.add_to_node(nl, minst, _MACRO_PINS[n.op], out_net)
+            net_of[i] = out_net
+            continue
         inst = ops.add_model(nl, MODEL[n.op])
         for k, fi in enumerate(n.fanins):
             ops.add_to_node(nl, inst, k, netf(fi))
@@ -729,6 +746,7 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
 
     if best_g is None:
         return False
+    best_g = macro_extract(best_g, stats)
     emit(nl, best_g, stats)
     stats.graph_gates_saved += before - best_count
     return True
@@ -1380,6 +1398,102 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
     stats.omax_best_cost = best_cost
     if best_g is None:
         return False
+    best_g = macro_extract(best_g, stats)
     emit(nl, best_g, stats)
     stats.graph_gates_saved += int(base_cost - best_cost)
     return True
+
+
+# ---------------------------------------------------------------------------
+# adder macro extraction (pe_synth optimize_adders analogue)
+# ---------------------------------------------------------------------------
+# Matches the exact structures the digital engine's HALF_ADDER /
+# FULL_ADDER blocks compute (digital/engine.py): s = a^b [, ^cin];
+# c = a&b  /  cout = (a&b) | (cin & (a^b)) — so the rewrite is bit-exact
+# in 4-state semantics, not just for binary inputs.
+
+def macro_extract(g: GateGraph, stats) -> GateGraph:
+    live = g.live_set()
+    nodes = g.nodes
+
+    def key2(i):
+        f = nodes[i].fanins
+        return (min(f), max(f))
+
+    xors: Dict[Tuple[int, int], int] = {}
+    ands: Dict[Tuple[int, int], int] = {}
+    ors: Dict[Tuple[int, int], int] = {}
+    for i in live:
+        n = nodes[i]
+        if len(n.fanins) != 2:
+            continue
+        if n.op == "XOR":
+            xors[key2(i)] = i
+        elif n.op == "AND":
+            ands[key2(i)] = i
+        elif n.op == "OR":
+            ors[key2(i)] = i
+
+    repl: Dict[int, Tuple[str, Tuple[int, ...]]] = {}
+
+    # full adders first (their parts would otherwise match half adders)
+    for (xa, xb), x in list(xors.items()):
+        and_ab = ands.get((xa, xb))
+        if and_ab is None:
+            continue
+        # sum node: XOR(x, cin)
+        for key, s in list(xors.items()):
+            if x not in key or s == x:
+                continue
+            cin = key[0] if key[1] == x else key[1]
+            if cin == x:
+                continue
+            and_cx = ands.get((min(cin, x), max(cin, x)))
+            if and_cx is None:
+                continue
+            cout = ors.get((min(and_ab, and_cx), max(and_ab, and_cx)))
+            if cout is None:
+                continue
+            fan = (xa, xb, cin)
+            repl[s] = ("FA_S", fan)
+            repl[cout] = ("FA_C", fan)
+            stats.adders_extracted += 1
+
+    # half adders: XOR + AND sharing fanins (skip FA-consumed nodes)
+    for key, x in xors.items():
+        if x in repl:
+            continue
+        a = ands.get(key)
+        if a is None or a in repl:
+            continue
+        # only profitable if both outputs are observable
+        repl[x] = ("HA_S", key)
+        repl[a] = ("HA_C", key)
+        stats.adders_extracted += 1
+
+    if not repl:
+        return g
+
+    out = GateGraph()
+    memo: Dict[int, int] = {}
+
+    def conv(i: int) -> int:
+        if i in memo:
+            return memo[i]
+        n = nodes[i]
+        r = repl.get(i)
+        if r is not None:
+            op, fan = r
+            idx = out.gate(op, *[conv(f) for f in fan])
+        elif n.op == "PIN":
+            idx = out.leaf(n.net)
+        elif n.op == "CONST":
+            idx = out.const(n.const)
+        else:
+            idx = out.gate(n.op, *[conv(f) for f in n.fanins])
+        memo[i] = idx
+        return idx
+
+    for k, (net, idx) in g.outputs.items():
+        out.set_output(net, conv(idx))
+    return out

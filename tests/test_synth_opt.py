@@ -278,3 +278,33 @@ def test_graphs_equivalent_detects_mismatch():
         "NAND", g2.leaf(na), g2.leaf(nb))))
     assert not graphs_equivalent(g0, g1)
     assert graphs_equivalent(g0, g2)       # ~(a NAND b) == a & b
+
+
+def test_o2_adder_macro_extraction():
+    """Hand-written XOR/AND/OR ripple adder collapses to FULL_ADDER
+    blocks (pe_synth optimize_adders analogue) with function intact."""
+    src = """
+module full_add(input a, input b, input cin, output s, output cout);
+  assign s = a ^ b ^ cin;
+  assign cout = (a & b) | (cin & (a ^ b));
+endmodule
+module add8(input [7:0] a, input [7:0] b, output [7:0] s, output cout);
+  wire [8:0] c;
+  assign c[0] = 1'b0;
+  genvar i;
+  generate
+    for (i = 0; i < 8; i = i + 1) begin : bits
+      full_add fa(.a(a[i]), .b(b[i]), .cin(c[i]), .s(s[i]),
+                  .cout(c[i+1]));
+    end
+  endgenerate
+  assign cout = c[8];
+endmodule
+"""
+    rng = np.random.default_rng(5)
+    vecs = [{"a": int(rng.integers(256)), "b": int(rng.integers(256))}
+            for _ in range(20)]
+    r2 = crosscheck_opt(src, "add8", vecs, ["s", "cout"],
+                        SynthOptions(opt_level=2))
+    assert r2.opt_stats.adders_extracted > 0
+    assert r2.gate_count <= 10           # 8 FAs (first bit may fold)
