@@ -97,5 +97,14 @@ def main(argv=None) -> int:
     return 0
 
 
+def _main_checked(argv=None) -> int:
+    from ..verilog.errors import CompileError
+    try:
+        return main(argv)
+    except CompileError as e:
+        print(f"verilog2plsav: error: {e}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_main_checked())

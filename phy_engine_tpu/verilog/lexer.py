@@ -47,9 +47,12 @@ class Token:
         return f"{self.kind}:{self.text}"
 
 
-class LexError(Exception):
+from .errors import CompileError
+
+
+class LexError(CompileError):
     def __init__(self, msg, line, col):
-        super().__init__(f"line {line}:{col}: {msg}")
+        Exception.__init__(self, f"line {line}:{col}: {msg}")
         self.line = line
 
 

@@ -19,10 +19,8 @@ from .ast import (Module, SignalDecl, AlwaysBlock, Instance, FunctionDef,
 from .fourstate import Val
 
 
-class CompileError(Exception):
-    def __init__(self, msg: str, line: int = 0):
-        super().__init__(f"line {line}: {msg}" if line else msg)
-        self.line = line
+from .errors import CompileError as CompileError  # noqa: F401
+_ = CompileError
 
 
 def parse_based_literal(text: str) -> Val:

@@ -15,10 +15,11 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
 
-class PreprocessError(Exception):
-    def __init__(self, msg: str, line: int = 0):
-        super().__init__(f"line {line}: {msg}" if line else msg)
-        self.line = line
+from .errors import CompileError
+
+
+class PreprocessError(CompileError):
+    pass
 
 
 @dataclass
