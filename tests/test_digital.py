@@ -324,3 +324,57 @@ def test_schmitt_trigger_hysteresis():
     assert c.analyze()
     c.digital_clk()
     assert c.node_digital(n_o) == H
+
+
+def test_digital_run_scan_matches_per_tick():
+    """Circuit.digital_run (device-side lax.scan over ticks) is
+    tick-exact vs repeated digital_clk()."""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+
+    src = """
+module counter(input clk, input rst_n, output reg [3:0] q);
+  always @(posedge clk or negedge rst_n)
+    if (!rst_n) q <= 4'd0; else q <= q + 4'd1;
+endmodule
+"""
+
+    def build():
+        mods = compile_source(src)
+        design = build_design(mods)
+        topm = find_module(design, "counter")
+        inst = elaborate(design, topm)
+        c = pe.Circuit()
+        nl = c.nl
+        pn = {p: [netops.create_node(nl)
+                  for _ in range(inst.signals[p].width)]
+              for p in topm.ports}
+        clk = netops.add_model(nl, INPUT, {"boolean": 0.0})
+        rst = netops.add_model(nl, INPUT, {"boolean": 0.0})
+        netops.add_to_node(nl, clk, 0, pn["clk"][0])
+        netops.add_to_node(nl, rst, 0, pn["rst_n"][0])
+        synthesize_to_netlist(nl, design, inst, pn,
+                              SynthOptions(opt_level=1))
+        return c, clk, rst, pn
+
+    c1, clk1, rst1, pn1 = build()
+    sched = [{}, {clk1: 1}, {clk1: 0}, {rst1: 1}]
+    for _ in range(6):
+        sched += [{clk1: 1, rst1: 1}, {clk1: 0, rst1: 1}]
+    tr = c1.digital_run(sched)
+    got = list(tr.bus_values(pn1["q"]))
+
+    c2, clk2, rst2, pn2 = build()
+    ref = []
+    remap = {id(clk1): clk2, id(rst1): rst2}
+    for entry in sched:
+        for m, v in entry.items():
+            remap[id(m)].set_attribute("boolean", float(v))
+        c2.digital_clk()
+        ref.append(sum((c2.node_digital(n) & 1) << i
+                       for i, n in enumerate(pn2["q"])))
+    assert got == ref
+    assert got[-1] == 6
