@@ -100,7 +100,80 @@ def cpu_baseline(n_gates):
     return n_gates * sweeps / elapsed
 
 
+def build_fp16():
+    from test_fp16 import FP16_ADD_SRC, _ref_add
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT
+
+    mods = compile_source(FP16_ADD_SRC)
+    design = build_design(mods)
+    topm = find_module(design, "fp16_add")
+    inst = elaborate(design, topm)
+    c = pe.Circuit()
+    nl = c.nl
+    pn = {p: [netops.create_node(nl)
+              for _ in range(inst.signals[p].width)]
+          for p in topm.ports}
+    ins = {}
+    for name in ("a", "b"):
+        ins[name] = []
+        for n in pn[name]:
+            m = netops.add_model(nl, INPUT, {"boolean": 0.0})
+            netops.add_to_node(nl, m, 0, n)
+            ins[name].append(m)
+    report = synthesize_to_netlist(nl, design, inst, pn,
+                                   SynthOptions(opt_level=1))
+    return c, ins, pn, report, _ref_add
+
+
+def fp16_lanes_run():
+    """Lane-parallel combinational throughput: 32 random fp16 adds per
+    tick (the reference's CUDA test-vector batching role)."""
+    import numpy as np
+    c, ins, pn, report, _ref_add = build_fp16()
+    n_gates = report.gate_count
+    T = int(os.environ.get("PE_BENCH_DIGITAL_TICKS", "64"))
+    rng = np.random.default_rng(3)
+    vec_a = rng.integers(0, 1 << 16, (T, 32))
+    vec_b = rng.integers(0, 1 << 16, (T, 32))
+    sched = []
+    for t in range(T):
+        entry = {}
+        for name, vals in (("a", vec_a), ("b", vec_b)):
+            for i, m in enumerate(ins[name]):
+                word = 0
+                for lane in range(32):
+                    word |= (int(vals[t, lane]) >> i & 1) << lane
+                entry[m] = (word, 0)
+        sched.append(entry)
+    c.digital_run(sched)                 # compile + warm
+    t0 = time.perf_counter()
+    tr = c.digital_run(sched)
+    elapsed = time.perf_counter() - t0
+    # spot-check a lane against numpy
+    got = tr.bus_values_lanes(pn["y"])
+    assert int(got[-1, 7]) == _ref_add(int(vec_a[-1, 7]),
+                                       int(vec_b[-1, 7]))
+    return n_gates * T * 32 / elapsed, n_gates
+
+
 def main():
+    mode = os.environ.get("PE_BENCH_DIGITAL_MODE", "rv32")
+    if mode == "fp16_lanes":
+        tpu, n = fp16_lanes_run()
+        cpu = max(cpu_baseline(n) for _ in range(2))
+        print(json.dumps({
+            "metric": "fp16_lane_gate_evals_per_sec",
+            "value": round(tpu, 1),
+            "unit": "gate-evals/s",
+            "vs_baseline": round(tpu / cpu, 2),
+        }))
+        return
     c, clk, rst, port_nets, report, expect = build()
     n = report.gate_count + report.ff_count
     cpu = max(cpu_baseline(n) for _ in range(2))

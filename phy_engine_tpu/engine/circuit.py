@@ -300,11 +300,15 @@ class Circuit:
         """Run ``len(schedule)`` digital ticks in ONE device program
         (lax.scan) — the fast path for clocking pure-digital designs.
 
-        ``schedule``: per tick, a dict {INPUT model -> 4-state code}
-        overriding that device's attribute for the tick; unlisted INPUT
-        devices hold their current attribute value.  Mixed-signal
-        circuits (analog drives or VERILOG_MODULE) must use
-        digital_clk().  Returns a :class:`DigitalTrace`.
+        ``schedule``: per tick, a dict {INPUT model -> value} overriding
+        that device's attribute for the tick; unlisted INPUT devices
+        hold their current attribute value.  A value is either a 4-state
+        code (0/1/2/3, broadcast to all 32 stimulus lanes) or a tuple
+        ``(v_word, u_word)`` of 32-bit planes giving each lane its own
+        4-state value — the bit-packed multi-vector mode that mirrors
+        the reference's u64 cone batching.  Mixed-signal circuits
+        (analog drives or VERILOG_MODULE) must use digital_clk().
+        Returns a :class:`DigitalTrace`.
         """
         if self._digital is None:
             self.prepare()
@@ -331,10 +335,15 @@ class Circuit:
                 s = sig_of.get(id(inst))
                 if s is None:
                     raise ValueError("not a digital INPUT device")
-                codes[s] = int(code) & 3
+                codes[s] = code
             for s, code in codes.items():
-                FV[t, pos[s]] = FULL32 if (code & 1) else 0
-                FU[t, pos[s]] = FULL32 if (code & 2) else 0
+                if isinstance(code, tuple):
+                    FV[t, pos[s]] = np.uint32(code[0] & 0xFFFFFFFF)
+                    FU[t, pos[s]] = np.uint32(code[1] & 0xFFFFFFFF)
+                else:
+                    code = int(code) & 3
+                    FV[t, pos[s]] = FULL32 if (code & 1) else 0
+                    FU[t, pos[s]] = FULL32 if (code & 2) else 0
         hist = eng.run_ticks(np.array(fs, np.int32), FV, FU,
                              self._node_voltages())
         return DigitalTrace(eng, hist)
@@ -450,20 +459,35 @@ class DigitalTrace:
     def __len__(self):
         return self.sv.shape[0]
 
-    def node_codes(self, node) -> np.ndarray:
-        """4-state code of a net at every tick."""
+    def node_codes(self, node, lane: int = 0) -> np.ndarray:
+        """4-state code of a net at every tick (one stimulus lane)."""
         sig = self._eng.ir.node_sig.get(id(node))
         if sig is None:
             return np.full(len(self), 2, np.int8)
-        v = (self.sv[:, sig] & 1).astype(np.int8)
-        u = (self.su[:, sig] & 1).astype(np.int8)
+        v = ((self.sv[:, sig] >> np.uint32(lane)) & 1).astype(np.int8)
+        u = ((self.su[:, sig] >> np.uint32(lane)) & 1).astype(np.int8)
         return v | (u << 1)
 
-    def bus_values(self, nodes) -> np.ndarray:
+    def bus_values(self, nodes, lane: int = 0) -> np.ndarray:
         """Unsigned value of a bus (LSB-first node list) per tick;
         unknown bits read as 0."""
         out = np.zeros(len(self), np.int64)
         for i, n in enumerate(nodes):
-            c = self.node_codes(n)
+            c = self.node_codes(n, lane)
             out |= ((c == 1).astype(np.int64)) << i
+        return out
+
+    def bus_values_lanes(self, nodes) -> np.ndarray:
+        """(T, 32) bus values across every stimulus lane."""
+        T = len(self)
+        out = np.zeros((T, 32), np.int64)
+        for i, n in enumerate(nodes):
+            sig = self._eng.ir.node_sig.get(id(n))
+            if sig is None:
+                continue
+            v = self.sv[:, sig]
+            u = self.su[:, sig]
+            for lane in range(32):
+                bit = ((v >> np.uint32(lane)) & 1) & ~((u >> np.uint32(lane)) & 1)
+                out[:, lane] |= bit.astype(np.int64) << i
         return out

@@ -378,3 +378,59 @@ endmodule
                        for i, n in enumerate(pn2["q"])))
     assert got == ref
     assert got[-1] == 6
+
+
+def test_digital_run_lane_parallel_fp16():
+    """32 independent stimulus lanes per tick through the fp16 adder —
+    the bit-packed multi-vector mode; every lane must match numpy
+    float16 (the reference's u64 cone-batching role)."""
+    import sys
+    import os as _os
+    sys.path.insert(0, _os.path.dirname(__file__))
+    from test_fp16 import FP16_ADD_SRC, _ref_add
+    import phy_engine_tpu as pe
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+
+    mods = compile_source(FP16_ADD_SRC)
+    design = build_design(mods)
+    topm = find_module(design, "fp16_add")
+    inst = elaborate(design, topm)
+    c = pe.Circuit()
+    nl = c.nl
+    pn = {p: [netops.create_node(nl)
+              for _ in range(inst.signals[p].width)]
+          for p in topm.ports}
+    ins = {}
+    for name in ("a", "b"):
+        ins[name] = []
+        for n in pn[name]:
+            m = netops.add_model(nl, INPUT, {"boolean": 0.0})
+            netops.add_to_node(nl, m, 0, n)
+            ins[name].append(m)
+    synthesize_to_netlist(nl, design, inst, pn, SynthOptions(opt_level=1))
+
+    rng = np.random.default_rng(77)
+    T = 4
+    vec_a = rng.integers(0, 1 << 16, (T, 32)).astype(np.int64)
+    vec_b = rng.integers(0, 1 << 16, (T, 32)).astype(np.int64)
+    sched = []
+    for t in range(T):
+        entry = {}
+        for name, vals in (("a", vec_a), ("b", vec_b)):
+            for i, m in enumerate(ins[name]):
+                word = 0
+                for lane in range(32):
+                    word |= (int(vals[t, lane]) >> i & 1) << lane
+                entry[m] = (word, 0)
+            # (v_word per bit, u=0: all lanes known)
+        sched.append(entry)
+    tr = c.digital_run(sched)
+    got = tr.bus_values_lanes(pn["y"])
+    for t in range(T):
+        for lane in range(32):
+            exp = _ref_add(int(vec_a[t, lane]), int(vec_b[t, lane]))
+            assert got[t, lane] == exp, (t, lane, hex(int(got[t, lane])),
+                                         hex(exp))
