@@ -296,6 +296,22 @@ class Circuit:
         self._drives = drives
         return True
 
+    def digital_inputs(self) -> Dict[str, Any]:
+        """Named runtime-settable INPUT devices (synth constants are
+        excluded) — the name-based introspection the reference exposes
+        through its C ABI sample layouts."""
+        out = {}
+        for m in self.nl.live_models():
+            if m.mdef.digital_op == "INPUT" and \
+                    not m.params.get("synth_const") and m.name:
+                out[m.name] = m
+        return out
+
+    def digital_outputs(self) -> Dict[str, Any]:
+        """Named OUTPUT/display devices."""
+        return {m.name: m for m in self.nl.live_models()
+                if m.mdef.digital_op in ("OUTPUT", "OUTPUT8") and m.name}
+
     def digital_run(self, schedule) -> "DigitalTrace":
         """Run ``len(schedule)`` digital ticks in ONE device program
         (lax.scan) — the fast path for clocking pure-digital designs.
