@@ -77,3 +77,57 @@ def test_auto_threshold_picks_sparse():
     c.prepare()
     assert c._method() == "sparse"
     assert c.analyze()
+
+
+def test_large_mesh_scipy_agreement():
+    """Mid-size random mesh: sparse-path node voltages agree with an
+    independent scipy sparse solve (the reference's CPU-vs-GPU
+    agreement oracle, with scipy in the reference-CPU role)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    c, nodes = random_mesh_circuit(n_nodes=1500, n_links=6000, seed=11,
+                                   solver="sparse")
+    assert c.analyze()
+
+    # independent MNA rebuild in scipy from the same netlist
+    ir = c.prepare()
+    n = ir.n_unknowns
+    rows, cols, vals = [], [], []
+    rhs = np.zeros(n)
+    gmin = c.env.g_min
+    for m in c.nl.live_models():
+        name = m.mdef.id_name
+        if name == "R":
+            a, b = (p.node for p in m.pins)
+            g = 1.0 / float(m.params["r"])
+            ia = a.node_index if not a.is_ground else -1
+            ib = b.node_index if not b.is_ground else -1
+            for i, j, s in ((ia, ia, g), (ib, ib, g),
+                            (ia, ib, -g), (ib, ia, -g)):
+                if i >= 0 and j >= 0:
+                    rows.append(i)
+                    cols.append(j)
+                    vals.append(s)
+        elif name == "VDC":
+            a, b = (p.node for p in m.pins)
+            k = m.branches[0].index
+            for nd, sgn in ((a, 1.0), (b, -1.0)):
+                if not nd.is_ground:
+                    rows += [nd.node_index, k]
+                    cols += [k, nd.node_index]
+                    vals += [sgn, sgn]
+            rhs[k] = float(m.params["V"])
+    for i in range(ir.n_nodes):
+        rows.append(i)
+        cols.append(i)
+        vals.append(gmin)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    x_ref = spla.spsolve(A, rhs)
+
+    live = [nd for nd in nodes if nd.node_index >= 0]
+    assert len(live) > 1400          # nearly all nodes participate
+    got = np.array([c.node_voltage(nd).real for nd in live])
+    ref = np.array([x_ref[nd.node_index] for nd in live])
+    err = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-9))
+    assert err < 1e-6, err
