@@ -1101,7 +1101,7 @@ def _live_gate_count(bld: _Builder, roots: List[int]) -> int:
 
 
 def qm_cones(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
-             stats, max_support: int = 10,
+             stats, max_support: int = 14, exact_support: int = 10,
              max_cone: int = 300) -> Dict[int, Tuple[object, int]]:
     """Re-express small output cones as a minimized two-level SOP (or
     inverted SOP of the OFF-set, whichever is cheaper) when that lowers
@@ -1141,11 +1141,29 @@ def qm_cones(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
         minterms = [m for m in range(npat) if bits[m]]
         variants = []
         if 0 < len(minterms) < npat:
-            on = _qm_cover(minterms, _qm_primes(minterms, nsup), nsup)
-            variants.append((on, False))
-            off_mt = [m for m in range(npat) if not bits[m]]
-            off = _qm_cover(off_mt, _qm_primes(off_mt, nsup), nsup)
-            variants.append((off, True))
+            if nsup <= exact_support:
+                # exact: QM prime implicants + cover
+                on = _qm_cover(minterms, _qm_primes(minterms, nsup),
+                               nsup)
+                variants.append((on, False))
+                off_mt = [m for m in range(npat) if not bits[m]]
+                off = _qm_cover(off_mt, _qm_primes(off_mt, nsup), nsup)
+                variants.append((off, True))
+            else:
+                # heuristic: espresso EXPAND/IRREDUNDANT on both phases
+                ones_mask = np.uint64((1 << npat) - 1) if npat < 64 \
+                    else ~np.uint64(0)
+                on = espresso_cover(tt, nsup)
+                if on is not None:
+                    variants.append((on, False))
+                off = espresso_cover(~np.asarray(tt, np.uint64)
+                                     & ones_mask if tt.size == 1
+                                     else ~np.asarray(tt, np.uint64),
+                                     nsup)
+                if off is not None:
+                    variants.append((off, True))
+                if variants:
+                    stats.espresso_rewritten += 0  # counted on accept
         elif not minterms:
             variants.append(([], False))
         else:
@@ -1162,7 +1180,10 @@ def qm_cones(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
         if best is not None:
             new_map[k] = (net, best[0])
             cur_cost = best[1]
-            stats.qm_rewritten += 1
+            if nsup <= exact_support:
+                stats.qm_rewritten += 1
+            else:
+                stats.espresso_rewritten += 1
     return new_map
 
 
@@ -1497,3 +1518,88 @@ def macro_extract(g: GateGraph, stats) -> GateGraph:
     for k, (net, idx) in g.outputs.items():
         out.set_output(net, conv(idx))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Espresso-style heuristic two-level cover (pe_synth.h espresso_solution
+# EXPAND/IRREDUNDANT analogue) for cones beyond exact-QM reach
+# ---------------------------------------------------------------------------
+
+def _var_patterns(nvars: int):
+    import numpy as np
+    npat = 1 << nvars
+    nwords = max(1, npat // 64)
+    patt = []
+    for k in range(nvars):
+        if k < 6:
+            v = 0
+            for p in range(64):
+                if (p >> k) & 1:
+                    v |= 1 << p
+            patt.append(np.full(nwords, np.uint64(v)))
+        else:
+            idx = np.arange(nwords, dtype=np.uint64)
+            sel = (idx >> np.uint64(k - 6)) & np.uint64(1)
+            patt.append(np.where(sel == 1, ~np.uint64(0), np.uint64(0)))
+    return patt, npat, nwords
+
+
+def _cube_cover(v: int, mask: int, nvars: int, patt, ones):
+    cov = ones.copy()
+    for k in range(nvars):
+        bit = 1 << k
+        if mask & bit:
+            continue
+        cov &= patt[k] if (v & bit) else ~patt[k]
+    return cov
+
+
+def espresso_cover(on_words, nvars: int,
+                   max_minterms: int = 4096) -> Optional[List[Tuple[int, int]]]:
+    """Greedy EXPAND + IRREDUNDANT over the ON-set truth table
+    (uint64-packed).  Returns (value, dc_mask) cubes or None when the
+    ON-set is too large to enumerate."""
+    import numpy as np
+    patt, npat, nwords = _var_patterns(nvars)
+    ones = np.full(nwords, ~np.uint64(0))
+    if npat < 64:
+        ones = ones & np.uint64((1 << npat) - 1)
+    on = np.asarray(on_words, np.uint64) & ones
+    off = ~on & ones
+
+    on_bits = np.unpackbits(on.view(np.uint8), bitorder="little")[:npat]
+    minterms = np.nonzero(on_bits)[0]
+    if len(minterms) == 0 or len(minterms) > max_minterms:
+        return [] if len(minterms) == 0 else None
+
+    covered = np.zeros(nwords, np.uint64)
+    cubes: List[Tuple[int, int]] = []
+    covs = []
+    for m in minterms:
+        m = int(m)
+        w, b = m // 64, m % 64
+        if (int(covered[w]) >> b) & 1:
+            continue
+        v, mask = m, 0
+        cov = _cube_cover(v, mask, nvars, patt, ones)
+        # EXPAND: raise literals while avoiding the OFF-set
+        for k in range(nvars):
+            bit = 1 << k
+            trial = _cube_cover(v, mask | bit, nvars, patt, ones)
+            if not np.any(trial & off):
+                mask |= bit
+                cov = trial
+        cubes.append((v & ~mask, mask))
+        covs.append(cov)
+        covered |= cov
+
+    # IRREDUNDANT: drop cubes covered by the union of the others
+    keep = []
+    for i in range(len(cubes)):
+        rest = np.zeros(nwords, np.uint64)
+        for j in range(len(cubes)):
+            if j != i and (j in keep or j > i):
+                rest |= covs[j]
+        if np.any(covs[i] & on & ~rest):
+            keep.append(i)
+    return [cubes[i] for i in keep]

@@ -51,6 +51,7 @@ class OptStats:
         self.omax_best_cost = 0.0   # winning cost under the cost model
         self.omax_verify_rejected = 0  # candidates failing opt-verify
         self.adders_extracted = 0   # HA/FA macro blocks extracted
+        self.espresso_rewritten = 0  # cones covered by espresso (O3)
 
     def total(self):
         return (self.removed_gates + self.merged_nets +

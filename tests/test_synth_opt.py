@@ -308,3 +308,45 @@ endmodule
                         SynthOptions(opt_level=2))
     assert r2.opt_stats.adders_extracted > 0
     assert r2.gate_count <= 10           # 8 FAs (first bit may fold)
+
+
+def test_o3_espresso_wide_cone():
+    """Cones beyond exact-QM reach (>10 inputs) go through the
+    espresso-style EXPAND/IRREDUNDANT cover; 4 overlapping 12-bit
+    match terms reduce to one cube."""
+    src = """
+module m(input [11:0] a, output y);
+  assign y = (a == 12'h003) | (a == 12'h007) |
+             (a == 12'h00B) | (a == 12'h00F);
+endmodule
+"""
+    rng = np.random.default_rng(4)
+    vecs = [{"a": v} for v in (3, 7, 0xB, 0xF, 0, 1, 2, 0x13, 0x803)]
+    vecs += [{"a": int(rng.integers(1 << 12))} for _ in range(16)]
+    r1 = crosscheck_opt(src, "m", vecs, ["y"],
+                        SynthOptions(opt_level=1))
+    r3 = crosscheck_opt(src, "m", vecs, ["y"],
+                        SynthOptions(opt_level=3,
+                                     assume_binary_inputs=True))
+    assert r3.opt_stats.espresso_rewritten >= 1
+    assert r3.gate_count < r1.gate_count // 3
+
+
+def test_o3_espresso_declines_priority_encoder():
+    """Priority logic has exponential two-level forms — the cost guard
+    must keep the multi-level structure while staying correct."""
+    src = """
+module m(input [11:0] a, output [3:0] enc);
+  assign enc = a[11] ? 4'd11 : a[10] ? 4'd10 : a[9] ? 4'd9 :
+               a[8] ? 4'd8 : a[7] ? 4'd7 : a[6] ? 4'd6 :
+               a[5] ? 4'd5 : a[4] ? 4'd4 : a[3] ? 4'd3 :
+               a[2] ? 4'd2 : a[1] ? 4'd1 : 4'd0;
+endmodule
+"""
+    rng = np.random.default_rng(2)
+    vecs = [{"a": int(rng.integers(1 << 12))} for _ in range(24)]
+    vecs += [{"a": 1 << k} for k in range(12)]
+    r3 = crosscheck_opt(src, "m", vecs, ["enc"],
+                        SynthOptions(opt_level=3,
+                                     assume_binary_inputs=True))
+    assert r3.gate_count < 60      # stays multi-level, no SOP blowup
