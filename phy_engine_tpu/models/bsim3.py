@@ -34,14 +34,24 @@ _Q_E = 1.602176634e-19
 _T0 = 273.15
 
 # parameter order = the C ABI compat property stream (dll_main.cpp:1921)
+# followed by the second-tier BSIM parameters (appended so the compat
+# stream prefix is stable): temperature coefficients (kt1/ute/at/xti —
+# bsim3v32.h temperature scaling), DIBL (eta0), vertical-field mobility
+# degradation (theta == ua-surface), junction caps (cjs/cjd).
 _PARAMS = ("W", "L", "Kp", "lambda", "Vth0", "gamma", "phi",
            "Cgs", "Cgd", "Cgb", "diode_Is", "diode_N", "Temp",
-           "vsat", "nfactor", "u0")
+           "vsat", "nfactor", "u0",
+           "kt1", "ute", "at", "xti", "eg", "eta0", "theta",
+           "cjs", "cjd")
 _DEFAULTS = {"W": 1e-6, "L": 1e-6, "Kp": 1e-4, "lambda": 0.0,
              "Vth0": 0.7, "gamma": 0.0, "phi": 0.7,
              "Cgs": 0.0, "Cgd": 0.0, "Cgb": 0.0,
              "diode_Is": 1e-14, "diode_N": 1.0, "Temp": 27.0,
-             "vsat": 8e4, "nfactor": 1.0, "u0": 0.06}
+             "vsat": 8e4, "nfactor": 1.0, "u0": 0.06,
+             "kt1": 0.0, "ute": 0.0, "at": 0.0, "xti": 3.0,
+             "eg": 1.12, "eta0": 0.0, "theta": 0.0,
+             "cjs": 0.0, "cjd": 0.0}
+_TNOM = 27.0
 
 
 def _core_ids(P, vgs, vds, vbs, sign):
@@ -51,12 +61,23 @@ def _core_ids(P, vgs, vds, vbs, sign):
     temp, vsat, nf = P[12], P[13], P[14]
     vt = _K_B * (temp + _T0) / _Q_E
 
+    # temperature scaling (bsim3v32.h temperature section):
+    # Vth(T) = Vth0 + kt1*(T/Tnom - 1); u0(T) = u0*(T/Tnom)^ute;
+    # vsat(T) = vsat - at*(T/Tnom - 1)
+    t_ratio = (temp + _T0) / (_TNOM + _T0)
+    kt1, ute, at_ = P[16], P[17], P[18]
+    vth0_t = vth0 + kt1 * (t_ratio - 1.0)
+    vsat = jnp.maximum(vsat - at_ * (t_ratio - 1.0), 1e3)
+
     # body effect; clamp vbs below phi to keep sqrt real (smoothly)
     phi_s = jnp.maximum(phi, 0.1)
     vbs_c = phi_s - 0.5 * ((phi_s - vbs) +
                            jnp.sqrt((phi_s - vbs) ** 2 + 4.0 * 0.01))
-    vth = vth0 + gamma * (jnp.sqrt(jnp.maximum(phi_s - vbs_c, 1e-12)) -
-                          jnp.sqrt(phi_s))
+    vth = vth0_t + gamma * (jnp.sqrt(jnp.maximum(phi_s - vbs_c,
+                                                 1e-12)) -
+                            jnp.sqrt(phi_s))
+    # DIBL: threshold lowered by eta0 * vds (bsim3v32.h dvt/eta terms)
+    vth = vth - P[21] * vds
     vgst = vgs - vth
 
     # Vgsteff smoothing (strong inversion <-> subthreshold)
@@ -65,9 +86,11 @@ def _core_ids(P, vgs, vds, vbs, sign):
     vgsteff = 2.0 * n * vt * jnp.where(
         arg > 30.0, arg, jnp.log1p(limexp(jnp.minimum(arg, 30.0))))
 
-    # velocity saturation: EsatL = 2*vsat*L/ueff (volts)
-    u0 = P[15]
-    beta = kp * W / jnp.maximum(L, 1e-9)
+    # vertical-field mobility degradation + temperature exponent
+    u0 = P[15] * t_ratio ** P[17]
+    u0 = u0 / (1.0 + P[22] * vgsteff)
+    kp_eff = kp * (u0 / jnp.maximum(P[15], 1e-12))
+    beta = kp_eff * W / jnp.maximum(L, 1e-9)
     esat_l = 2.0 * vsat * L / jnp.maximum(u0, 1e-6)
     vdsat = esat_l * vgsteff / (esat_l + vgsteff)
     # Vdseff smoothing (delta = 10 mV)
@@ -101,11 +124,17 @@ def _terminal_currents(P, v4, sign):
     ids_r = chan(vg - vd, -vds, vb - vd)
     ids = jnp.where(fwd, ids_f, -ids_r)
 
-    # bulk junctions (SPICE-style, limexp-clamped)
-    is_ = P[10]
+    # bulk junctions (SPICE-style, limexp-clamped) with Is(T) scaling:
+    # Is(T) = Is * (T/Tnom)^(XTI/N) * exp(Eg/N * (1/Vtnom - 1/Vt)/1)
     nj = P[11]
     vt = _K_B * (P[12] + _T0) / _Q_E
-    nv = jnp.maximum(nj, 0.1) * vt
+    vtnom = _K_B * (_TNOM + _T0) / _Q_E
+    t_ratio = (P[12] + _T0) / (_TNOM + _T0)
+    njc = jnp.maximum(nj, 0.1)
+    # exp(Eg/N * (1/Vt_nom - 1/Vt)): Eg[eV]/Vt[V] = Eg*q/kT
+    is_ = P[10] * t_ratio ** (P[19] / njc) * \
+        limexp((P[20] / njc) * (1.0 / vtnom - 1.0 / vt))
+    nv = njc * vt
     ibs = is_ * (limexp((vb - vs) / nv) - 1.0)
     ibd = is_ * (limexp((vb - vd) / nv) - 1.0)
 
@@ -135,15 +164,17 @@ def _make_stamp(sign):
             cap_a, cap_z, new_state = _cap_companion(P, v, new_state,
                                                      apply=True)
         else:
-            cap_a = jnp.zeros(12)
-            cap_z = jnp.zeros(6)
+            cap_a = jnp.zeros(4 * len(_CAP_PAIRS))
+            cap_z = jnp.zeros(2 * len(_CAP_PAIRS))
         return (jnp.concatenate([a_vals, cap_a]),
                 jnp.concatenate([z_vals, cap_z]), new_state)
     return stamp
 
 
-# gate capacitor terminal pairs: (g,s), (g,d), (g,b)
-_CAP_PAIRS = ((1, 2, 7), (1, 0, 8), (1, 3, 9))   # (pin_a, pin_b, P index)
+# capacitor terminal pairs: gate overlaps (g,s),(g,d),(g,b) plus bulk
+# junction caps (b,s),(b,d) — (pin_a, pin_b, P index)
+_CAP_PAIRS = ((1, 2, 7), (1, 0, 8), (1, 3, 9),
+              (3, 2, 23), (3, 0, 24))
 
 
 def _cap_companion(P, v, state, apply: bool):
@@ -181,13 +212,14 @@ def _make_ac_stamp(sign):
 
 
 def _ac_common(P, j, omega):
-    a_re = jnp.concatenate([j, jnp.zeros(12)])
+    a_re = jnp.concatenate([j, jnp.zeros(4 * len(_CAP_PAIRS))])
     caps = []
     for ci, (pa, pb, pi) in enumerate(_CAP_PAIRS):
         y = P[pi] * omega
         caps.append(jnp.stack([y, -y, -y, y]))
     a_im = jnp.concatenate([jnp.zeros(16)] + caps)
-    return a_re, a_im, jnp.zeros(10), jnp.zeros(10)
+    nz = 4 + 2 * len(_CAP_PAIRS)
+    return a_re, a_im, jnp.zeros(nz), jnp.zeros(nz)
 
 
 def _pattern(pins, brs):
@@ -215,7 +247,8 @@ def _rhs(pins, brs):
 
 
 _STATE = tuple([("vd", 0.0), ("vg", 0.0), ("vs", 0.0), ("vb", 0.0)] +
-               [(f"cg{i}_{k}", 0.0) for i in range(3) for k in ("g", "h")])
+               [(f"cg{i}_{k}", 0.0) for i in range(len(_CAP_PAIRS))
+                for k in ("g", "h")])
 
 
 def _mk(name, id_name, sign):

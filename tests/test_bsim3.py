@@ -246,3 +246,116 @@ def test_element_code_55():
     s = c.analyze_and_sample()
     v_d = s.components[3].pin_voltages[0]          # BSIM drain pin
     assert 0.0 < v_d < 3.0
+
+
+def _id_at(params, vg=2.0, vd=3.0, rd=1e3):
+    c, m, n_d, vgg, vdd = nmos_bias(vg=vg, vd=vd, rd=rd, params=params)
+    assert c.analyze()
+    return drain_current(c, n_d, vd, rd=rd)
+
+
+BASE = {"Kp": 2e-4, "Vth0": 0.7, "W": 10e-6, "L": 1e-6}
+
+
+def test_kt1_threshold_tempco():
+    """bsim3v32_kt1-style: negative kt1 lowers Vth with temperature,
+    raising subthreshold current; no effect at Tnom."""
+    lo = dict(BASE, kt1=-0.11, Temp=27.0)
+    hi = dict(BASE, kt1=-0.11, Temp=85.0)
+    i_lo = _id_at(lo, vg=0.55)
+    i_hi = _id_at(hi, vg=0.55)
+    assert i_hi > i_lo * 2.0
+    # kt1=0, Temp only shifts the slope, much weaker effect
+    i_hi0 = _id_at(dict(BASE, kt1=0.0, Temp=85.0, ute=0.0), vg=0.55)
+    assert i_hi > i_hi0
+
+
+def test_ute_mobility_tempco():
+    """bsim3v32_ute-style: ute<0 degrades mobility with temperature in
+    strong inversion."""
+    i_cold = _id_at(dict(BASE, ute=-1.5, Temp=27.0), vg=2.5)
+    i_hot = _id_at(dict(BASE, ute=-1.5, Temp=125.0), vg=2.5)
+    assert i_hot < 0.8 * i_cold
+    # with ute=0 strong-inversion current barely moves
+    i_hot0 = _id_at(dict(BASE, ute=0.0, Temp=125.0), vg=2.5)
+    assert abs(i_hot0 - _id_at(dict(BASE), vg=2.5)) < \
+        0.2 * _id_at(dict(BASE), vg=2.5)
+
+
+def test_eta0_dibl():
+    """bsim3v32_eta0-style: DIBL raises subthreshold current with Vds."""
+    lo = _id_at(dict(BASE, eta0=0.08), vg=0.5, vd=0.5)
+    hi = _id_at(dict(BASE, eta0=0.08), vg=0.5, vd=3.0)
+    assert hi > 2.0 * lo
+    # without DIBL the ratio is mild (only vdseff term)
+    lo0 = _id_at(dict(BASE, eta0=0.0), vg=0.5, vd=0.5)
+    hi0 = _id_at(dict(BASE, eta0=0.0), vg=0.5, vd=3.0)
+    assert hi / lo > 1.5 * hi0 / lo0
+
+
+def test_theta_mobility_degradation():
+    """bsim3v32_ua-style: vertical-field degradation bends Id(Vg) below
+    the undegraded curve at high gate drive."""
+    # triode region: Id tracks ueff directly (velocity saturation
+    # masks mobility at high Vds)
+    # stiff drain (1 ohm) so the load line does not mask the ratio
+    i_ref = _id_at(dict(BASE, theta=0.0), vg=3.0, vd=0.1, rd=1.0)
+    i_deg = _id_at(dict(BASE, theta=0.5), vg=3.0, vd=0.1, rd=1.0)
+    assert i_deg < 0.6 * i_ref
+    # negligible effect near threshold
+    i_ref_lo = _id_at(dict(BASE, theta=0.0), vg=0.9, vd=0.1, rd=1.0)
+    i_deg_lo = _id_at(dict(BASE, theta=0.5), vg=0.9, vd=0.1, rd=1.0)
+    assert i_deg_lo > 0.7 * i_ref_lo
+
+
+def test_xti_junction_is_tempco():
+    """bsim3v32_xti-style: bulk junction saturation current grows
+    steeply with temperature."""
+    def bulk_leak(temp):
+        # reverse-biased drain junction: D at +3V, B grounded
+        c, m, n_d, vgg, vdd = nmos_bias(
+            vg=0.0, vd=3.0,
+            params=dict(BASE, diode_Is=1e-12, Temp=temp))
+        assert c.analyze()
+        return abs(drain_current(c, n_d, 3.0))
+    i27 = bulk_leak(27.0)
+    i125 = bulk_leak(125.0)
+    assert i125 > 50.0 * i27
+
+
+def test_junction_cap_tr():
+    """bsim3v32 cj-style: drain-bulk junction cap slows the drain node
+    step response in transient."""
+    import numpy as np
+
+    def settle_steps(cjd):
+        c = pe.Circuit()
+        nl = c.nl
+        vdd = netops.add_model(nl, VDC, {"V": 3.0})
+        r = netops.add_model(nl, RESISTANCE, {"r": 100e3})
+        m = netops.add_model(nl, BSIM3V32_NMOS,
+                             dict(BASE, cjd=cjd))
+        n_vdd = netops.create_node(nl)
+        n_d = netops.create_node(nl)
+        netops.add_to_node(nl, vdd, 0, n_vdd)
+        netops.add_to_node(nl, vdd, 1, nl.ground_node)
+        netops.add_to_node(nl, r, 0, n_vdd)
+        netops.add_to_node(nl, r, 1, n_d)
+        netops.add_to_node(nl, m, 0, n_d)
+        netops.add_to_node(nl, m, 1, nl.ground_node)   # off
+        netops.add_to_node(nl, m, 2, nl.ground_node)
+        netops.add_to_node(nl, m, 3, nl.ground_node)
+        c.set_analyze_type(AnalyzeType.TR)
+        c.tr.t_step = 1e-7
+        c.tr.t_stop = 4e-5
+        assert c.analyze()
+        wave = np.asarray(c.tr_waveform(n_d))
+        return wave
+
+    w_fast = settle_steps(0.0)
+    w_slow = settle_steps(100e-12)      # tau = 100k * 100p = 10us
+    # with the cap, mid-simulation voltage is still rising
+    k = len(w_fast) // 8
+    assert w_fast[k] > 2.9
+    assert w_slow[k] < 2.9
+    assert w_slow[-1] > 2.5             # eventually approaches VDD
