@@ -754,6 +754,65 @@ class DigitalEngine:
         self._writeback()
         return hist
 
+    def run_ticks_batched(self, forced_sig, FV, FU, watch=None,
+                          mesh=None, axis: str = "batch"):
+        """Run B independent instances of the design for T ticks each —
+        vmapped over the instance axis and (optionally) sharded over a
+        ``jax.sharding.Mesh`` axis, so Monte-Carlo/stimulus-corner
+        digital simulation scales across chips (the reference's closest
+        analogue is its multi-GPU synthesis fan-out; the runtime itself
+        has no such axis).
+
+        ``FV``/``FU``: uint32[B, T, S] per-instance schedules over the
+        shared ``forced_sig`` signal list.  Every instance starts from
+        the engine's CURRENT state (replicated).  ``watch``: list of
+        signal indices whose per-tick planes are recorded (bounds the
+        history memory).  Returns (hist_v, hist_u) of shape
+        [B, T, len(watch)] (all signals when watch is None).
+        """
+        if self.ir is None:
+            raise ValueError("no digital IR")
+        if self.ir.vmods:
+            raise ValueError("run_ticks_batched: VERILOG_MODULE devices "
+                             "need per-tick host interaction")
+        import numpy as _np
+        fs = jnp.asarray(_np.asarray(forced_sig, _np.int32))
+        FV = jnp.asarray(_np.asarray(FV, _np.uint32))
+        FU = jnp.asarray(_np.asarray(FU, _np.uint32))
+        B = FV.shape[0]
+        av = jnp.zeros(self._n_analog, jnp.float64)
+        widx = (jnp.asarray(_np.asarray(watch, _np.int32))
+                if watch is not None else None)
+        tick_fn = self._tick_fn
+
+        def one(sv, su, st, FV1, FU1):
+            def step(carry, xs):
+                sv, su, st = carry
+                fv, fu = xs
+                sv, su, st, _ = tick_fn(sv, su, st, fs, fv, fu, av)
+                out = (sv, su) if widx is None else (sv[widx], su[widx])
+                return (sv, su, st), out
+            (_sv, _su, _st), hist = jax.lax.scan(
+                step, (sv, su, st), (FV1, FU1))
+            return hist
+
+        sv0 = jnp.broadcast_to(self.sv, (B,) + self.sv.shape)
+        su0 = jnp.broadcast_to(self.su, (B,) + self.su.shape)
+        st0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)),
+            self.seq_state)
+        run = jax.jit(jax.vmap(one))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(axis))
+            sv0 = jax.device_put(sv0, sh)
+            su0 = jax.device_put(su0, sh)
+            st0 = jax.tree.map(lambda x: jax.device_put(x, sh), st0)
+            FV = jax.device_put(FV, sh)
+            FU = jax.device_put(FU, sh)
+        hv, hu = run(sv0, su0, st0, FV, FU)
+        return hv, hu
+
     def _writeback(self):
         """Lane-0 readback into netlist nodes and OUTPUT devices."""
         sv = np.asarray(self.sv)

@@ -326,6 +326,11 @@ class Circuit:
         (analog drives or VERILOG_MODULE) must use digital_clk().
         Returns a :class:`DigitalTrace`.
         """
+        eng, fs, FV, FU = self._compile_schedule(schedule)
+        hist = eng.run_ticks(fs, FV, FU, self._node_voltages())
+        return DigitalTrace(eng, hist)
+
+    def _compile_schedule(self, schedule):
         if self._digital is None:
             self.prepare()
         eng = self._digital
@@ -360,9 +365,29 @@ class Circuit:
                     code = int(code) & 3
                     FV[t, pos[s]] = FULL32 if (code & 1) else 0
                     FU[t, pos[s]] = FULL32 if (code & 2) else 0
-        hist = eng.run_ticks(np.array(fs, np.int32), FV, FU,
-                             self._node_voltages())
-        return DigitalTrace(eng, hist)
+        return eng, np.array(fs, np.int32), FV, FU
+
+    def digital_run_batch(self, schedules, watch_nodes, mesh=None,
+                          axis: str = "batch"):
+        """Run B independent copies of the design, one schedule each
+        (all the same length), vmapped — and sharded over ``mesh`` when
+        given — on the instance axis.  ``watch_nodes``: nets whose
+        per-tick 4-state codes are recorded.  Returns int8 codes of
+        shape [B, T, len(watch_nodes)] (lane 0)."""
+        eng = self._digital or (self.prepare() and self._digital)
+        if self._digital is None:
+            self.prepare()
+        eng = self._digital
+        compiled = [self._compile_schedule(s) for s in schedules]
+        fs = compiled[0][1]
+        FV = np.stack([c[2] for c in compiled])
+        FU = np.stack([c[3] for c in compiled])
+        watch = [eng.ir.node_sig.get(id(n), 0) for n in watch_nodes]
+        hv, hu = eng.run_ticks_batched(fs, FV, FU, watch=watch,
+                                       mesh=mesh, axis=axis)
+        v = (np.asarray(hv) & 1).astype(np.int8)
+        u = (np.asarray(hu) & 1).astype(np.int8)
+        return v | (u << 1)
 
     def _node_voltages(self) -> np.ndarray:
         ir = self.prepare()

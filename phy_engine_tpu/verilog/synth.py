@@ -1114,6 +1114,7 @@ def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
 
     # reset values
     reset_vals: Dict[str, List[int]] = {}
+    reset_sym: Dict[str, List[NetT]] = {}
     arst_net = None
     if reset_cond is not None:
         renv = {k: list(v) for k, v in sigbits.items()}
@@ -1122,6 +1123,15 @@ def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
         for name, bits in rnba.items():
             if all(isinstance(x, int) for x in bits):
                 reset_vals[name] = bits
+            else:
+                # non-constant reset value: cannot be an async preset —
+                # lowered as a synchronous load mux on D (semantics
+                # match behavioral except when reset toggles with no
+                # clock edge); pe_synth's async-reset-expr analysis
+                reset_sym[name] = bits
+                ctx.report.warnings.append(
+                    f"non-constant async reset value for {name!r}: "
+                    "lowered as synchronous load")
         # reset condition -> active-low arst_n net
         c = bs.lower(reset_cond, sigbits)
         cond_net = bs.reduce_or(c)
@@ -1132,6 +1142,11 @@ def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
             continue
         q_nodes = sigbits[name]
         rv = reset_vals.get(name)
+        rsym = reset_sym.get(name)
+        if rsym is not None and arst_net is not None:
+            # D = reset active ? reset_expr : next  (sync load)
+            bits = [ctx.g_mux(arst_net, rsym[i] if i < len(rsym) else C0,
+                              d) for i, d in enumerate(bits)]
         for i, (d_net, q_net) in enumerate(zip(bits, q_nodes)):
             q_node = ctx.as_node(q_net)
             if arst_net is not None and rv is not None:
