@@ -119,6 +119,19 @@ def main(argv=None) -> int:
     if args.report and report is not None:
         print(f"gates: {report.gate_count}  ffs: {report.ff_count}",
               file=sys.stderr)
+        st = report.opt_stats
+        if st is not None:
+            nz = {k: v for k, v in vars(st).items()
+                  if v and k not in ("omax_trace", "omax_summary")}
+            if nz:
+                print("opt: " + " ".join(f"{k}={v}"
+                                         for k, v in sorted(nz.items())),
+                      file=sys.stderr)
+            if st.omax_summary:
+                print(st.omax_summary, file=sys.stderr)
+                for r, stage, cost in st.omax_trace:
+                    print(f"  restart {r} after {stage}: cost={cost:.0f}",
+                          file=sys.stderr)
         for w in report.warnings:
             print(f"warning: {w}", file=sys.stderr)
     if args.timing:

@@ -92,6 +92,11 @@ def main(argv=None) -> int:
         print(f"gates: {report.gate_count}  ffs: {report.ff_count}  "
               f"elements: {len(ex.elements)}  wires: {len(ex.wires)}",
               file=sys.stderr)
+        st = report.opt_stats
+        if st is not None and st.omax_summary:
+            print(st.omax_summary, file=sys.stderr)
+        for w in report.warnings:
+            print(f"warning: {w}", file=sys.stderr)
     if args.timing:
         print(f"time: {dt * 1e3:.1f} ms", file=sys.stderr)
     return 0

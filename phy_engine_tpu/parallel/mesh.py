@@ -77,3 +77,41 @@ def sharded_batched_transient(ir: AnalogIR, mesh: Mesh, params_b, x_b,
     fn = jax.jit(step, out_shardings=(batch_sharding,
                                       batch_sharding, repl))
     return fn(params_b, x_b, states_b)
+
+
+def tp_solve_op(ir: AnalogIR, mesh: Mesh, params, x0, states0, env,
+                mode: str = "op", dtype=jnp.float64):
+    """Tensor-parallel operating point for ONE huge circuit: device
+    *instances* are sharded across the mesh, so each chip evaluates and
+    stamps its slice of the device population while the MNA system and
+    solution stay replicated — XLA inserts the cross-device reduction
+    for the scatter-add (the collective rides ICI).
+
+    Families whose instance count does not divide the device count stay
+    replicated (correct, just not distributed).  Returns (x, states, ok)
+    with x replicated on every device.
+    """
+    from ..models.base import StampCtx
+
+    n_dev = mesh.devices.size
+    axes = tuple(mesh.axis_names)
+    shard = NamedSharding(mesh, P(axes))
+    repl = NamedSharding(mesh, P())
+
+    def place(v):
+        v = jnp.asarray(v)
+        if v.ndim >= 1 and v.shape[0] % n_dev == 0 and v.shape[0] > 0:
+            return jax.device_put(v, shard)
+        return jax.device_put(v, repl)
+
+    params_s = {k: place(v) for k, v in params.items()}
+    states_s = jax.tree.map(place, states0)
+    x0 = jax.device_put(jnp.asarray(x0), repl)
+
+    def run(p, x, s, envd):
+        ctx = StampCtx(mode=mode, t=jnp.zeros((), dtype),
+                       dt=jnp.zeros((), dtype), env=envd)
+        return analog.newton_solve(ir, p, x, s, ctx, None, dtype)
+
+    fn = jax.jit(run, out_shardings=(repl, None, repl))
+    return fn(params_s, x0, states_s, env)

@@ -1409,6 +1409,7 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
                 out_map = qm_cones(bld, out_map, stats)
             g = _to_gategraph(bld, out_map)
             c = graph_cost(g, cost_model, weights)
+            stats.omax_trace.append((r, stage, c))
             if c < best_cost:
                 if verify and not graphs_equivalent(g0, g, seed=seed):
                     stats.omax_verify_rejected += 1
@@ -1417,6 +1418,10 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
 
     stats.omax_restarts = tried
     stats.omax_best_cost = best_cost
+    stats.omax_summary = (
+        f"omax: restarts={tried} base={base_cost:.0f} "
+        f"best={best_cost:.0f} cost_model={cost_model} "
+        f"verify_rejected={stats.omax_verify_rejected}")
     if best_g is None:
         return False
     best_g = macro_extract(best_g, stats)

@@ -52,6 +52,8 @@ class OptStats:
         self.omax_verify_rejected = 0  # candidates failing opt-verify
         self.adders_extracted = 0   # HA/FA macro blocks extracted
         self.espresso_rewritten = 0  # cones covered by espresso (O3)
+        self.omax_trace = []        # (restart, stage, cost) telemetry
+        self.omax_summary = ""      # one-line Omax report
 
     def total(self):
         return (self.removed_gates + self.merged_nets +
