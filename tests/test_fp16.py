@@ -214,3 +214,128 @@ def test_mul8x8_synth():
     r = crosscheck_opt(MUL8_SRC, "mul8x8", vecs, ["p"],
                        SynthOptions(opt_level=1))
     assert r.gate_count > 0
+
+
+FP16_MUL_SRC = """
+module fp16_mul(input [15:0] a, input [15:0] b, output [15:0] y);
+  wire sa = a[15];
+  wire sb = b[15];
+  wire [4:0] ea = a[14:10];
+  wire [4:0] eb = b[14:10];
+  wire [9:0] fa = a[9:0];
+  wire [9:0] fb = b[9:0];
+  wire sign = sa ^ sb;
+
+  wire a_nan = (ea == 5'd31) & (fa != 10'd0);
+  wire b_nan = (eb == 5'd31) & (fb != 10'd0);
+  wire a_inf = (ea == 5'd31) & (fa == 10'd0);
+  wire b_inf = (eb == 5'd31) & (fb == 10'd0);
+  wire a_zero = (ea == 5'd0) & (fa == 10'd0);
+  wire b_zero = (eb == 5'd0) & (fb == 10'd0);
+
+  wire [10:0] siga = (ea == 5'd0) ? {1'b0, fa} : {1'b1, fa};
+  wire [10:0] sigb = (eb == 5'd0) ? {1'b0, fb} : {1'b1, fb};
+  wire signed [7:0] eea = (ea == 5'd0) ? 8'sd1 : {3'b0, ea};
+  wire signed [7:0] eeb = (eb == 5'd0) ? 8'sd1 : {3'b0, eb};
+
+  wire [21:0] prod = siga * sigb;          // Q2.20
+
+  // normalize: product MSB at bit 21 (1x.xx * 1x.xx) or lower for
+  // subnormal operands; find the leading one
+  function [4:0] lzc22;
+    input [21:0] v;
+    integer i;
+    begin
+      lzc22 = 5'd31;
+      for (i = 0; i < 22; i = i + 1)
+        if (v[i]) lzc22 = 5'd21 - i[4:0];
+    end
+  endfunction
+  wire [4:0] lz = lzc22(prod);
+  wire prod_zero = (prod == 22'd0);
+
+  // exponent of the product when MSB is at bit 21: eea+eeb-15+1
+  wire signed [7:0] etmp0 = eea + eeb - 8'sd15 + 8'sd1 - {3'b0, lz};
+  // shift so leading one lands at bit 21
+  wire [21:0] norm = prod << lz;
+
+  // subnormal: if etmp0 < 1, right-shift extra
+  wire signed [7:0] und = 8'sd1 - etmp0;
+  wire [4:0] extra = (und > 0) ? ((und > 8'sd21) ? 5'd21 : und[4:0])
+                               : 5'd0;
+  wire [21:0] norm2 = norm >> extra;
+  wire extra_sticky = ((norm & ~(22'h3FFFFF << extra)) != 22'd0);
+  wire signed [7:0] efin = (und > 0) ? 8'sd1 : etmp0;
+
+  // round to nearest even: frac = norm2[20:11], G=norm2[10],
+  // S = |norm2[9:0] | extra_sticky
+  wire g = norm2[10];
+  wire s = (norm2[9:0] != 10'd0) | extra_sticky;
+  wire round_up = g & (s | norm2[11]);
+  wire [11:0] rounded = {1'b0, norm2[21:11]} + {11'd0, round_up};
+  wire rnd_carry = rounded[11];
+  wire [9:0] frac_out = rnd_carry ? rounded[10:1] : rounded[9:0];
+  wire hidden = rnd_carry ? rounded[11] : rounded[10];
+  wire signed [7:0] efin2 = efin + (rnd_carry ? 8'sd1 : 8'sd0);
+
+  wire [4:0] eout = hidden ? efin2[4:0] : 5'd0;
+  wire overflow = hidden & (efin2 >= 8'sd31);
+
+  wire [15:0] mul_val =
+      prod_zero ? {sign, 15'd0} :
+      overflow ? {sign, 5'd31, 10'd0} :
+      {sign, eout, frac_out};
+
+  assign y = (a_nan | b_nan) ? 16'h7E00 :
+             ((a_inf & b_zero) | (b_inf & a_zero)) ? 16'h7E00 :
+             (a_inf | b_inf) ? {sign, 5'd31, 10'd0} :
+             mul_val;
+endmodule
+"""
+
+
+def _ref_mul(a_bits, b_bits):
+    with np.errstate(all="ignore"):
+        r = np.float16(_f16(a_bits)) * np.float16(_f16(b_bits))
+    out = _bits(r)
+    if np.isnan(np.float16(r)):
+        out = 0x7E00
+    return out
+
+
+def _mul_vectors(n=40, seed=5):
+    rng = np.random.default_rng(seed)
+    vecs = [(0x3C00, 0x3C00), (0x4000, 0x3800),   # 1*1, 2*0.5
+            (0x0000, 0x7C00), (0x7C00, 0x4000),   # 0*inf, inf*2
+            (0x7E00, 0x3C00), (0x8000, 0x4000),   # nan, -0*2
+            (0x0001, 0x3C00), (0x0001, 0x6C00),   # denorm scaling
+            (0x7BFF, 0x7BFF), (0x03FF, 0x03FF),   # overflow, under
+            (0x3C01, 0x3C01)]                     # rounding
+    while len(vecs) < n + 11:
+        vecs.append((int(rng.integers(1 << 16)),
+                     int(rng.integers(1 << 16))))
+    return vecs
+
+
+def test_fp16_mul_behavioral_vs_numpy():
+    mods = compile_source(FP16_MUL_SRC)
+    design = build_design(mods)
+    topm = find_module(design, "fp16_mul")
+    inst = elaborate(design, topm)
+    rt = Runtime(inst)
+    settle(rt, 0)
+    tick = 0
+    for a, b in _mul_vectors():
+        rt.values["a"] = Val.from_int(a, 16)
+        rt.values["b"] = Val.from_int(b, 16)
+        tick += 1
+        bsim(rt, tick)
+        got = rt.values["y"].to_int()
+        exp = _ref_mul(a, b)
+        assert got == exp, (hex(a), hex(b), hex(got), hex(exp))
+
+
+def test_fp16_mul_synth_crosscheck():
+    vecs = [{"a": a, "b": b} for a, b in _mul_vectors(16)]
+    crosscheck_opt(FP16_MUL_SRC, "fp16_mul", vecs, ["y"],
+                   SynthOptions(opt_level=1))
