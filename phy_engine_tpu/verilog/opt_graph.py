@@ -28,7 +28,8 @@ _GRAPH_OPS = {"AND", "OR", "XOR", "XNOR", "NAND", "NOR", "IMP", "NIMP",
 # we do not touch (multi-driver / tri-state / X-introspection semantics)
 CONST0, CONST1, CONSTX = -2, -3, -4
 # macro block ops: graph node -> (block model, output pin index)
-_MACRO_PINS = {"FA_S": 3, "FA_C": 4, "HA_S": 2, "HA_C": 3}
+_MACRO_PINS = {"FA_S": 3, "FA_C": 4, "HA_S": 2, "HA_C": 3,
+               "M2_P0": 4, "M2_P1": 5, "M2_P2": 6, "M2_P3": 7}
 
 
 @dataclass
@@ -234,12 +235,13 @@ def emit(nl, g: GateGraph, stats) -> None:
             if pin.index in pin.model.mdef.dout_pins:
                 ops.remove_from_node(nl, pin.model, pin.index)
         if n.op in _MACRO_PINS:
-            kind = "FA" if n.op.startswith("FA") else "HA"
+            kind = n.op.split("_")[0]
             mkey = (kind, n.fanins)
             minst = macro_insts.get(mkey)
             if minst is None:
-                minst = ops.add_model(
-                    nl, M.FULL_ADDER if kind == "FA" else M.HALF_ADDER)
+                mdl = {"FA": M.FULL_ADDER, "HA": M.HALF_ADDER,
+                       "M2": M.MUL2}[kind]
+                minst = ops.add_model(nl, mdl)
                 for k, fi in enumerate(n.fanins):
                     ops.add_to_node(nl, minst, k, netf(fi))
                 macro_insts[mkey] = minst
@@ -726,13 +728,13 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
     # best graph seen (a stage that inflates must not discard the wins
     # of the stages around it)
     best_g = None
-    best_count = before
+    best_count = None
 
     def checkpoint(out_map):
         nonlocal best_g, best_count
         g = _to_gategraph(bld, out_map)
         n = g.gate_count()
-        if n < best_count:
+        if best_count is None or n < best_count:
             best_g, best_count = g, n
 
     checkpoint(out_map)                  # normalize + re-selection only
@@ -744,11 +746,12 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
     out_map = factor_rounds(out_map)
     checkpoint(out_map)
 
-    if best_g is None:
-        return False
     best_g = macro_extract(best_g, stats)
+    after = instance_count(best_g)
+    if after >= before:
+        return False
     emit(nl, best_g, stats)
-    stats.graph_gates_saved += before - best_count
+    stats.graph_gates_saved += before - after
     return True
 
 
@@ -1485,6 +1488,49 @@ def macro_extract(g: GateGraph, stats) -> GateGraph:
             repl[cout] = ("FA_C", fan)
             stats.adders_extracted += 1
 
+    # 2x2 multipliers (pe_synth optimize_mul2): the exact gate web the
+    # MUL2 block computes — p0=a0b0, p1=a1b0^a0b1, c1=a1b0&a0b1,
+    # p2=a1b1^c1, p3=a1b1&c1
+    for (t1, t2), p1 in list(xors.items()):
+        if p1 in repl or t1 == t2:
+            continue
+        n1, n2 = nodes[t1], nodes[t2]
+        if n1.op != "AND" or n2.op != "AND":
+            continue
+        if len(n1.fanins) != 2 or len(n2.fanins) != 2:
+            continue
+        c1 = ands.get((min(t1, t2), max(t1, t2)))
+        if c1 is None:
+            continue
+        found = None
+        for a1, b0 in (n1.fanins, n1.fanins[::-1]):
+            for a0, b1 in (n2.fanins, n2.fanins[::-1]):
+                if len({a0, a1, b0, b1}) != 4:
+                    continue
+                p0 = ands.get((min(a0, b0), max(a0, b0)))
+                t3 = ands.get((min(a1, b1), max(a1, b1)))
+                if p0 is None or t3 is None:
+                    continue
+                p2 = xors.get((min(t3, c1), max(t3, c1)))
+                p3 = ands.get((min(t3, c1), max(t3, c1)))
+                if p2 is None or p3 is None:
+                    continue
+                found = (a0, a1, b0, b1, p0, p2, p3)
+                break
+            if found:
+                break
+        if found is None:
+            continue
+        a0, a1, b0, b1, p0, p2, p3 = found
+        if any(x in repl for x in (p0, p2, p3)):
+            continue
+        fan = (a0, a1, b0, b1)
+        repl[p0] = ("M2_P0", fan)
+        repl[p1] = ("M2_P1", fan)
+        repl[p2] = ("M2_P2", fan)
+        repl[p3] = ("M2_P3", fan)
+        stats.mul2_extracted += 1
+
     # half adders: XOR + AND sharing fanins (skip FA-consumed nodes)
     for key, x in xors.items():
         if x in repl:
@@ -1608,3 +1654,22 @@ def espresso_cover(on_words, nvars: int,
         if np.any(covs[i] & on & ~rest):
             keep.append(i)
     return [cubes[i] for i in keep]
+
+
+def instance_count(g: GateGraph) -> int:
+    """Netlist instances the graph will emit: macro sibling nodes
+    (FA_S/FA_C etc.) sharing fanins count as one block device."""
+    live = g.live_set()
+    seen_macros = set()
+    n = 0
+    for i in live:
+        node = g.nodes[i]
+        if node.op in ("PIN", "CONST"):
+            continue
+        if node.op in _MACRO_PINS:
+            key = (node.op.split("_")[0], node.fanins)
+            if key in seen_macros:
+                continue
+            seen_macros.add(key)
+        n += 1
+    return n

@@ -51,6 +51,7 @@ class OptStats:
         self.omax_best_cost = 0.0   # winning cost under the cost model
         self.omax_verify_rejected = 0  # candidates failing opt-verify
         self.adders_extracted = 0   # HA/FA macro blocks extracted
+        self.mul2_extracted = 0     # MUL2 macro blocks extracted
         self.espresso_rewritten = 0  # cones covered by espresso (O3)
         self.omax_trace = []        # (restart, stage, cost) telemetry
         self.omax_summary = ""      # one-line Omax report

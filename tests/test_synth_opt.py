@@ -350,3 +350,25 @@ endmodule
                         SynthOptions(opt_level=3,
                                      assume_binary_inputs=True))
     assert r3.gate_count < 60      # stays multi-level, no SOP blowup
+
+
+def test_o2_mul2_macro_extraction():
+    """Hand-written 2x2 multiplier gate web collapses to one MUL2 block
+    (pe_synth optimize_mul2 analogue), exhaustively checked."""
+    src = """
+module m2(input [1:0] a, input [1:0] b, output [3:0] p);
+  wire t1 = a[1] & b[0];
+  wire t2 = a[0] & b[1];
+  wire c1 = t1 & t2;
+  wire t3 = a[1] & b[1];
+  assign p[0] = a[0] & b[0];
+  assign p[1] = t1 ^ t2;
+  assign p[2] = t3 ^ c1;
+  assign p[3] = t3 & c1;
+endmodule
+"""
+    vecs = [{"a": a, "b": b} for a in range(4) for b in range(4)]
+    r2 = crosscheck_opt(src, "m2", vecs, ["p"],
+                        SynthOptions(opt_level=2))
+    assert r2.opt_stats.mul2_extracted == 1
+    assert r2.gate_count == 1
