@@ -319,14 +319,14 @@ def v_case_ne(a, b):
 def v_shl(a: Val, b: Val) -> Val:
     if b.u:
         return Val.all_x(a.width)
-    sh = b.to_int()
+    sh = min(b.to_int(), a.width)      # shift >= width yields 0
     return Val.make(a.v << sh, a.u << sh, a.width, a.signed)
 
 
 def v_shr(a: Val, b: Val) -> Val:
     if b.u:
         return Val.all_x(a.width)
-    sh = b.to_int()
+    sh = min(b.to_int(), a.width)
     return Val.make(a.v >> sh, a.u >> sh, a.width, False)
 
 

@@ -315,9 +315,10 @@ def call_function(name: str, args: List[Any], ctx: EvalCtx) -> Val:
             am, al = ldecl.array_dims[0]
             n = abs(eval_expr(am, ctx).to_signed_int() -
                     eval_expr(al, ctx).to_signed_int()) + 1
-            locals_[lname] = [Val.all_x(w) for _ in range(n)]
+            locals_[lname] = [fs.resize(Val.all_x(w), w, ldecl.signed)
+                              for _ in range(n)]
         else:
-            locals_[lname] = Val.all_x(w)
+            locals_[lname] = fs.resize(Val.all_x(w), w, ldecl.signed)
     sub = EvalCtx(params=ctx.params, signals=ctx.signals,
                   functions=ctx.functions, inst=ctx.inst, locals=locals_,
                   tick=ctx.tick, rng=ctx.rng)
@@ -591,7 +592,8 @@ def call_task(name: str, args: List[Any], ctx: EvalCtx, nba):
             locals_[decl.name] = fs.resize(eval_expr(a, ctx, w), w,
                                            decl.signed)
         else:
-            locals_[decl.name] = Val.all_x(w)
+            locals_[decl.name] = fs.resize(Val.all_x(w), w,
+                                           decl.signed)
         if decl.direction in ("output", "inout"):
             outs.append((decl.name, a))
     for lname, ldecl in t.locals.items():
@@ -600,7 +602,7 @@ def call_task(name: str, args: List[Any], ctx: EvalCtx, nba):
             hi = eval_expr(ldecl.msb, ctx).to_signed_int()
             lo = eval_expr(ldecl.lsb, ctx).to_signed_int()
             w = abs(hi - lo) + 1
-        locals_[lname] = Val.all_x(w)
+        locals_[lname] = fs.resize(Val.all_x(w), w, ldecl.signed)
     sub = EvalCtx(params=ctx.params, signals=ctx.signals,
                   functions=ctx.functions, inst=ctx.inst, locals=locals_,
                   tick=ctx.tick, rng=ctx.rng)

@@ -339,3 +339,153 @@ def test_fp16_mul_synth_crosscheck():
     vecs = [{"a": a, "b": b} for a, b in _mul_vectors(16)]
     crosscheck_opt(FP16_MUL_SRC, "fp16_mul", vecs, ["y"],
                    SynthOptions(opt_level=1))
+
+
+FP16_DIV_SRC = """
+module fp16_div(input [15:0] a, input [15:0] b, output [15:0] y);
+  wire sa = a[15];
+  wire sb = b[15];
+  wire [4:0] ea = a[14:10];
+  wire [4:0] eb = b[14:10];
+  wire [9:0] fa = a[9:0];
+  wire [9:0] fb = b[9:0];
+  wire sign = sa ^ sb;
+
+  wire a_nan = (ea == 5'd31) & (fa != 10'd0);
+  wire b_nan = (eb == 5'd31) & (fb != 10'd0);
+  wire a_inf = (ea == 5'd31) & (fa == 10'd0);
+  wire b_inf = (eb == 5'd31) & (fb == 10'd0);
+  wire a_zero = (ea == 5'd0) & (fa == 10'd0);
+  wire b_zero = (eb == 5'd0) & (fb == 10'd0);
+
+  wire [10:0] siga0 = (ea == 5'd0) ? {1'b0, fa} : {1'b1, fa};
+  wire [10:0] sigb0 = (eb == 5'd0) ? {1'b0, fb} : {1'b1, fb};
+
+  // normalize subnormal operands so both significands have the MSB
+  // at bit 10 (required for the fixed quotient range)
+  function [3:0] lzc11;
+    input [10:0] v;
+    integer i;
+    begin
+      lzc11 = 4'd11;
+      for (i = 0; i < 11; i = i + 1)
+        if (v[i]) lzc11 = 4'd10 - i[3:0];
+    end
+  endfunction
+  wire [3:0] lza = lzc11(siga0);
+  wire [3:0] lzb = lzc11(sigb0);
+  wire [10:0] siga = siga0 << lza;
+  wire [10:0] sigb = sigb0 << lzb;
+  wire signed [7:0] eea = ((ea == 5'd0) ? 8'sd1 : {3'b0, ea})
+                          - {4'b0, lza};
+  wire signed [7:0] eeb = ((eb == 5'd0) ? 8'sd1 : {3'b0, eb})
+                          - {4'b0, lzb};
+
+  // restoring division: q = (siga << 13) / sigb, 14-bit quotient plus
+  // a sticky flag for the remainder
+  function [14:0] divqs;     // {sticky, q[13:0]}
+    input [23:0] n;
+    input [10:0] d;
+    integer i;
+    reg [23:0] rem;
+    reg [13:0] q;
+    begin
+      rem = n;
+      q = 14'd0;
+      for (i = 13; i >= 0; i = i - 1) begin
+        if (rem >= ({13'd0, d} << i)) begin
+          rem = rem - ({13'd0, d} << i);
+          q[i] = 1'b1;
+        end
+      end
+      divqs = {(rem != 24'd0), q};
+    end
+  endfunction
+
+  wire [14:0] qs = divqs({siga, 13'd0}, sigb);
+  wire rem_sticky = qs[14];
+  wire [13:0] q = qs[13:0];
+
+  // ratio in (0.5, 2): q in (2^12, 2^14)
+  wire signed [7:0] etmp = eea - eeb + 8'sd15 - (q[13] ? 8'sd0 : 8'sd1);
+  wire [13:0] qn = q[13] ? q : (q << 1);   // hidden at bit 13
+
+  // subnormal: shift right while etmp < 1
+  wire signed [7:0] und = 8'sd1 - etmp;
+  wire [3:0] extra = (und > 0) ? ((und > 8'sd13) ? 4'd13 : und[3:0])
+                               : 4'd0;
+  wire [13:0] qd = qn >> extra;
+  wire extra_sticky = ((qn & ~(14'h3FFF << extra)) != 14'd0);
+  wire signed [7:0] efin = (und > 0) ? 8'sd1 : etmp;
+
+  // RNE: frac = qd[12:3], G = qd[2], S = qd[1:0] | stickies
+  wire g = qd[2];
+  wire s = (qd[1:0] != 2'd0) | rem_sticky | extra_sticky;
+  wire round_up = g & (s | qd[3]);
+  wire [11:0] rounded = {1'b0, qd[13:3]} + {11'd0, round_up};
+  wire rnd_carry = rounded[11];
+  wire [9:0] frac_out = rnd_carry ? rounded[10:1] : rounded[9:0];
+  wire hidden = rnd_carry ? rounded[11] : rounded[10];
+  wire signed [7:0] efin2 = efin + (rnd_carry ? 8'sd1 : 8'sd0);
+
+  wire [4:0] eout = hidden ? efin2[4:0] : 5'd0;
+  wire overflow = hidden & (efin2 >= 8'sd31);
+
+  wire [15:0] div_val =
+      overflow ? {sign, 5'd31, 10'd0} :
+      {sign, eout, frac_out};
+
+  assign y = (a_nan | b_nan) ? 16'h7E00 :
+             (a_inf & b_inf) ? 16'h7E00 :
+             (a_zero & b_zero) ? 16'h7E00 :
+             a_inf ? {sign, 5'd31, 10'd0} :
+             b_zero ? {sign, 5'd31, 10'd0} :
+             (b_inf | a_zero) ? {sign, 15'd0} :
+             div_val;
+endmodule
+"""
+
+
+def _ref_div(a_bits, b_bits):
+    with np.errstate(all="ignore"):
+        r = np.float16(_f16(a_bits)) / np.float16(_f16(b_bits))
+    out = _bits(r)
+    if np.isnan(np.float16(r)):
+        out = 0x7E00
+    return out
+
+
+def test_fp16_div_behavioral_vs_numpy():
+    mods = compile_source(FP16_DIV_SRC)
+    design = build_design(mods)
+    topm = find_module(design, "fp16_div")
+    inst = elaborate(design, topm)
+    rt = Runtime(inst)
+    settle(rt, 0)
+    rng = np.random.default_rng(17)
+    vecs = [(0x3C00, 0x4000), (0x4000, 0x3C00),   # 1/2, 2/1
+            (0x3C00, 0x0000), (0x0000, 0x3C00),   # 1/0, 0/1
+            (0x0000, 0x0000), (0x7C00, 0x7C00),   # 0/0, inf/inf
+            (0x7C00, 0x4000), (0x4000, 0x7C00),   # inf/2, 2/inf
+            (0x0001, 0x3C00), (0x3C00, 0x0001),   # denorm each side
+            (0x3C00, 0x3C01), (0x7BFF, 0x0400),   # rounding, overflow
+            (0x0400, 0x7BFF)]                     # underflow
+    vecs += [(int(rng.integers(1 << 16)), int(rng.integers(1 << 16)))
+             for _ in range(40)]
+    tick = 0
+    for a, b in vecs:
+        rt.values["a"] = Val.from_int(a, 16)
+        rt.values["b"] = Val.from_int(b, 16)
+        tick += 1
+        bsim(rt, tick)
+        got = rt.values["y"].to_int()
+        exp = _ref_div(a, b)
+        assert got == exp, (hex(a), hex(b), hex(got), hex(exp))
+
+
+def test_fp16_div_synth_crosscheck():
+    vecs = [{"a": a, "b": b} for a, b in
+            [(0x3C00, 0x4000), (0x4455, 0x3E00), (0x0001, 0x3C00),
+             (0x7BFF, 0x0400), (0xC000, 0x4200), (0x5640, 0x4900)]]
+    crosscheck_opt(FP16_DIV_SRC, "fp16_div", vecs, ["y"],
+                   SynthOptions(opt_level=1))
