@@ -1644,16 +1644,60 @@ def espresso_cover(on_words, nvars: int,
         covs.append(cov)
         covered |= cov
 
-    # IRREDUNDANT: drop cubes covered by the union of the others
-    keep = []
-    for i in range(len(cubes)):
-        rest = np.zeros(nwords, np.uint64)
-        for j in range(len(cubes)):
-            if j != i and (j in keep or j > i):
-                rest |= covs[j]
-        if np.any(covs[i] & on & ~rest):
-            keep.append(i)
-    return [cubes[i] for i in keep]
+    def irredundant(cubes, covs):
+        keep = []
+        for i in range(len(cubes)):
+            rest = np.zeros(nwords, np.uint64)
+            for j in range(len(cubes)):
+                if j != i and (j in keep or j > i):
+                    rest |= covs[j]
+            if np.any(covs[i] & on & ~rest):
+                keep.append(i)
+        return ([cubes[i] for i in keep], [covs[i] for i in keep])
+
+    cubes, covs = irredundant(cubes, covs)
+
+    # REDUCE -> re-EXPAND (different literal order) -> IRREDUNDANT:
+    # the classic espresso escape from the first local minimum
+    for rnd in range(2):
+        changed = False
+        order = list(range(nvars))
+        order = order[::-1] if rnd == 0 else order[nvars // 2:] + \
+            order[:nvars // 2]
+        for i in range(len(cubes)):
+            others = np.zeros(nwords, np.uint64)
+            for j in range(len(cubes)):
+                if j != i:
+                    others |= covs[j]
+            ess = covs[i] & on & ~others
+            if not np.any(ess):
+                continue
+            # REDUCE: smallest cube containing the essential minterms
+            v, mask = 0, 0
+            for k in range(nvars):
+                if not np.any(ess & ~patt[k]):
+                    v |= 1 << k                    # var always 1
+                elif np.any(ess & patt[k]):
+                    mask |= 1 << k                 # var varies
+            # re-EXPAND in the alternate order
+            cov = _cube_cover(v, mask, nvars, patt, ones)
+            for k in order:
+                bit = 1 << k
+                if mask & bit:
+                    continue
+                trial = _cube_cover(v, mask | bit, nvars, patt, ones)
+                if not np.any(trial & off):
+                    mask |= bit
+                    cov = trial
+            new_cube = (v & ~mask, mask)
+            if new_cube != cubes[i]:
+                changed = True
+            cubes[i] = new_cube
+            covs[i] = cov
+        cubes, covs = irredundant(cubes, covs)
+        if not changed:
+            break
+    return cubes
 
 
 def instance_count(g: GateGraph) -> int:

@@ -372,3 +372,28 @@ endmodule
                         SynthOptions(opt_level=2))
     assert r2.opt_stats.mul2_extracted == 1
     assert r2.gate_count == 1
+
+
+def test_espresso_cover_exactness_random():
+    """Property: the espresso cover equals the original function for
+    random truth tables (EXPAND/IRREDUNDANT/REDUCE must never change
+    the ON-set)."""
+    from phy_engine_tpu.verilog.opt_graph import (espresso_cover,
+                                                  _var_patterns,
+                                                  _cube_cover)
+    rng = np.random.default_rng(31)
+    for nvars in (4, 6, 9, 12):
+        patt, npat, nwords = _var_patterns(nvars)
+        ones = np.full(nwords, ~np.uint64(0))
+        if npat < 64:
+            ones = ones & np.uint64((1 << npat) - 1)
+        for density in (0.1, 0.5, 0.9):
+            bits = rng.random(npat) < density
+            on = np.packbits(bits, bitorder="little")
+            on = np.pad(on, (0, nwords * 8 - on.size)).view(np.uint64)
+            cubes = espresso_cover(on, nvars)
+            assert cubes is not None
+            cover = np.zeros(nwords, np.uint64)
+            for v, m in cubes:
+                cover |= _cube_cover(v, m, nvars, patt, ones)
+            assert ((cover & ones) == (on & ones)).all(), (nvars, density)
