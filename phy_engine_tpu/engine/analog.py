@@ -290,6 +290,195 @@ def newton_solve(ir: AnalogIR, params, x0, states0, ctx: StampCtx,
 
 
 # ---------------------------------------------------------------------------
+# explicit-batch Newton (the MXU path)
+#
+# ``jax.vmap(newton_solve)`` batches the per-lane Gauss loop; this variant
+# instead assembles the whole (B, n, n) batch and hands it to the batched
+# blocked Gauss-Jordan kernel (ops/gj.py) — the TPU-native replacement
+# for the reference's per-system SparseLU (circuit.h:1484-1524).  All
+# lanes iterate together under one while_loop; converged/failed lanes
+# are frozen by masking, mirroring the reference's per-circuit loop.
+# ---------------------------------------------------------------------------
+
+def _delta_solve_prep(ir: AnalogIR, params, x, states, ctx, drives,
+                      dtype, npad: int):
+    """Per-lane (vmapped) prep: sparse assembly, f64 residual, power-of-2
+    equilibration, and the scaled dense-f32 scatter for the GJ kernel.
+
+    The f64 work stays O(nnz) (TPU-emulated f64 is ~50x slower than f32,
+    so dense f64 passes are forbidden on the hot path); the dense array
+    is built only in f32.  Returns (A32 (npad,npad), r32 (npad,),
+    cscale_f64 (n,), resid_inf, states2).
+    """
+    n = ir.n_unknowns
+    rows, cols, vals, Z, st2 = assemble_sparse(
+        ir, params, x, states, ctx, drives, dtype)
+    # f64 sparse residual r = Z - A x  (x gathered with ground dummy = 0)
+    x_ext = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    ax = jnp.zeros(n + 1, dtype).at[rows].add(vals * x_ext[cols])
+    r = Z - ax[:n]
+    # power-of-two row/col equilibration computed on f32 magnitudes
+    v32 = jnp.abs(vals).astype(jnp.float32)
+    tiny = jnp.float32(1e-30)
+    rmax = jnp.maximum(jnp.zeros(n + 1, jnp.float32).at[rows].max(v32),
+                       tiny)
+    rs = jnp.exp2(-jnp.floor(jnp.log2(rmax)))            # (n+1,)
+    v32r = (vals.astype(jnp.float32)) * rs[rows]
+    cmax = jnp.maximum(
+        jnp.zeros(n + 1, jnp.float32).at[cols].max(jnp.abs(v32r)), tiny)
+    cs = jnp.exp2(-jnp.floor(jnp.log2(cmax)))            # (n+1,)
+    v32rc = v32r * cs[cols]
+    # scaled dense f32 target (ground dummy at npad; identity padding)
+    rows_p = jnp.where(rows >= n, jnp.int32(npad), rows.astype(jnp.int32))
+    cols_p = jnp.where(cols >= n, jnp.int32(npad), cols.astype(jnp.int32))
+    A32 = jnp.zeros((npad + 1, npad + 1), jnp.float32)
+    A32 = A32.at[rows_p, cols_p].add(v32rc)
+    pad_d = jnp.arange(n, npad)
+    A32 = A32.at[pad_d, pad_d].set(1.0)
+    r32 = jnp.zeros(npad, jnp.float32).at[:n].set(
+        (r * rs[:n].astype(dtype)).astype(jnp.float32))
+    resid_inf = jnp.max(jnp.abs(r))
+    return A32[:npad, :npad], r32, cs[:n].astype(dtype), resid_inf, st2
+
+
+def newton_solve_batched(ir: AnalogIR, params_b, x0_b, states0_b,
+                         ctx: StampCtx, drives_b=None, dtype=jnp.float64,
+                         max_iter: int = MAX_NEWTON_ITER,
+                         solver: str = "hybrid"):
+    """Batched Newton: (B, ...) pytrees in, (x (B,n), states, ok (B,)) out.
+
+    ``solver``:
+      'gauss'  — per-lane f64 Gauss solves (reference-accurate, slow).
+      'delta'  — delta-form Newton: each iteration solves
+                 J(x)·δ = -F(x) with the f32 batched GJ kernel and an
+                 O(nnz) f64 sparse residual.  Because the *residual* is
+                 f64, the fixpoint is f64-accurate even though the
+                 Jacobian solve is f32 (inexact-Newton + iterative
+                 refinement fused into one loop).
+      'hybrid' — 'delta', then a whole-batch 'gauss' rerun if any lane
+                 failed (f32 cannot factor equilibrated cond > ~1e7).
+    """
+    from ..ops.gj import gj_solve32, NB
+
+    dr_axes = None if drives_b is None else 0
+    B = x0_b.shape[0]
+    n = ir.n_unknowns
+    npad = max(NB, ((n + NB - 1) // NB) * NB)
+
+    def gauss_path():
+        def asm(p, x, s, d):
+            return assemble(ir, p, x, s, ctx, d, dtype)
+
+        assemble_b = jax.vmap(asm, in_axes=(0, 0, 0, dr_axes))
+
+        def solve_once(x_b, st_b):
+            A, Z, st2 = assemble_b(params_b, x_b, st_b, drives_b)
+            x_new = jax.vmap(dense_solve)(A, Z)
+            ok = jnp.all(jnp.isfinite(x_new), axis=1)
+            return x_new, st2, ok
+
+        return _newton_loop_batched(ir, params_b, x0_b, states0_b, ctx,
+                                    solve_once, max_iter, linear_iters=1)
+
+    if solver == "gauss":
+        return gauss_path()
+
+    prep_b = jax.vmap(
+        lambda p, x, s, d: _delta_solve_prep(ir, p, x, s, ctx, d, dtype,
+                                             npad),
+        in_axes=(0, 0, 0, dr_axes))
+
+    def solve_once(x_b, st_b):
+        A32, r32, cs, _resid, st2 = prep_b(params_b, x_b, st_b, drives_b)
+        d32 = gj_solve32(A32, r32)
+        delta = d32[:, :n].astype(dtype) * cs
+        x_new = x_b + delta
+        ok = jnp.all(jnp.isfinite(x_new), axis=1)
+        return x_new, st2, ok
+
+    # linear circuits still need 2 delta iterations (solve + refinement)
+    out = _newton_loop_batched(ir, params_b, x0_b, states0_b, ctx,
+                               solve_once, max_iter, linear_iters=2)
+    if solver == "delta":
+        return out
+    x, st, ok = out
+    return jax.lax.cond(jnp.all(ok), lambda: (x, st, ok),
+                        lambda: gauss_path())
+
+
+def _newton_loop_batched(ir, params_b, x0_b, states0_b, ctx, solve_once,
+                         max_iter, linear_iters: int):
+    """Shared masked batched Newton outer loop."""
+    B = x0_b.shape[0]
+
+    if not ir.nonlinear:
+        x, st, ok = x0_b, states0_b, jnp.ones(B, bool)
+        for _ in range(linear_iters):
+            x, st, ok2 = solve_once(x, st)
+            ok = ok & ok2
+        return x, st, ok
+
+    conv_fn = jax.vmap(lambda xo, xn: _converged(xo, xn, ir.n_nodes,
+                                                 ctx.env))
+    devconv_fn = jax.vmap(lambda p, x, s: _device_converged(ir, p, x, s))
+
+    def cond(c):
+        _x, _st, it, conv, ok = c
+        return jnp.any((~conv) & ok) & (it < max_iter)
+
+    def body(c):
+        x, st, it, conv, ok = c
+        active = (~conv) & ok
+        x_new, st2, ok_new = solve_once(x, st)
+        conv_new = conv_fn(x, x_new) & ok_new
+        conv_new = conv_new & devconv_fn(params_b, x_new, st2)
+        take = active & ok_new
+        x_next = jnp.where(take[:, None], x_new, x)
+
+        def merge(a, b):
+            m = take.reshape((B,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, b, a)
+
+        st_next = jax.tree_util.tree_map(merge, st, st2)
+        conv = jnp.where(active, conv_new, conv)
+        ok = ok & (ok_new | ~active)
+        return (x_next, st_next, it + 1, conv, ok)
+
+    init = (x0_b, states0_b, jnp.int32(0),
+            jnp.zeros(B, bool), jnp.ones(B, bool))
+    x, st, it, conv, ok = jax.lax.while_loop(cond, body, init)
+    return x, st, conv & ok
+
+
+def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
+                      dt, num_steps, drives_b=None, dtype=jnp.float64,
+                      solver: str = "hybrid", keep_trace: bool = False):
+    """Batched fixed-step transient over the explicit-batch Newton path.
+
+    Returns (x (B,n), states, ok (B,), xs) — xs is (num_steps, B, n)
+    when keep_trace else the final x.
+    """
+    step_update_b = jax.vmap(step_update_all,
+                             in_axes=(None, 0, 0, 0, None, None))
+
+    def step(carry, i):
+        x, st, ok_all = carry
+        t = t0 + (i + 1.0) * dt
+        st = step_update_b(ir, params_b, x, st, dt, t)
+        ctx = StampCtx(mode="tr", t=t, dt=dt, env=env)
+        x_new, st2, ok = newton_solve_batched(
+            ir, params_b, x, st, ctx, drives_b, dtype, solver=solver)
+        x_keep = jnp.where(ok[:, None], x_new, x)
+        out = x_keep if keep_trace else 0
+        return (x_keep, st2, ok_all & ok), out
+
+    idx = jnp.arange(num_steps, dtype=dtype)
+    init = (x0_b, states0_b, jnp.ones(x0_b.shape[0], bool))
+    (x, st, ok), xs = jax.lax.scan(step, init, idx)
+    return x, st, ok, (xs if keep_trace else x)
+
+
+# ---------------------------------------------------------------------------
 # companion-model step update (update_tr_step, circuit.h:363-374)
 # ---------------------------------------------------------------------------
 
