@@ -3,6 +3,7 @@
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 import phy_engine_tpu as pe
 from phy_engine_tpu import netops
@@ -131,3 +132,67 @@ def test_large_mesh_scipy_agreement():
     ref = np.array([x_ref[nd.node_index] for nd in live])
     err = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-9))
     assert err < 1e-6, err
+
+
+# ---------------------------------------------------------------------------
+# ELL / BandedCOO patterns + mixed-precision BiCGStab (round 2)
+# ---------------------------------------------------------------------------
+
+def _random_mesh_coo(n, links, seed=1):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    g = 1e-3
+    rows = [np.array([0])]
+    cols = [np.array([0])]
+    vals = [np.array([g])]
+    i = np.arange(n - 1)
+    rows += [i, i + 1, i, i + 1]
+    cols += [i, i + 1, i + 1, i]
+    vals += [np.full(n - 1, g), np.full(n - 1, g),
+             np.full(n - 1, -g), np.full(n - 1, -g)]
+    a = rng.integers(0, n, links)
+    b = (a + rng.integers(2, n - 2, links)) % n
+    rows += [a, b, a, b]
+    cols += [a, b, b, a]
+    vals += [np.full(links, g), np.full(links, g),
+             np.full(links, -g), np.full(links, -g)]
+    br = n
+    rows += [np.array([n - 1, br])]
+    cols += [np.array([br, n - 1])]
+    vals += [np.array([1.0, 1.0])]
+    z = np.zeros(n + 1)
+    z[br] = 1.0
+    return (np.concatenate(rows).astype(np.int32),
+            np.concatenate(cols).astype(np.int32),
+            np.concatenate(vals), z)
+
+
+def test_ell_and_banded_matvec_match_coo():
+    import numpy as np
+    from phy_engine_tpu.ops.sparse import ELL, BandedCOO, coo_matvec
+    rows, cols, vals, z = _random_mesh_coo(500, 60)
+    nu = len(z)
+    x = np.random.default_rng(0).standard_normal(nu)
+    y0 = np.asarray(coo_matvec(jnp.asarray(rows), jnp.asarray(cols),
+                               jnp.asarray(vals), jnp.asarray(x), nu))
+    for pat in (ELL(rows, cols, nu), BandedCOO(rows, cols, nu)):
+        vp = pat.values(jnp.asarray(vals))
+        y = np.asarray(pat.matvec(vp, jnp.asarray(x)))
+        assert np.max(np.abs(y - y0)) < 1e-12 * max(np.max(np.abs(y0)), 1)
+
+
+def test_bicgstab_ell_vs_scipy():
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+    from phy_engine_tpu.ops.sparse import ELL, BandedCOO, bicgstab_ell
+    rows, cols, vals, z = _random_mesh_coo(800, 100)
+    nu = len(z)
+    A = sp.csc_matrix((vals, (rows, cols)), shape=(nu, nu))
+    xe = spl.splu(A).solve(z)
+    for pat in (ELL(rows, cols, nu), BandedCOO(rows, cols, nu)):
+        x, ok, it = bicgstab_ell(pat, jnp.asarray(vals), jnp.asarray(z),
+                                 tol=1e-10, max_iter=5000)
+        assert bool(ok), f"not converged ({type(pat).__name__}, it={int(it)})"
+        rel = np.max(np.abs(np.asarray(x) - xe)) / np.max(np.abs(xe))
+        assert rel < 1e-7, rel
