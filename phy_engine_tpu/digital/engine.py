@@ -728,6 +728,20 @@ class DigitalEngine:
                              "per-tick host interaction; use tick()")
         if analog_v is None:
             analog_v = np.zeros(self._n_analog, np.float64)
+
+        from . import turbo
+        mode = turbo.backend()
+        if mode in ("turbo", "turbo_xla"):
+            if turbo.eligible(self.ir):
+                return self._run_ticks_turbo(forced_sig, forced_v,
+                                             forced_u, mode)
+            import os as _os
+            if _os.environ.get("PE_TPU_DIGITAL") in ("turbo",
+                                                     "turbo_xla"):
+                raise ValueError(
+                    "PE_TPU_DIGITAL forces the turbo path but the "
+                    "design is not turbo-eligible")
+
         av = jnp.asarray(analog_v, jnp.float64)
         fs = jnp.asarray(np.asarray(forced_sig, np.int32))
         FV = jnp.asarray(np.asarray(forced_v, np.uint32))
@@ -753,6 +767,34 @@ class DigitalEngine:
             self.sv, self.su, self.seq_state, fs, FV, FU, av)
         self._writeback()
         return hist
+
+    def _run_ticks_turbo(self, forced_sig, FV, FU, mode):
+        """Whole-tick MXU path (digital/turbo.py); falls in here only
+        when turbo.eligible(ir) holds."""
+        from . import turbo
+        fs = np.asarray(forced_sig, np.int32)
+        key = (fs.tobytes(),)
+        plans = getattr(self, "_turbo_plans", None)
+        if plans is None:
+            plans = self._turbo_plans = {}
+        plan = plans.get(key)
+        if plan is None:
+            plan = plans[key] = turbo.TurboPlan(self.ir, fs)
+        state0 = plan.pack_state(np.asarray(self.sv),
+                                 np.asarray(self.su), self.seq_state)
+        FV = np.ascontiguousarray(np.asarray(FV, np.uint32))
+        FU = np.ascontiguousarray(np.asarray(FU, np.uint32))
+        if mode == "turbo":
+            hv, hu = turbo.run_pallas(plan, state0, FV, FU)
+        else:
+            hv, hu = turbo.run_xla(plan, state0, FV, FU)
+        v, u = plan.unpack_hist(hv, hu)
+        self.sv = jnp.asarray(v[-1, :plan.S].copy())
+        self.su = jnp.asarray(u[-1, :plan.S].copy())
+        self.seq_state = plan.commit_seq_state(v[-1], u[-1],
+                                               self.seq_state)
+        self._writeback()
+        return (v[:, :plan.S], u[:, :plan.S])
 
     def run_ticks_batched(self, forced_sig, FV, FU, watch=None,
                           mesh=None, axis: str = "batch"):

@@ -16,20 +16,25 @@ KEYWORDS = {
     "function", "endfunction", "task", "endtask", "return", "generate",
     "endgenerate", "genvar", "signed", "unsigned", "wand", "wor", "tri",
     "supply0", "supply1", "disable", "event",
+    # SystemVerilog integral types / qualifiers (digital.h keyword table)
+    "int", "byte", "shortint", "longint", "bit", "automatic",
+    "unique", "unique0", "priority", "break", "continue",
 }
 
 # multi-char operators, longest first
 OPERATORS = [
-    "<<<", ">>>", "===", "!==", "**",
+    "<<<=", ">>>=", "<<=", ">>=",
+    "<<<", ">>>", "===", "!==", "**", "~^", "^~", "~&", "~|",
     "<=", ">=", "==", "!=", "&&", "||", "<<", ">>", "+:", "-:", "->",
     "++", "--", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=",
     "(", ")", "[", "]", "{", "}", ";", ",", ".", ":", "?", "@", "#",
     "=", "+", "-", "*", "/", "%", "&", "|", "^", "~", "!", "<", ">",
-    "$",
+    "$", "'",
 ]
 
 _NUM_RE = re.compile(
-    r"(?:(\d+)\s*)?'\s*([sS]?)([bodhBODH])\s*([0-9a-fA-FxXzZ_?]+)")
+    r"(?:(\d+)\s*)?'\s*([sS]?)([bodhBODH])\s*(-?[0-9a-fA-FxXzZ_?]+)")
+_FILL_RE = re.compile(r"'\s*([01xXzZ])(?![0-9a-zA-Z_])")
 _DEC_RE = re.compile(r"\d[\d_]*")
 _ID_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_$]*")
 _SYS_RE = re.compile(r"\$[A-Za-z_][A-Za-z0-9_$]*")
@@ -86,6 +91,13 @@ def lex(src: str) -> List[Token]:
         m = _NUM_RE.match(src, i)
         if m:
             toks.append(Token("basednum", m.group(0), line, col))
+            col += m.end() - i
+            i = m.end()
+            continue
+        m = _FILL_RE.match(src, i)
+        if m:
+            # unbased unsized fill literal '0 '1 'x 'z
+            toks.append(Token("fill", m.group(1), line, col))
             col += m.end() - i
             i = m.end()
             continue

@@ -36,7 +36,15 @@ def parse_based_literal(text: str) -> Val:
     digits = rest[1:].replace("_", "").replace("?", "z").strip()
     radix = {"b": 2, "o": 8, "d": 10, "h": 16}[base]
     bits_per = {"b": 1, "o": 3, "d": 0, "h": 4}[base]
+    negate = False
+    if digits.startswith("-"):
+        # reference accepts e.g. 4'sd-1 (two's-complement in width)
+        negate = True
+        digits = digits[1:]
     if base == "d":
+        if negate:
+            width = int(size) if size else 32
+            return Val.make(-int(digits, 10), 0, width, signed)
         if any(ch in "xXzZ" for ch in digits):
             width = int(size) if size else 32
             if digits.lower().lstrip("xz") == "":
@@ -59,6 +67,10 @@ def parse_based_literal(text: str) -> Val:
         else:
             v |= int(ch, radix)
     width = int(size) if size else max(len(digits) * bits_per, 1)
+    if negate:
+        if u:
+            raise CompileError(f"negative literal with x/z: {text}")
+        return Val.make(-v, 0, width, signed)
     # extend leading x/z per spec: if msb of literal is x/z it extends
     if not size:
         width = max(width, 1)
@@ -110,9 +122,18 @@ class Parser:
             return self.next()
         return None
 
+    # SV-only keywords that legacy code legitimately uses as plain
+    # identifiers (block labels, signal names) — accepted where an id
+    # is expected, unless the grammar already claimed them
+    _SOFT_ID = {"bit", "byte", "int", "shortint", "longint", "automatic",
+                "unique", "unique0", "priority"}
+
     def expect(self, kind: str, text: Optional[str] = None) -> Token:
         t = self.peek()
         if not self.at(kind, text):
+            if kind == "id" and text is None and t.kind == "kw" and \
+                    t.text in self._SOFT_ID:
+                return self.next()
             raise CompileError(
                 f"expected {text or kind}, got {t.text!r}", t.line)
         return self.next()
@@ -137,15 +158,21 @@ class Parser:
         # parameter port list  #( parameter X = 1, ... )
         if self.accept("op", "#"):
             self.expect("op", "(")
+            pkind = "parameter"
             while not self.at("op", ")"):
-                self.accept("kw", "parameter")
-                self._accept_type_words()
-                self._accept_range()
+                if self.accept("kw", "localparam"):
+                    pkind = "localparam"
+                elif self.accept("kw", "parameter"):
+                    pkind = "parameter"
+                self._parse_data_type()
                 pname = self.expect("id").text
                 self.expect("op", "=")
                 pexpr = self.parse_expr()
-                mod.params[pname] = pexpr
-                mod.param_order.append(pname)
+                if pkind == "parameter":
+                    mod.params[pname] = pexpr
+                    mod.param_order.append(pname)
+                else:
+                    mod.localparams[pname] = pexpr
                 if not self.accept("op", ","):
                     break
             self.expect("op", ")")
@@ -160,6 +187,11 @@ class Parser:
         self.expect("kw", "endmodule")
         return mod
 
+    # SV integral types: name -> (width, default signedness)
+    _INT_TYPES = {"int": (32, True), "integer": (32, True),
+                  "byte": (8, True), "shortint": (16, True),
+                  "longint": (64, True), "bit": (1, False)}
+
     def _accept_type_words(self):
         signed = False
         while True:
@@ -167,12 +199,50 @@ class Parser:
                 signed = True
             elif self.accept("kw", "unsigned"):
                 pass
-            elif self.at("kw", "integer") or self.at("kw", "logic") or \
-                    self.at("kw", "reg") or self.at("kw", "wire"):
+            elif self.peek().kind == "kw" and (
+                    self.peek().text in self._INT_TYPES or
+                    self.peek().text in ("logic", "reg", "wire")):
+                if self.peek().text in self._INT_TYPES:
+                    signed = signed or self._INT_TYPES[self.peek().text][1]
                 self.next()
             else:
                 break
         return signed
+
+    def _parse_data_type(self, default_kind="wire"):
+        """Optional [type keywords] [signed|unsigned] [range] prefix of a
+        declaration.  Returns (kind, signed, rng_or_None)."""
+        kind = default_kind
+        signed = None
+        rng = None
+        while True:
+            t = self.peek()
+            if t.kind != "kw":
+                break
+            if t.text in ("reg", "logic"):
+                self.next()
+                kind = "reg"
+            elif t.text == "wire":
+                self.next()
+                kind = "wire"
+            elif t.text in self._INT_TYPES:
+                self.next()
+                w, sgn = self._INT_TYPES[t.text]
+                kind = "reg"
+                if signed is None:
+                    signed = sgn
+                rng = (("num", Val.from_int(w - 1, 32)),
+                       ("num", Val.from_int(0, 32)))
+            elif t.text == "signed":
+                self.next()
+                signed = True
+            elif t.text == "unsigned":
+                self.next()
+                signed = False
+            else:
+                break
+        rng = self._accept_range() or rng
+        return kind, bool(signed), rng
 
     def _accept_range(self):
         if self.at("op", "["):
@@ -196,16 +266,7 @@ class Parser:
                 if self.at("kw", "input") or self.at("kw", "output") or \
                         self.at("kw", "inout"):
                     direction = self.next().text
-                    kind = "wire"
-                    signed = False
-                    rng = None
-                    if self.accept("kw", "reg") or self.accept("kw", "logic"):
-                        kind = "reg"
-                    elif self.accept("kw", "wire"):
-                        kind = "wire"
-                    if self.accept("kw", "signed"):
-                        signed = True
-                    rng = self._accept_range()
+                    kind, signed, rng = self._parse_data_type()
                 name = self.expect("id").text
                 decl = SignalDecl(name=name, kind=kind, signed=signed,
                                   direction=direction)
@@ -230,7 +291,8 @@ class Parser:
                 self._parse_port_decl(mod)
                 return
             if kw in ("wire", "reg", "logic", "integer", "genvar", "tri",
-                      "wand", "wor", "supply0", "supply1"):
+                      "wand", "wor", "supply0", "supply1") or \
+                    kw in self._INT_TYPES:
                 self._parse_net_decl(mod)
                 return
             if kw in ("parameter", "localparam"):
@@ -285,13 +347,7 @@ class Parser:
 
     def _parse_port_decl(self, mod: Module):
         direction = self.next().text
-        kind = "wire"
-        if self.accept("kw", "reg") or self.accept("kw", "logic"):
-            kind = "reg"
-        elif self.accept("kw", "wire"):
-            pass
-        signed = bool(self.accept("kw", "signed"))
-        rng = self._accept_range()
+        kind, signed, rng = self._parse_data_type()
         while True:
             name = self.expect("id").text
             decl = mod.signals.get(name) or SignalDecl(name=name)
@@ -312,9 +368,18 @@ class Parser:
         kind = {"wire": "wire", "tri": "wire", "wand": "wire", "wor": "wire",
                 "supply0": "wire", "supply1": "wire", "reg": "reg",
                 "logic": "reg", "integer": "integer",
-                "genvar": "genvar"}[kindw]
-        signed = bool(self.accept("kw", "signed"))
+                "genvar": "genvar"}.get(kindw, "reg")
+        ityp = self._INT_TYPES.get(kindw)
+        if ityp and self.accept("kw", "unsigned"):
+            ityp = (ityp[0], False)
+        elif ityp and self.accept("kw", "signed"):
+            ityp = (ityp[0], True)
+        signed = bool(self.accept("kw", "signed")) or \
+            bool(ityp and ityp[1])
         rng = self._accept_range()
+        if rng is None and ityp:
+            rng = (("num", Val.from_int(ityp[0] - 1, 32)),
+                   ("num", Val.from_int(0, 32)))
         while True:
             name = self.expect("id").text
             decl = mod.signals.get(name) or SignalDecl(name=name)
@@ -401,18 +466,34 @@ class Parser:
             if self.accept("op", ":"):
                 label = self.expect("id").text
             stmts = []
-            # block-local declarations
+            # block-local declarations (allowed anywhere in the block,
+            # with optional initializers — SV interleaved decls)
             local_decls = []
-            while self.at("kw", "reg") or self.at("kw", "integer") or \
-                    self.at("kw", "logic"):
-                mod_tmp = Module(name="_blk")
-                self._parse_net_decl(mod_tmp)
-                local_decls.extend(mod_tmp.signals.values())
-                stmts.extend(mod_tmp.initials)
             while not self.at("kw", "end"):
-                stmts.append(self.parse_statement())
+                if self.peek().kind == "kw" and (
+                        self.peek().text in ("reg", "logic") or
+                        self.peek().text in self._INT_TYPES):
+                    mod_tmp = Module(name="_blk")
+                    self._parse_net_decl(mod_tmp)
+                    local_decls.extend(mod_tmp.signals.values())
+                    stmts.extend(mod_tmp.initials)
+                else:
+                    stmts.append(self.parse_statement())
             self.expect("kw", "end")
+            if self.accept("op", ":"):
+                self.expect("id")          # end : label
             return ("block", stmts, label, local_decls)
+        if t.kind == "kw" and t.text in ("unique", "unique0", "priority"):
+            # qualifiers affect lint/X-semantics only in the reference;
+            # parse and drop (pe_synth mines one-hot DC from them later)
+            self.next()
+            return self.parse_statement()
+        if self.accept("kw", "break"):
+            self.expect("op", ";")
+            return ("break",)
+        if self.accept("kw", "continue"):
+            self.expect("op", ";")
+            return ("continue",)
         if self.accept("kw", "if"):
             self.expect("op", "(")
             cond = self.parse_expr()
@@ -443,14 +524,30 @@ class Parser:
             return ("case", kind, expr, items, default)
         if self.accept("kw", "for"):
             self.expect("op", "(")
-            init = self._parse_simple_assign()
-            self.expect("op", ";")
+            decls = []
+            if self.peek().kind == "kw" and (
+                    self.peek().text in ("reg", "logic") or
+                    self.peek().text in self._INT_TYPES):
+                # for (int i = 0; ...) — decl-init scoped to the loop
+                mod_tmp = Module(name="_for")
+                kindw = self.peek().text
+                # _parse_net_decl consumes the trailing ';' of the init
+                self._parse_net_decl(mod_tmp)
+                decls = list(mod_tmp.signals.values())
+                init = mod_tmp.initials[0] if mod_tmp.initials else None
+                _ = kindw
+            else:
+                init = self._parse_simple_assign()
+                self.expect("op", ";")
             cond = self.parse_expr()
             self.expect("op", ";")
             step = self._parse_simple_assign()
             self.expect("op", ")")
             body = self.parse_statement()
-            return ("for", init, cond, step, body)
+            loop = ("for", init, cond, step, body)
+            if decls:
+                return ("block", [loop], None, decls)
+            return loop
         if self.accept("kw", "while"):
             self.expect("op", "(")
             cond = self.parse_expr()
@@ -522,8 +619,9 @@ class Parser:
             self.next()
             return ("nonblocking", lhs, self.parse_expr())
         if t.kind == "op" and t.text in ("+=", "-=", "*=", "/=", "%=",
-                                         "&=", "|=", "^="):
-            op = self.next().text[0]
+                                         "&=", "|=", "^=", "<<=", ">>=",
+                                         "<<<=", ">>>="):
+            op = self.next().text[:-1]
             rhs = self.parse_expr()
             return ("blocking", lhs, ("binary", op, lhs, rhs))
         if t.kind == "op" and t.text in ("++", "--"):
@@ -539,16 +637,10 @@ class Parser:
     # -- functions/tasks ---------------------------------------------------
     def _parse_function(self, mod: Module):
         self.expect("kw", "function")
-        automatic = False
-        if self.at("id") and self.peek().text == "automatic":
-            self.next()
-            automatic = True
-        signed = bool(self.accept("kw", "signed"))
-        if self.accept("kw", "integer"):
-            rng = (("num", Val.from_int(31, 32)), ("num", Val.from_int(0, 32)))
-            signed = True
-        else:
-            rng = self._accept_range()
+        automatic = bool(self.accept("kw", "automatic") or
+                         (self.at("id") and
+                          self.peek().text == "automatic" and self.next()))
+        _kind, signed, rng = self._parse_data_type(default_kind="reg")
         name = self.expect("id").text
         ret = SignalDecl(name=name, kind="reg", signed=signed)
         if rng:
@@ -564,7 +656,9 @@ class Parser:
         self.expect("op", ";")
         # declarations then single statement (or block)
         while self.at("kw", "input") or self.at("kw", "reg") or \
-                self.at("kw", "integer") or self.at("kw", "logic"):
+                self.at("kw", "logic") or (
+                    self.peek().kind == "kw" and
+                    self.peek().text in self._INT_TYPES):
             if self.at("kw", "input"):
                 self._parse_fn_arg_decl(args)
             else:
@@ -579,9 +673,7 @@ class Parser:
 
     def _parse_fn_arg(self, args: List[SignalDecl]):
         self.accept("kw", "input")
-        self.accept("kw", "reg") or self.accept("kw", "logic")
-        signed = bool(self.accept("kw", "signed"))
-        rng = self._accept_range()
+        _kind, signed, rng = self._parse_data_type(default_kind="reg")
         name = self.expect("id").text
         d = SignalDecl(name=name, kind="reg", signed=signed,
                        direction="input")
@@ -591,9 +683,7 @@ class Parser:
 
     def _parse_fn_arg_decl(self, args: List[SignalDecl]):
         self.expect("kw", "input")
-        self.accept("kw", "reg") or self.accept("kw", "logic")
-        signed = bool(self.accept("kw", "signed"))
-        rng = self._accept_range()
+        _kind, signed, rng = self._parse_data_type(default_kind="reg")
         while True:
             name = self.expect("id").text
             d = SignalDecl(name=name, kind="reg", signed=signed,
@@ -607,6 +697,7 @@ class Parser:
 
     def _parse_task(self, mod: Module):
         self.expect("kw", "task")
+        self.accept("kw", "automatic")
         name = self.expect("id").text
         args: List[SignalDecl] = []
         locals_: dict = {}
@@ -616,9 +707,8 @@ class Parser:
                 if self.at("kw", "input") or self.at("kw", "output") or \
                         self.at("kw", "inout"):
                     direction = self.next().text
-                self.accept("kw", "reg") or self.accept("kw", "logic")
-                signed = bool(self.accept("kw", "signed"))
-                rng = self._accept_range()
+                _kind, signed, rng = self._parse_data_type(
+                    default_kind="reg")
                 aname = self.expect("id").text
                 d = SignalDecl(name=aname, kind="reg", signed=signed,
                                direction=direction)
@@ -630,12 +720,13 @@ class Parser:
             self.expect("op", ")")
         self.expect("op", ";")
         while self.at("kw", "input") or self.at("kw", "output") or \
-                self.at("kw", "reg") or self.at("kw", "integer"):
+                self.at("kw", "reg") or self.at("kw", "logic") or (
+                    self.peek().kind == "kw" and
+                    self.peek().text in self._INT_TYPES):
             if self.at("kw", "input") or self.at("kw", "output"):
                 direction = self.next().text
-                self.accept("kw", "reg")
-                signed = bool(self.accept("kw", "signed"))
-                rng = self._accept_range()
+                _kind, signed, rng = self._parse_data_type(
+                    default_kind="reg")
                 while True:
                     aname = self.expect("id").text
                     d = SignalDecl(name=aname, kind="reg", signed=signed,
@@ -854,6 +945,25 @@ class Parser:
 
     def parse_primary(self) -> Any:
         t = self.peek()
+        # SV casts: byte'(x), int'(x), N'(x)
+        if t.kind == "kw" and t.text in self._INT_TYPES and \
+                self.peek(1).kind == "op" and self.peek(1).text == "'":
+            self.next()
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_expr()
+            self.expect("op", ")")
+            w, sgn = self._INT_TYPES[t.text]
+            return ("cast", w, sgn, e)
+        if t.kind == "num" and self.peek(1).kind == "op" and \
+                self.peek(1).text == "'":
+            w = int(t.text.replace("_", ""))
+            self.next()
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return ("cast", w, None, e)
         if t.kind == "num":
             self.next()
             # possible sized literal: 8 'hFF handled by lexer as basednum
@@ -862,6 +972,13 @@ class Parser:
         if t.kind == "basednum":
             self.next()
             return ("num", parse_based_literal(t.text))
+        if t.kind == "fill":
+            # unbased unsized '0/'1/'x/'z: 1-bit signed so assignment-
+            # context resize replicates into every bit
+            self.next()
+            ch = t.text.lower()
+            vu = {"0": (0, 0), "1": (1, 0), "x": (0, 1), "z": (1, 1)}[ch]
+            return ("num", Val.make(vu[0], vu[1], 1, True))
         if t.kind == "string":
             self.next()
             v = 0
@@ -878,7 +995,7 @@ class Parser:
                         args.append(self.parse_expr())
                 self.expect("op", ")")
             return ("syscall", name, args)
-        if t.kind == "id":
+        if t.kind == "id" or (t.kind == "kw" and t.text in self._SOFT_ID):
             name = self.next().text
             if self.at("op", "("):
                 self.next()

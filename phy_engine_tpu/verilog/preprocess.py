@@ -255,6 +255,8 @@ def _expand(line: str, macros: Dict[str, MacroDef],
                     f"macro `{name} expects arguments", lineno)
             args, used = _split_args(line[j:])
             j += used
+            if len(mac.params) == 0 and args == [""]:
+                args = []          # `ZERO() — empty parens, zero params
             if len(args) != len(mac.params):
                 raise PreprocessError(
                     f"macro `{name}: {len(args)} args, expected "

@@ -35,6 +35,14 @@ class _ReturnSignal(Exception):
         self.value = value
 
 
+class _BreakSignal(Exception):
+    pass
+
+
+class _ContinueSignal(Exception):
+    pass
+
+
 class _DisableSignal(Exception):
     def __init__(self, name):
         self.name = name
@@ -136,6 +144,8 @@ def self_width(expr: Any, ctx: EvalCtx) -> int:
         if expr[1] in ("$signed", "$unsigned") and expr[2]:
             return self_width(expr[2][0], ctx)
         return 32
+    if op == "cast":
+        return expr[1]
     raise SimError(f"width: unsupported expr {op}")
 
 
@@ -254,6 +264,13 @@ def eval_expr(expr: Any, ctx: EvalCtx, ctx_width: Optional[int] = None) -> Val:
         return call_function(expr[1], expr[2], ctx)
     if op == "syscall":
         return eval_syscall(expr[1], expr[2], ctx)
+    if op == "cast":
+        # SV cast type'(x) / N'(x): extension follows the operand's own
+        # signedness; the result takes the target type's signedness
+        v = eval_expr(expr[3], ctx)
+        res = fs.resize(v, expr[1])
+        sgn = v.signed if expr[2] is None else expr[2]
+        return Val(res.v, res.u, expr[1], sgn)
     raise SimError(f"eval: unsupported expr {op}")
 
 
@@ -488,7 +505,12 @@ def exec_stmt(stmt: Any, ctx: EvalCtx, nba: Optional[List]):
             c = fs.truthy(eval_expr(stmt[2], ctx))
             if c is not True:
                 break
-            exec_stmt(stmt[4], ctx, nba)
+            try:
+                exec_stmt(stmt[4], ctx, nba)
+            except _BreakSignal:
+                break
+            except _ContinueSignal:
+                pass
             exec_stmt(stmt[3], ctx, nba)
             guard += 1
             if guard > MAX_LOOP:
@@ -497,7 +519,12 @@ def exec_stmt(stmt: Any, ctx: EvalCtx, nba: Optional[List]):
     if op == "while":
         guard = 0
         while fs.truthy(eval_expr(stmt[1], ctx)) is True:
-            exec_stmt(stmt[2], ctx, nba)
+            try:
+                exec_stmt(stmt[2], ctx, nba)
+            except _BreakSignal:
+                break
+            except _ContinueSignal:
+                pass
             guard += 1
             if guard > MAX_LOOP:
                 raise SimError("while-loop runaway")
@@ -505,18 +532,32 @@ def exec_stmt(stmt: Any, ctx: EvalCtx, nba: Optional[List]):
     if op == "repeat":
         n = eval_expr(stmt[1], ctx).to_int()
         for _ in range(min(n, MAX_LOOP)):
-            exec_stmt(stmt[2], ctx, nba)
+            try:
+                exec_stmt(stmt[2], ctx, nba)
+            except _BreakSignal:
+                break
+            except _ContinueSignal:
+                continue
         return
     if op == "do_while":
         guard = 0
         while True:
-            exec_stmt(stmt[1], ctx, nba)
+            try:
+                exec_stmt(stmt[1], ctx, nba)
+            except _BreakSignal:
+                break
+            except _ContinueSignal:
+                pass
             if fs.truthy(eval_expr(stmt[2], ctx)) is not True:
                 break
             guard += 1
             if guard > MAX_LOOP:
                 raise SimError("do-while runaway")
         return
+    if op == "break":
+        raise _BreakSignal()
+    if op == "continue":
+        raise _ContinueSignal()
     if op == "systask":
         name = stmt[1]
         if name in ("$display", "$write"):

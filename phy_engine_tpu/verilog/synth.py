@@ -369,6 +369,10 @@ class BitSynth:
             if expr[1] in ("$signed", "$unsigned"):
                 return self.lower(expr[2][0], env, ctx_width)
             raise CompileError(f"synth: unsupported syscall {expr[1]}")
+        if op == "cast":
+            bits = self.lower(expr[3], env, expr[1])
+            return _resize_bits(bits, expr[1],
+                                self._expr_signed(expr[3]))
         raise CompileError(f"synth: unsupported expr {op}")
 
     def _expr_signed(self, expr) -> bool:
@@ -387,6 +391,9 @@ class BitSynth:
         if op == "cond":
             return (self._expr_signed(expr[2]) and
                     self._expr_signed(expr[3]))
+        if op == "cast":
+            return (self._expr_signed(expr[3]) if expr[2] is None
+                    else bool(expr[2]))
         return False
 
     def _mux_select(self, bits: List[NetT], sel: List[NetT]) -> NetT:
