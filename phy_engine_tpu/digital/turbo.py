@@ -9,41 +9,40 @@ truth-table work with u64-packed CUDA cones
 kernels per tick — per-op dispatch latency, not compute, dominates and
 a scalar interpreter wins.
 
-This module recasts the *entire tick* as a handful of MXU matmuls per
-level with all state resident on-chip:
+This module recasts the *entire tick* as a small, depth-independent
+MXU program:
 
 * the 4-state planes (V, U — 32 stimulus lanes per signal, see
-  digital/logic.py) are stored as one f32 slab ``(Khi, 512)``: four
-  128-lane blocks holding the lo/hi 16-bit halves of each plane
-  (u16 halves are exactly representable in f32, and one-hot matmuls
-  against them are exact under ``precision=HIGHEST``);
-* every netlist **gather** becomes two static-index one-hot contractions
-  (row one-hot over Khi sublanes picks the 128-lane row group, lane
-  one-hot selects the lane) — the per-gate index vectors are the only
-  data, the one-hots are generated in-register by iota compares;
-* every **scatter** is the transposed pair: one matmul produces both the
-  written half-words and the clear mask, then
-  ``state = state*(1-clear) + contrib`` overwrites exactly the driven
-  signals (each signal has a single driver per level, so the one-hot
-  sums are exact);
-* gate logic itself runs bitwise on reconstructed int32 words (32 lanes)
-  between gather and scatter — same Kleene kernels as digital/logic.py;
-* flip-flop state (q is the output signal itself, last-clock planes get
-  appended signal slots) flows through the same gather/scatter
-  machinery, so a tick is just a static list of stages.
+  digital/logic.py) live in one f32 slab ``(Khi, 512)``: four 128-lane
+  blocks holding the lo/hi 16-bit halves of each plane (u16 halves are
+  exact in f32, and one-hot matmuls against them are exact under
+  ``precision=HIGHEST``);
+* the gate graph is levelled, block macros (FULL_ADDER, MUL2, ...) are
+  expanded into basic gates across sub-levels with fresh temp slots,
+  and every sub-level is cut into **uniform 128-gate chunks**.  A chunk
+  is 16 static int32 rows (indices, inversion masks, core-select
+  masks, validity) in one table;
+* the tick core is a single ``fori_loop`` over chunks: generate the
+  chunk's one-hot matrices by iota-compare, **gather** operand words
+  with one MXU contraction + lane select, evaluate all Kleene cores
+  bitwise on int32 (32 lanes), and **scatter** results + clear mask
+  back into the slab with a second contraction.  Program size is
+  constant in design depth — Mosaic compiles it in seconds where a
+  fully unrolled 200-level kernel took tens of minutes;
+* flip-flops (q is its output signal; last-clock planes get appended
+  slots) run as their own uniform chunk loop with an ``rst_en`` mask
+  unifying DFF and DFF_ARSTN (d_ff.h:59-66 / d_ff_arstn.h semantics).
 
-The tick core is pure jnp and runs two ways: inside a Pallas kernel on
-TPU — grid over ticks, the state slab lives in VMEM scratch across the
-whole run, per-tick forced inputs / history ride the block pipeline —
-or as plain XLA ops under ``lax.scan`` elsewhere (CPU tests, identical
-semantics).
+The identical core runs two ways: inside a Pallas kernel on TPU (grid
+over ticks, the state slab persists in VMEM scratch, per-tick forced
+inputs / history ride the block pipeline) or as plain XLA under
+``lax.scan`` elsewhere (CPU tests, bit-identical semantics).
 
-Eligible designs: all combinational gates in the fused basic set
-(AND/OR/XOR/NAND/NOR/XNOR/IMP/NIMP/NOT/YES), sequential devices only
-DFF/DFF_ARSTN, no latches, no feedback cycles, no TICK_DELAY, no
-VERILOG_MODULE, no analog sampling.  Everything a synthesized netlist
-at -O1 produces qualifies; anything else falls back to the levelled
-engine.
+Eligible designs: comb ops in the fused basic set or the expandable
+block/special set, sequential devices only DFF/DFF_ARSTN, no latches,
+no feedback cycles, no TICK_DELAY, no VERILOG_MODULE, no analog
+sampling.  Everything a synthesized netlist produces qualifies;
+anything else falls back to the levelled engine.
 """
 
 from __future__ import annotations
@@ -55,31 +54,39 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ir import DigitalIR, Segment
+from .ir import DigitalIR
 
 F32 = jnp.float32
 I32 = jnp.int32
 _HP = jax.lax.Precision.HIGHEST
+CHUNK = 128
 
-# op -> (invert_a, invert_b, invert_out, core) with core 0=AND 1=OR 2=XOR
-# (mirrors engine._GEN2_ENC; 1-input gates alias b to a)
+# basic fused gates: op -> (invert_a, invert_b, invert_out, core)
+# cores: 0=AND 1=OR 2=XOR 3=CASE_EQ 4=TRI 5=RESOLVE2 6=IS_UNKNOWN
 _GEN2_ENC = {
     "AND": (0, 0, 0, 0), "NAND": (0, 0, 1, 0),
     "OR": (0, 0, 0, 1), "NOR": (0, 0, 1, 1),
     "XOR": (0, 0, 0, 2), "XNOR": (0, 0, 1, 2),
     "IMP": (1, 0, 0, 1), "NIMP": (0, 1, 0, 0),
     "NOT": (0, 0, 1, 0), "YES": (0, 0, 0, 0),
+    "CASE_EQ": (0, 0, 0, 3), "TRI": (0, 0, 0, 4),
+    "RESOLVE2": (0, 0, 0, 5), "IS_UNKNOWN": (0, 0, 0, 6),
 }
+_N_CORES = 7
+# block macros expandable into basic gates (engine._eval_comb_segment)
+_BLOCK_OPS = ("HALF_ADDER", "FULL_ADDER", "HALF_SUBTRACTOR",
+              "FULL_SUBTRACTOR", "MUL2")
 _TURBO_SEQ = ("DFF", "DFF_ARSTN")
 
-# block/special comb ops: op -> (n_inputs, n_outputs); logic lives in
-# _block_logic below (mirrors engine._eval_comb_segment)
-_BLOCK_ARITY = {
-    "HALF_ADDER": (2, 2), "FULL_ADDER": (3, 2),
-    "HALF_SUBTRACTOR": (2, 2), "FULL_SUBTRACTOR": (3, 2),
-    "MUL2": (4, 4), "TRI": (2, 1), "RESOLVE2": (2, 1),
-    "CASE_EQ": (2, 1), "IS_UNKNOWN": (1, 1),
-}
+# chunk table row indices
+_R_AHI, _R_ALO, _R_BHI, _R_BLO, _R_OHI, _R_OLO = range(6)
+_R_INVA, _R_INVB, _R_INVO, _R_VALID = 6, 7, 8, 9
+_R_CORE0 = 10                       # rows 10..15: core one-hot masks 1..6
+_N_ROWS = _R_CORE0 + (_N_CORES - 1)
+
+# FF table rows
+(_F_DHI, _F_DLO, _F_CHI, _F_CLO, _F_RHI, _F_RLO, _F_QHI, _F_QLO,
+ _F_LHI, _F_LLO, _F_VALID, _F_RSTEN) = range(12)
 
 
 def eligible(ir: DigitalIR) -> bool:
@@ -92,7 +99,7 @@ def eligible(ir: DigitalIR) -> bool:
             return False
     for level in ir.levels:
         for seg in level:
-            if seg.op not in _GEN2_ENC and seg.op not in _BLOCK_ARITY:
+            if seg.op not in _GEN2_ENC and seg.op not in _BLOCK_OPS:
                 return False
     for inst, _sigs in ir.inputs:
         if inst.mdef.digital_op != "INPUT":
@@ -101,122 +108,85 @@ def eligible(ir: DigitalIR) -> bool:
 
 
 def _pad128(n: int) -> int:
-    return max(128, ((n + 127) // 128) * 128)
+    return max(CHUNK, ((n + CHUNK - 1) // CHUNK) * CHUNK)
 
 
-class _CombStage:
-    """One fused level: per-gate index rows + behaviour masks."""
+def _expand_level(segs, alloc_temp):
+    """One IR level -> list of sub-levels of (op, a, b, o) basic gates.
 
-    __slots__ = ("g", "a_hi", "a_lo", "b_hi", "b_lo", "o_hi", "o_lo",
-                 "inv_a", "inv_b", "inv_o", "m_or", "m_xor", "valid")
+    Block macros expand with fresh temp slots; a temp is always
+    produced in an earlier sub-level than its consumer so sequential
+    chunk execution preserves dataflow."""
+    subs: List[List[Tuple[str, int, int, int]]] = [[], [], []]
+    extra: List[List[Tuple[str, int, int, int]]] = []
 
-    def __init__(self, gates, trash: int):
-        g = _pad128(len(gates))
-        self.g = g
-        self.valid = np.zeros(g, np.int32)
-        self.valid[:len(gates)] = -1
-        arr = {k: np.zeros(g, np.int32) for k in
-               ("a", "b", "o", "inv_a", "inv_b", "inv_o", "m_or", "m_xor")}
-        arr["a"][:] = trash
-        arr["b"][:] = trash
-        arr["o"][:] = trash
-        for k, (op, a, b, o) in enumerate(gates):
-            ia, ib, io, core = _GEN2_ENC[op]
-            arr["a"][k] = a
-            arr["b"][k] = b
-            arr["o"][k] = o
-            arr["inv_a"][k] = -ia
-            arr["inv_b"][k] = -ib
-            arr["inv_o"][k] = -io
-            arr["m_or"][k] = -(core == 1)
-            arr["m_xor"][k] = -(core == 2)
-        # padded gates write trash with value 0 (inv masks stay 0, so
-        # they compute AND(trash,trash)=L -> v=0,u=0: harmless)
-        self.a_hi = arr["a"] >> 7
-        self.a_lo = arr["a"] & 127
-        self.b_hi = arr["b"] >> 7
-        self.b_lo = arr["b"] & 127
-        self.o_hi = arr["o"] >> 7
-        self.o_lo = arr["o"] & 127
-        self.inv_a = arr["inv_a"]
-        self.inv_b = arr["inv_b"]
-        self.inv_o = arr["inv_o"]
-        self.m_or = arr["m_or"]
-        self.m_xor = arr["m_xor"]
+    def emit(k, op, a, b, o):
+        while len(subs) <= k:
+            subs.append([])
+        subs[k].append((op, a, b, o))
 
-
-class _BlockStage:
-    """One block/special opcode group within a level."""
-
-    __slots__ = ("op", "g", "in_hi", "in_lo", "out_hi", "out_lo", "valid")
-
-    def __init__(self, op: str, inputs: np.ndarray, outputs: np.ndarray,
-                 trash: int):
-        ni, no = _BLOCK_ARITY[op]
-        n = len(outputs)
-        g = _pad128(n)
-        self.op = op
-        self.g = g
-        self.valid = np.zeros(g, np.int32)
-        self.valid[:n] = -1
-        ins = np.full((ni, g), trash, np.int32)
-        outs = np.full((no, g), trash, np.int32)
-        ins[:, :n] = inputs[:, :ni].T
-        outs[:, :n] = outputs[:, :no].T
-        # per-role rows (1-D each, so they can register in the tab)
-        self.in_hi = [np.ascontiguousarray(r) for r in ins >> 7]
-        self.in_lo = [np.ascontiguousarray(r) for r in ins & 127]
-        flat_out = outs.reshape(-1)
-        self.out_hi = np.ascontiguousarray(flat_out >> 7)
-        self.out_lo = np.ascontiguousarray(flat_out & 127)
-
-
-class _FFStage:
-    """One flip-flop group (DFF or DFF_ARSTN)."""
-
-    __slots__ = ("op", "g", "d_hi", "d_lo", "c_hi", "c_lo", "r_hi",
-                 "r_lo", "q_hi", "q_lo", "lc_hi", "lc_lo", "valid",
-                 "out_hi", "out_lo")
-
-    def __init__(self, op: str, d, c, r, q, lc, trash: int):
-        self.op = op
-        n = len(q)
-        g = _pad128(n)
-        self.g = g
-
-        def pad_idx(v):
-            out = np.full(g, trash, np.int32)
-            out[:n] = v
-            return out
-
-        d = pad_idx(d)
-        c = pad_idx(c)
-        r = pad_idx(r if r is not None else np.full(n, trash, np.int32))
-        q = pad_idx(q)
-        lc = pad_idx(lc)
-        self.d_hi, self.d_lo = d >> 7, d & 127
-        self.c_hi, self.c_lo = c >> 7, c & 127
-        self.r_hi, self.r_lo = r >> 7, r & 127
-        self.q_hi, self.q_lo = q >> 7, q & 127
-        self.lc_hi, self.lc_lo = lc >> 7, lc & 127
-        self.out_hi = np.concatenate([self.q_hi, self.lc_hi])
-        self.out_lo = np.concatenate([self.q_lo, self.lc_lo])
-        self.valid = np.zeros(g, np.int32)
-        self.valid[:n] = -1
+    for seg in segs:
+        op = seg.op
+        for g in range(len(seg.outputs)):
+            i = [int(x) for x in seg.inputs[g]]
+            o = [int(x) for x in seg.outputs[g]]
+            if op in _GEN2_ENC:
+                a = i[0]
+                b = i[1] if len(i) > 1 and seg.inputs.shape[1] > 1 else a
+                if op in ("NOT", "YES", "IS_UNKNOWN"):
+                    b = a
+                emit(0, op, a, b, o[0])
+            elif op == "HALF_ADDER":
+                emit(0, "XOR", i[0], i[1], o[0])
+                emit(0, "AND", i[0], i[1], o[1])
+            elif op == "FULL_ADDER":
+                x, g1, g2 = alloc_temp(), alloc_temp(), alloc_temp()
+                emit(0, "XOR", i[0], i[1], x)
+                emit(0, "AND", i[0], i[1], g1)
+                emit(1, "XOR", x, i[2], o[0])
+                emit(1, "AND", i[2], x, g2)
+                emit(2, "OR", g1, g2, o[1])
+            elif op == "HALF_SUBTRACTOR":
+                emit(0, "XOR", i[0], i[1], o[0])
+                emit(0, "NIMP", i[1], i[0], o[1])      # b & ~a
+            elif op == "FULL_SUBTRACTOR":
+                x, g1, g2 = alloc_temp(), alloc_temp(), alloc_temp()
+                emit(0, "XOR", i[0], i[1], x)
+                emit(0, "NIMP", i[1], i[0], g1)
+                emit(1, "XOR", x, i[2], o[0])
+                emit(1, "NIMP", i[2], x, g2)
+                emit(2, "OR", g1, g2, o[1])
+            elif op == "MUL2":
+                a0, a1, b0, b1 = i[:4]
+                t1, t2, t3, c1 = (alloc_temp(), alloc_temp(),
+                                  alloc_temp(), alloc_temp())
+                emit(0, "AND", a0, b0, o[0])
+                emit(0, "AND", a1, b0, t1)
+                emit(0, "AND", a0, b1, t2)
+                emit(0, "AND", a1, b1, t3)
+                emit(1, "XOR", t1, t2, o[1])
+                emit(1, "AND", t1, t2, c1)
+                emit(2, "XOR", t3, c1, o[2])
+                emit(2, "AND", t3, c1, o[3])
+            else:  # pragma: no cover — guarded by eligible()
+                raise ValueError(op)
+    _ = extra
+    return [s for s in subs if s]
 
 
 class TurboPlan:
-    """Static compilation of a DigitalIR + forced-signal list."""
+    """Static compilation of a DigitalIR + forced-signal list into
+    uniform chunk tables."""
 
     def __init__(self, ir: DigitalIR, forced_sig: np.ndarray):
         from .engine import _input_cone_levels
 
         S = ir.n_signals
-        # appended slots: per-FF last-clock planes, then one trash slot
-        self.lc_slots: List[np.ndarray] = []
+        self.S = S
         extra = S
-        self.ff_meta = []      # (op, q_sigs, lc_slots) for state commit
-        ffs = []
+        # per-FF last-clock slots
+        self.ff_meta = []
+        ff_rows = []
         for seg in ir.seq:
             n = len(seg.instances)
             lc = np.arange(extra, extra + n, dtype=np.int32)
@@ -224,86 +194,113 @@ class TurboPlan:
             q = seg.outputs[:, 0].astype(np.int32)
             d = seg.inputs[:, 0].astype(np.int32)
             c = seg.inputs[:, 1].astype(np.int32)
-            r = (seg.inputs[:, 2].astype(np.int32)
-                 if seg.op == "DFF_ARSTN" else None)
-            ffs.append((seg.op, d, c, r, q, lc))
+            if seg.op == "DFF_ARSTN":
+                r = seg.inputs[:, 2].astype(np.int32)
+                ren = np.full(n, -1, np.int32)
+            else:
+                r = None
+                ren = np.zeros(n, np.int32)
+            ff_rows.append((d, c, r, q, lc, ren))
             self.ff_meta.append((seg.op, q, lc))
-        self.trash = extra
-        self.S = S
-        self.K = _pad128(extra + 1)
-        self.Khi = self.K // 128
 
-        def conv_levels(levels):
-            out = []
+        # temp slots for block expansion
+        self._next_temp = [extra]
+
+        def alloc_temp():
+            t = self._next_temp[0]
+            self._next_temp[0] += 1
+            return t
+
+        def lower_levels(levels):
+            gates = []     # flat, chunk-boundary-safe order
             for level in levels:
-                gates = []
-                stages = []
-                for seg in level:
-                    if seg.op in _GEN2_ENC:
-                        for k in range(len(seg.outputs)):
-                            a = int(seg.inputs[k, 0])
-                            b = (int(seg.inputs[k, 1])
-                                 if seg.inputs.shape[1] > 1 else a)
-                            gates.append((seg.op, a, b,
-                                          int(seg.outputs[k, 0])))
-                    else:
-                        stages.append(_BlockStage(
-                            seg.op, seg.inputs.astype(np.int32),
-                            seg.outputs.astype(np.int32), self.trash))
-                if gates:
-                    stages.insert(0, _CombStage(gates, self.trash))
-                if stages:
-                    out.append(stages)
-            return out
+                for sub in _expand_level(level, alloc_temp):
+                    # each sub-level starts at a fresh chunk boundary
+                    while len(gates) % CHUNK:
+                        gates.append(None)
+                    gates.extend(sub)
+            while len(gates) % CHUNK:
+                gates.append(None)
+            return gates
 
-        self.cone = conv_levels(_input_cone_levels(ir))
-        self.full = conv_levels(ir.levels)
-        self.ffs = [_FFStage(op, d, c, r, q, lc, self.trash)
-                    for op, d, c, r, q, lc in ffs]
-        # forced-input scatter rows
+        cone_gates = lower_levels(_input_cone_levels(ir))
+        full_gates = lower_levels(ir.levels)
+
+        self.trash = self._next_temp[0]
+        self.K = _pad128(self.trash + 1)
+        self.Khi = self.K // CHUNK
+
+        def build_tab(gates):
+            C = max(1, len(gates) // CHUNK)
+            tab = np.zeros((_N_ROWS, C * CHUNK), np.int32)
+            for r in (_R_AHI, _R_BHI, _R_OHI):
+                tab[r, :] = self.trash >> 7
+            for r in (_R_ALO, _R_BLO, _R_OLO):
+                tab[r, :] = self.trash & 127
+            for k, gate in enumerate(gates):
+                if gate is None:
+                    continue
+                op, a, b, o = gate
+                ia, ib, io, core = _GEN2_ENC[op]
+                tab[_R_AHI, k] = a >> 7
+                tab[_R_ALO, k] = a & 127
+                tab[_R_BHI, k] = b >> 7
+                tab[_R_BLO, k] = b & 127
+                tab[_R_OHI, k] = o >> 7
+                tab[_R_OLO, k] = o & 127
+                tab[_R_INVA, k] = -ia
+                tab[_R_INVB, k] = -ib
+                tab[_R_INVO, k] = -io
+                tab[_R_VALID, k] = -1
+                if core > 0:
+                    tab[_R_CORE0 + core - 1, k] = -1
+            return tab, C
+
+        self.cone_tab, self.n_cone = build_tab(cone_gates)
+        if not any(g is not None for g in cone_gates):
+            self.n_cone = 0
+        self.full_tab, self.n_full = build_tab(full_gates)
+        if not any(g is not None for g in full_gates):
+            self.n_full = 0
+
+        # FF chunks — one chunk range per IR segment so the engine's
+        # simultaneous-within-segment / sequential-across-segments
+        # semantics can be reproduced (each segment reads a frozen
+        # pre-segment state)
+        self.ff_ranges: List[Tuple[int, int]] = []
+        chunks_total = sum((len(d) + CHUNK - 1) // CHUNK
+                           for d, *_ in ff_rows)
+        W = max(1, chunks_total) * CHUNK
+        ff = np.zeros((12, W), np.int32)
+        for r in (_F_DHI, _F_CHI, _F_RHI, _F_QHI, _F_LHI):
+            ff[r, :] = self.trash >> 7
+        for r in (_F_DLO, _F_CLO, _F_RLO, _F_QLO, _F_LLO):
+            ff[r, :] = self.trash & 127
+        k = 0
+        for d, c, r, q, lc, ren in ff_rows:
+            n = len(d)
+            c0 = k // CHUNK
+            sl = slice(k, k + n)
+            ff[_F_DHI, sl], ff[_F_DLO, sl] = d >> 7, d & 127
+            ff[_F_CHI, sl], ff[_F_CLO, sl] = c >> 7, c & 127
+            if r is not None:
+                ff[_F_RHI, sl], ff[_F_RLO, sl] = r >> 7, r & 127
+            ff[_F_QHI, sl], ff[_F_QLO, sl] = q >> 7, q & 127
+            ff[_F_LHI, sl], ff[_F_LLO, sl] = lc >> 7, lc & 127
+            ff[_F_VALID, sl] = -1
+            ff[_F_RSTEN, sl] = ren
+            k = (k + n + CHUNK - 1) // CHUNK * CHUNK
+            self.ff_ranges.append((c0, k // CHUNK))
+        self.ff_tab = ff
+
+        # forced-input scatter rows (static; values arrive per tick)
         nf = len(forced_sig)
         self.nf = nf
         self.nf_pad = _pad128(max(nf, 1))
         f = np.full(self.nf_pad, self.trash, np.int32)
         f[:nf] = forced_sig
-        self.f_hi, self.f_lo = f >> 7, f & 127
-        self._build_tab()
-
-    def _iter_arrays(self):
-        for stages in list(self.cone) + list(self.full):
-            for st in stages:
-                if isinstance(st, _CombStage):
-                    yield from (st.a_hi, st.a_lo, st.b_hi, st.b_lo,
-                                st.o_hi, st.o_lo, st.inv_a, st.inv_b,
-                                st.inv_o, st.m_or, st.m_xor, st.valid)
-                else:
-                    yield from st.in_hi
-                    yield from st.in_lo
-                    yield from (st.out_hi, st.out_lo, st.valid)
-        for ff in self.ffs:
-            yield from (ff.d_hi, ff.d_lo, ff.c_hi, ff.c_lo, ff.r_hi,
-                        ff.r_lo, ff.q_hi, ff.q_lo, ff.lc_hi, ff.lc_lo,
-                        ff.out_hi, ff.out_lo, ff.valid)
-        yield self.f_hi
-        yield self.f_lo
-
-    def _build_tab(self):
-        """Concatenate every static index/mask array into one (1, W)
-        int32 table so the Pallas kernel receives them as an input
-        instead of baked constants; offsets stay 128-aligned because
-        every registered array has length % 128 == 0."""
-        self.offs: Dict[int, Tuple[int, int]] = {}
-        chunks = []
-        w = 0
-        for arr in self._iter_arrays():
-            assert arr.dtype == np.int32 and arr.ndim == 1
-            assert len(arr) % 128 == 0, len(arr)
-            self.offs[id(arr)] = (w, len(arr))
-            chunks.append(arr)
-            w += len(arr)
-        self.tab = (np.concatenate(chunks)[None, :] if chunks
-                    else np.zeros((1, 128), np.int32))
-        self.tab_w = self.tab.shape[1]
+        self.f_hi = (f >> 7)[None, :]
+        self.f_lo = (f & 127)[None, :]
 
     # -- state packing --------------------------------------------------------
     def pack_state(self, sv: np.ndarray, su: np.ndarray,
@@ -326,7 +323,7 @@ class TurboPlan:
         return slab
 
     def unpack_hist(self, hv: np.ndarray, hu: np.ndarray):
-        """(T, Khi, 128) int32 pair -> (T, S) uint32 planes + extras."""
+        """(T, Khi, 128) int32 pair -> (T, K) uint32 planes."""
         T = hv.shape[0]
         v = hv.reshape(T, self.K).view(np.uint32)
         u = hu.reshape(T, self.K).view(np.uint32)
@@ -390,11 +387,14 @@ def _scatter(state, hi, lo, v, u, khi: int):
     return state * (F32(1) - clear4) + contrib[:, :512]
 
 
-def _kleene_fused(st: _CombStage, va, ua, vb, ub, row):
-    """Fused basic-gate logic on int32 planes (1,G)."""
-    inv_a, inv_b = row(st.inv_a), row(st.inv_b)
-    inv_o = row(st.inv_o)
-    m_or, m_xor = row(st.m_or), row(st.m_xor)
+def _eff(v, u):
+    return v & ~u, u
+
+
+def _chunk_logic(rows, va, ua, vb, ub):
+    """All Kleene cores + per-gate select; rows[r] -> (1,128) int32."""
+    inv_a, inv_b = rows[_R_INVA], rows[_R_INVB]
+    inv_o = rows[_R_INVO]
     va = (va & ~inv_a) | (~va & ~ua & inv_a)
     vb = (vb & ~inv_b) | (~vb & ~ub & inv_b)
     h_a, l_a = va & ~ua, ~va & ~ua
@@ -406,141 +406,113 @@ def _kleene_fused(st: _CombStage, va, ua, vb, ub, row):
     known = ~ua & ~ub
     xor_v = (va ^ vb) & known
     xor_u = ~known
-    keep = ~m_or & ~m_xor
-    v = (and_v & keep) | (or_v & m_or) | (xor_v & m_xor)
-    u = (and_u & keep) | (or_u & m_or) | (xor_u & m_xor)
+    ceq_v = ~(va ^ vb) & ~(ua ^ ub)
+    ceq_u = jnp.zeros_like(ceq_v)
+    # TRI: a=data, b=en (logic.op_tri_state)
+    eh, el = h_b, l_b
+    tbv, tbu = h_a, ua                        # buffered data (op_yes)
+    tri_v = (eh & tbv) | el
+    tri_u = (eh & tbu) | el | ub
+    # RESOLVE2 (logic.op_resolve2)
+    az = ua & va
+    bz = ub & vb
+    eq = ~(va ^ vb) & ~(ua ^ ub)
+    sel_b = az
+    sel_a = ~az & bz
+    sel_e = ~az & ~bz & eq
+    conflict = ~az & ~bz & ~eq
+    res_v = (sel_b & vb) | (sel_a & va) | (sel_e & va)
+    res_u = (sel_b & ub) | (sel_a & ua) | (sel_e & ua) | conflict
+    unk_v = ua
+    unk_u = jnp.zeros_like(ua)
+
+    v, u = and_v, and_u
+    for core, (cv, cu) in enumerate(((or_v, or_u), (xor_v, xor_u),
+                                     (ceq_v, ceq_u), (tri_v, tri_u),
+                                     (res_v, res_u), (unk_v, unk_u)),
+                                    start=1):
+        m = rows[_R_CORE0 + core - 1]
+        v = (v & ~m) | (cv & m)
+        u = (u & ~m) | (cu & m)
     v = (v & ~inv_o) | (~v & ~u & inv_o)
     return v, u
 
 
-def _eff(v, u):
-    return v & ~u, u
+def _tick_core(plan: TurboPlan, state, fetch_forced, fetch_comb,
+               fetch_ff):
+    """One tick over the state slab.
 
-
-def _block_logic(op: str, ins):
-    """ins: list of (v, u) int32 plane pairs; returns list of (v, u)
-    outputs.  Mirrors engine._eval_comb_segment via logic.py kernels
-    (all pure bitwise, dtype-generic)."""
-    from . import logic
-    if op == "HALF_ADDER":
-        (va, ua), (vb, ub) = ins
-        return [logic.op_xor(va, ua, vb, ub),
-                logic.op_and(va, ua, vb, ub)]
-    if op == "FULL_ADDER":
-        (va, ua), (vb, ub), (vc, uc) = ins
-        xv, xu = logic.op_xor(va, ua, vb, ub)
-        s = logic.op_xor(xv, xu, vc, uc)
-        g1v, g1u = logic.op_and(va, ua, vb, ub)
-        g2v, g2u = logic.op_and(vc, uc, xv, xu)
-        return [s, logic.op_or(g1v, g1u, g2v, g2u)]
-    if op == "HALF_SUBTRACTOR":
-        (va, ua), (vb, ub) = ins
-        nav, nau = logic.op_not(va, ua)
-        return [logic.op_xor(va, ua, vb, ub),
-                logic.op_and(nav, nau, vb, ub)]
-    if op == "FULL_SUBTRACTOR":
-        (va, ua), (vb, ub), (vc, uc) = ins
-        xv, xu = logic.op_xor(va, ua, vb, ub)
-        d = logic.op_xor(xv, xu, vc, uc)
-        nav, nau = logic.op_not(va, ua)
-        nxv, nxu = logic.op_not(xv, xu)
-        g1v, g1u = logic.op_and(nav, nau, vb, ub)
-        g2v, g2u = logic.op_and(nxv, nxu, vc, uc)
-        return [d, logic.op_or(g1v, g1u, g2v, g2u)]
-    if op == "MUL2":
-        (a0v, a0u), (a1v, a1u), (b0v, b0u), (b1v, b1u) = ins
-        p0 = logic.op_and(a0v, a0u, b0v, b0u)
-        t1v, t1u = logic.op_and(a1v, a1u, b0v, b0u)
-        t2v, t2u = logic.op_and(a0v, a0u, b1v, b1u)
-        p1 = logic.op_xor(t1v, t1u, t2v, t2u)
-        c1v, c1u = logic.op_and(t1v, t1u, t2v, t2u)
-        t3v, t3u = logic.op_and(a1v, a1u, b1v, b1u)
-        p2 = logic.op_xor(t3v, t3u, c1v, c1u)
-        p3 = logic.op_and(t3v, t3u, c1v, c1u)
-        return [p0, p1, p2, p3]
-    if op == "TRI":
-        (vd, ud), (ve, ue) = ins
-        return [logic.op_tri_state(vd, ud, ve, ue)]
-    if op == "RESOLVE2":
-        (va, ua), (vb, ub) = ins
-        return [logic.op_resolve2(va, ua, vb, ub)]
-    if op == "CASE_EQ":
-        (va, ua), (vb, ub) = ins
-        return [logic.op_case_eq(va, ua, vb, ub)]
-    if op == "IS_UNKNOWN":
-        (va, ua), = ins
-        return [logic.op_is_unknown(va, ua)]
-    raise ValueError(f"unknown block op {op}")
-
-
-def _tick_core(plan: TurboPlan, state, fv_row, fu_row, tabget):
-    """One tick over the state slab; fv/fu rows (1, nf_pad) int32 and
-    ``tabget(off, n) -> (1, n)`` fetching from the static table (a
-    constant slice under XLA, a ref-level load under Pallas so each
-    row materializes with a clean offset-0 layout)."""
+    ``fetch_forced(c0)`` -> (fv, fu) (1,128) int32 of this tick's
+    forced planes at lane offset c0; ``fetch_comb(which, li)``: rows
+    [ _N_ROWS x (1,128) ] of chunk li from the cone (0) / full (1)
+    table; ``fetch_ff(li)`` same for the FF table.  Fetchers use
+    static slices under XLA and ref-level dynamic slices under Pallas
+    (loads materialize with clean layouts, which value-slicing at a
+    lane offset does not).
+    """
     khi = plan.Khi
 
-    def row(arr):
-        off, n = plan.offs[id(arr)]
-        return tabget(off, n)
+    def comb_chunk(state, rows):
+        va, ua = _gather(state, rows[_R_AHI], rows[_R_ALO], khi)
+        vb, ub = _gather(state, rows[_R_BHI], rows[_R_BLO], khi)
+        v, u = _chunk_logic(rows, va, ua, vb, ub)
+        valid = rows[_R_VALID]
+        return _scatter(state, rows[_R_OHI], rows[_R_OLO],
+                        v & valid, u & valid, khi)
 
-    def comb(state, levels):
-        for stages in levels:
-            for st in stages:
-                if isinstance(st, _CombStage):
-                    va, ua = _gather(state, row(st.a_hi),
-                                     row(st.a_lo), khi)
-                    vb, ub = _gather(state, row(st.b_hi),
-                                     row(st.b_lo), khi)
-                    v, u = _kleene_fused(st, va, ua, vb, ub, row)
-                    valid = row(st.valid)
-                    state = _scatter(state, row(st.o_hi),
-                                     row(st.o_lo), v & valid,
-                                     u & valid, khi)
-                else:
-                    ins = [_gather(state, row(st.in_hi[r]),
-                                   row(st.in_lo[r]), khi)
-                           for r in range(len(st.in_hi))]
-                    outs = _block_logic(st.op, ins)
-                    valid = row(st.valid)
-                    v_cat = jnp.concatenate(
-                        [v & valid for v, _ in outs], axis=1)
-                    u_cat = jnp.concatenate(
-                        [u & valid for _, u in outs], axis=1)
-                    state = _scatter(state, row(st.out_hi),
-                                     row(st.out_lo), v_cat, u_cat, khi)
-        return state
+    def comb_loop(state, which, n):
+        if n == 0:
+            return state
 
-    # 1. forced INPUT values
-    state = _scatter(state, row(plan.f_hi), row(plan.f_lo),
-                     fv_row, fu_row, khi)
-    # 2. pre-sequential settle of the forced-input cone
-    state = comb(state, plan.cone)
-    # 3. flip-flops (d_ff.h:59-66 semantics via engine._eval_seq_segment)
-    for ff in plan.ffs:
-        dv, du = _eff(*_gather(state, row(ff.d_hi), row(ff.d_lo), khi))
-        cv, cu = _eff(*_gather(state, row(ff.c_hi), row(ff.c_lo), khi))
-        qv, qu = _gather(state, row(ff.q_hi), row(ff.q_lo), khi)
-        lcv, lcu = _gather(state, row(ff.lc_hi), row(ff.lc_lo), khi)
+        def body(li, st):
+            return comb_chunk(st, fetch_comb(which, li))
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, state)
+
+    def ff_chunk(state, state_pre, rows):
+        """Gathers read the frozen pre-segment state; scatters write
+        the live state (engine's simultaneous-within-segment rule)."""
+        dv, du = _eff(*_gather(state_pre, rows[_F_DHI], rows[_F_DLO],
+                               khi))
+        cv, cu = _eff(*_gather(state_pre, rows[_F_CHI], rows[_F_CLO],
+                               khi))
+        qv, qu = _gather(state_pre, rows[_F_QHI], rows[_F_QLO], khi)
+        lcv, lcu = _gather(state_pre, rows[_F_LHI], rows[_F_LLO], khi)
         rise = (~lcv & ~lcu) & (cv & ~cu)
         known = ~cu
         lcv2 = (lcv & ~known) | (cv & known)
         lcu2 = lcu & ~known
         qv = (qv & ~rise) | (dv & rise)
         qu = (qu & ~rise) | (du & rise)
-        if ff.op == "DFF_ARSTN":
-            av, au = _eff(*_gather(state, row(ff.r_hi), row(ff.r_lo),
-                                   khi))
-            a_l = ~av & ~au
-            qv = qv & ~a_l & ~au
-            qu = (qu & ~a_l) | au
-        valid = row(ff.valid)
-        v_cat = jnp.concatenate([qv & valid, lcv2 & valid], axis=1)
-        u_cat = jnp.concatenate([qu & valid, lcu2 & valid], axis=1)
-        state = _scatter(state, row(ff.out_hi), row(ff.out_lo),
-                         v_cat, u_cat, khi)
+        # async reset-low overlay, gated per-gate by rst_en
+        av, au = _eff(*_gather(state_pre, rows[_F_RHI], rows[_F_RLO],
+                               khi))
+        ren = rows[_F_RSTEN]
+        a_l = ~av & ~au & ren
+        a_x = au & ren
+        qv = qv & ~a_l & ~a_x
+        qu = (qu & ~a_l) | a_x
+        valid = rows[_F_VALID]
+        state = _scatter(state, rows[_F_QHI], rows[_F_QLO],
+                         qv & valid, qu & valid, khi)
+        return _scatter(state, rows[_F_LHI], rows[_F_LLO],
+                        lcv2 & valid, lcu2 & valid, khi)
+
+    # 1. forced INPUT values (static rows, per-tick planes)
+    for c0 in range(0, plan.nf_pad, CHUNK):
+        fhi, flo, fv, fu = fetch_forced(c0)
+        state = _scatter(state, fhi, flo, fv, fu, khi)
+    # 2. pre-sequential settle of the forced-input cone
+    state = comb_loop(state, 0, plan.n_cone)
+    # 3. flip-flops, one frozen snapshot per IR segment
+    for (c0, c1) in plan.ff_ranges:
+        state_pre = state
+
+        def ffbody(li, st, _pre=state_pre):
+            return ff_chunk(st, _pre, fetch_ff(li))
+        state = jax.lax.fori_loop(jnp.int32(c0), jnp.int32(c1),
+                                  ffbody, state)
     # 4. full combinational settle
-    state = comb(state, plan.full)
+    state = comb_loop(state, 1, plan.n_full)
     return state
 
 
@@ -554,6 +526,14 @@ def _hist_planes(plan: TurboPlan, state):
     return v, u
 
 
+def _pad_forced(plan, FV, FU):
+    fvp = np.zeros((FV.shape[0], plan.nf_pad), np.int32)
+    fup = np.zeros_like(fvp)
+    fvp[:, :plan.nf] = FV.view(np.int32)
+    fup[:, :plan.nf] = FU.view(np.int32)
+    return fvp, fup
+
+
 # ---------------------------------------------------------------------------
 # runners
 # ---------------------------------------------------------------------------
@@ -561,17 +541,33 @@ def _hist_planes(plan: TurboPlan, state):
 def run_xla(plan: TurboPlan, state0: np.ndarray, FV: np.ndarray,
             FU: np.ndarray):
     """lax.scan over the tick core (CPU / virtual-mesh path)."""
-    fvp = np.zeros((FV.shape[0], plan.nf_pad), np.int32)
-    fup = np.zeros_like(fvp)
-    fvp[:, :plan.nf] = FV.view(np.int32)
-    fup[:, :plan.nf] = FU.view(np.int32)
+    fvp, fup = _pad_forced(plan, FV, FU)
+    cone = jnp.asarray(plan.cone_tab)
+    full = jnp.asarray(plan.full_tab)
+    fftab = jnp.asarray(plan.ff_tab)
+    f_hi = jnp.asarray(plan.f_hi)
+    f_lo = jnp.asarray(plan.f_lo)
 
-    tab = jnp.asarray(plan.tab)
+    def fetch_comb(which, li):
+        tab = cone if which == 0 else full
+        blk = jax.lax.dynamic_slice(
+            tab, (jnp.int32(0), li * jnp.int32(CHUNK)),
+            (_N_ROWS, CHUNK))
+        return [blk[r:r + 1] for r in range(_N_ROWS)]
+
+    def fetch_ff(li):
+        blk = jax.lax.dynamic_slice(
+            fftab, (jnp.int32(0), li * jnp.int32(CHUNK)), (12, CHUNK))
+        return [blk[r:r + 1] for r in range(12)]
 
     def step(state, xs):
         fv, fu = xs
-        state = _tick_core(plan, state, fv[None, :], fu[None, :],
-                           lambda off, n: tab[:, off:off + n])
+
+        def fetch_forced(c0):
+            return (f_hi[:, c0:c0 + CHUNK], f_lo[:, c0:c0 + CHUNK],
+                    fv[None, c0:c0 + CHUNK], fu[None, c0:c0 + CHUNK])
+        state = _tick_core(plan, state, fetch_forced, fetch_comb,
+                           fetch_ff)
         return state, _hist_planes(plan, state)
 
     def run(state0, FVj, FUj):
@@ -591,22 +587,38 @@ def run_pallas(plan: TurboPlan, state0: np.ndarray, FV: np.ndarray,
 
     T = FV.shape[0]
     khi = plan.Khi
-    fvp = np.zeros((T, plan.nf_pad), np.int32)
-    fup = np.zeros_like(fvp)
-    fvp[:, :plan.nf] = FV.view(np.int32)
-    fup[:, :plan.nf] = FU.view(np.int32)
+    fvp, fup = _pad_forced(plan, FV, FU)
+    cone_w = plan.cone_tab.shape[1]
+    full_w = plan.full_tab.shape[1]
+    ff_w = plan.ff_tab.shape[1]
 
-    def kernel(s0_ref, fv_ref, fu_ref, tab_ref, hv_ref, hu_ref,
-               state_sc):
+    def kernel(s0_ref, fv_ref, fu_ref, fhi_ref, flo_ref, cone_ref,
+               full_ref, ff_ref, hv_ref, hu_ref, state_sc):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             state_sc[...] = s0_ref[...]
 
-        state = _tick_core(plan, state_sc[...], fv_ref[...][0],
-                           fu_ref[...][0],
-                           lambda off, n: tab_ref[:, off:off + n])
+        def fetch_comb(which, li):
+            ref = cone_ref if which == 0 else full_ref
+            off = pl.multiple_of(li * CHUNK, CHUNK)
+            return [ref[r:r + 1, pl.ds(off, CHUNK)]
+                    for r in range(_N_ROWS)]
+
+        def fetch_ff(li):
+            off = pl.multiple_of(li * CHUNK, CHUNK)
+            return [ff_ref[r:r + 1, pl.ds(off, CHUNK)]
+                    for r in range(12)]
+
+        def fetch_forced(c0):
+            return (fhi_ref[:, c0:c0 + CHUNK],
+                    flo_ref[:, c0:c0 + CHUNK],
+                    fv_ref[0, :, c0:c0 + CHUNK],
+                    fu_ref[0, :, c0:c0 + CHUNK])
+
+        state = _tick_core(plan, state_sc[...], fetch_forced,
+                           fetch_comb, fetch_ff)
         state_sc[...] = state
         hv, hu = _hist_planes(plan, state)
         hv_ref[...] = hv[None]
@@ -623,7 +635,15 @@ def run_pallas(plan: TurboPlan, state0: np.ndarray, FV: np.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, plan.nf_pad), lambda t: (t, z(t), z(t)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, plan.tab_w), lambda t: (z(t), z(t)),
+            pl.BlockSpec((1, plan.nf_pad), lambda t: (z(t), z(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, plan.nf_pad), lambda t: (z(t), z(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_ROWS, cone_w), lambda t: (z(t), z(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_ROWS, full_w), lambda t: (z(t), z(t)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, ff_w), lambda t: (z(t), z(t)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -644,7 +664,11 @@ def run_pallas(plan: TurboPlan, state0: np.ndarray, FV: np.ndarray,
     hv, hu = jax.jit(out)(jnp.asarray(state0),
                           jnp.asarray(fvp[:, None, :]),
                           jnp.asarray(fup[:, None, :]),
-                          jnp.asarray(plan.tab))
+                          jnp.asarray(plan.f_hi),
+                          jnp.asarray(plan.f_lo),
+                          jnp.asarray(plan.cone_tab),
+                          jnp.asarray(plan.full_tab),
+                          jnp.asarray(plan.ff_tab))
     return np.asarray(hv), np.asarray(hu)
 
 
