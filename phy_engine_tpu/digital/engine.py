@@ -693,6 +693,12 @@ class DigitalEngine:
         """One digital_clk(); returns drive dict (or None)."""
         if self.ir is None:
             return None
+        if self._native_tick_ok():
+            fs, fv, fu = self._forced_arrays()
+            self._run_ticks_native(np.asarray(fs),
+                                   np.asarray(fv)[None],
+                                   np.asarray(fu)[None])
+            return None
         fs, fv, fu = self._forced_arrays()
         if self.ir.vmods:
             vsig, vv, vu = self._run_vmods(np.asarray(analog_v),
@@ -731,16 +737,25 @@ class DigitalEngine:
 
         from . import turbo
         mode = turbo.backend()
-        if mode in ("turbo", "turbo_xla"):
-            if turbo.eligible(self.ir):
+        if mode == "auto":
+            mode = turbo.pick_auto(self.ir)
+        if mode in ("native", "turbo", "turbo_xla"):
+            ok = turbo.eligible(self.ir)
+            if ok and mode == "native":
+                from . import native_run
+                if native_run.available():
+                    return self._run_ticks_native(forced_sig, forced_v,
+                                                  forced_u)
+                mode = "turbo"       # toolchain missing: MXU fallback
+            if ok:
                 return self._run_ticks_turbo(forced_sig, forced_v,
                                              forced_u, mode)
             import os as _os
-            if _os.environ.get("PE_TPU_DIGITAL") in ("turbo",
+            if _os.environ.get("PE_TPU_DIGITAL") in ("native", "turbo",
                                                      "turbo_xla"):
                 raise ValueError(
-                    "PE_TPU_DIGITAL forces the turbo path but the "
-                    "design is not turbo-eligible")
+                    "PE_TPU_DIGITAL forces the turbo/native path but "
+                    "the design is not eligible")
 
         av = jnp.asarray(analog_v, jnp.float64)
         fs = jnp.asarray(np.asarray(forced_sig, np.int32))
@@ -767,6 +782,46 @@ class DigitalEngine:
             self.sv, self.su, self.seq_state, fs, FV, FU, av)
         self._writeback()
         return hist
+
+    def _native_tick_ok(self) -> bool:
+        """tick() may use the host sweep engine only for pure-digital
+        designs (no analog sampling, drives, or VERILOG_MODULE) when
+        the backend policy selects it."""
+        cached = getattr(self, "_native_tick_flag", None)
+        if cached is not None:
+            return cached
+        from . import turbo
+        ok = False
+        mode = turbo.backend()
+        if mode == "auto":
+            mode = turbo.pick_auto(self.ir)
+        if mode == "native" and not self.ir.vmods and \
+                not self.ir.samp_sig.size and not self.ir.drv_sig.size \
+                and turbo.eligible(self.ir):
+            from . import native_run
+            ok = native_run.available()
+        self._native_tick_flag = ok
+        return ok
+
+    def _run_ticks_native(self, forced_sig, FV, FU):
+        """Host C++ sweep engine (digital/native_run.py) — the
+        latency-optimal single-trace backend."""
+        from . import native_run
+        plan = getattr(self, "_native_plan", None)
+        if plan is None:
+            plan = self._native_plan = native_run.NativePlan(self.ir)
+        st = plan.pack_state(np.asarray(self.sv), np.asarray(self.su),
+                             self.seq_state)
+        HV, HU = plan.run(st, np.asarray(forced_sig, np.int32),
+                          np.asarray(FV, np.uint32),
+                          np.asarray(FU, np.uint32))
+        self.sv = jnp.asarray(
+            (st[:plan.S] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        self.su = jnp.asarray(
+            (st[:plan.S] >> np.uint64(32)).astype(np.uint32))
+        self.seq_state = plan.commit_seq_state(st, self.seq_state)
+        self._writeback()
+        return (HV, HU)
 
     def _run_ticks_turbo(self, forced_sig, FV, FU, mode):
         """Whole-tick MXU path (digital/turbo.py); falls in here only

@@ -673,13 +673,34 @@ def run_pallas(plan: TurboPlan, state0: np.ndarray, FV: np.ndarray,
 
 
 def backend() -> str:
-    """PE_TPU_DIGITAL: auto (pallas on TPU, levels elsewhere),
-    turbo (force pallas), turbo_xla, levels."""
+    """PE_TPU_DIGITAL backend select.
+
+    ``native`` (host C++ sweep — the latency-optimal single-trace
+    path), ``turbo`` (Pallas MXU whole-tick program), ``turbo_xla``
+    (same core as plain XLA), ``levels`` (levelled XLA engine), or
+    ``auto``: native on TPU-attached hosts (sequential single-trace
+    clocking is dispatch-latency-bound, so the host engine wins; the
+    TPU carries the batched axes via run_ticks_batched), levels
+    elsewhere (CPU tests exercise the XLA path)."""
     mode = os.environ.get("PE_TPU_DIGITAL", "auto")
-    if mode in ("turbo", "turbo_xla", "levels"):
+    if mode in ("native", "turbo", "turbo_xla", "levels"):
         return mode
+    return "auto"
+
+
+def pick_auto(ir) -> str:
+    """auto policy: native on TPU-attached hosts (single-trace clocking
+    is dispatch-latency-bound — the host engine wins while the TPU
+    carries the batched axes); native also for DEEP designs on CPU,
+    where the unrolled XLA tick program's compile time explodes (a
+    200-level netlist takes minutes to build); levels otherwise so the
+    XLA path keeps broad test coverage."""
     try:
         plat = jax.devices()[0].platform
     except Exception:
         plat = "cpu"
-    return "turbo" if plat == "tpu" else "levels"
+    if plat == "tpu":
+        return "native"
+    deep = ir is not None and (len(ir.levels) >= 48 or
+                               ir.n_signals >= 4096)
+    return "native" if deep else "levels"

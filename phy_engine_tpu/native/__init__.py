@@ -20,10 +20,14 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "pe_tt.cpp")
 _LIB = os.path.join(_DIR, "libpe_tt.so")
+_DSRC = os.path.join(_DIR, "pe_digital.cpp")
+_DLIB = os.path.join(_DIR, "libpe_digital.so")
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_dlib = None
+_dtried = False
 
 OP_LEAF, OP_NOT, OP_AND, OP_OR, OP_XOR, OP_CONST0, OP_CONST1 = range(7)
 
@@ -75,6 +79,84 @@ def get_lib():
         except Exception:
             _lib = None
         return _lib
+
+
+def get_digital_lib():
+    """The native digital sweep engine (pe_digital.cpp), compiled on
+    first use; None when no toolchain is available."""
+    global _dlib, _dtried
+    if _dlib is not None or _dtried:
+        return _dlib
+    with _lock:
+        if _dlib is not None or _dtried:
+            return _dlib
+        _dtried = True
+        if os.environ.get("PE_TPU_NO_NATIVE"):
+            return None
+        try:
+            fresh = (os.path.exists(_DLIB) and
+                     os.path.getmtime(_DLIB) >= os.path.getmtime(_DSRC))
+            if not fresh:
+                cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                       "-o", _DLIB, _DSRC]
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            lib = ctypes.CDLL(_DLIB)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            lib.pe_digital_run.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u64p,
+                i32p, i32p, i32p, i32p, ctypes.c_int32,
+                i32p, i32p, i32p, i32p, ctypes.c_int32,
+                i32p, i32p, i32p, i32p, ctypes.c_int32,
+                i32p, i32p, i32p, i32p, i32p, i32p,
+                i32p, ctypes.c_int32,
+                i32p, ctypes.c_int32, u32p, u32p,
+                u32p, u32p, u64p,
+            ]
+            lib.pe_digital_run.restype = None
+            _dlib = lib
+        except Exception:
+            _dlib = None
+        return _dlib
+
+
+def digital_run(plan, st, narrow, fsig, FV, FU, HV, HU) -> None:
+    """One native call running len(FV) ticks of a NativePlan.
+
+    ``st``: uint64[K] packed state (v | u<<32), updated in place;
+    ``narrow``: (op, a, b, o) cone tables for ticks 1..T-1."""
+    lib = get_digital_lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+
+    keep = []                     # pin converted temporaries until the call
+
+    def ip(a):
+        a = np.ascontiguousarray(a, np.int32)
+        keep.append(a)
+        return a.ctypes.data_as(i32p)
+
+    def up(a):
+        return a.ctypes.data_as(u32p)
+
+    scratch = np.zeros(max(1, 6 * plan.max_seg), np.uint64)
+    c_op, c_a, c_b, c_o = plan.cone
+    n_op, n_a, n_b, n_o = narrow
+    f_op, f_a, f_b, f_o = plan.full
+    lib.pe_digital_run(
+        np.int32(plan.K), np.int32(plan.S), np.int32(FV.shape[0]),
+        st.ctypes.data_as(u64p),
+        ip(c_op), ip(c_a), ip(c_b), ip(c_o), np.int32(len(c_op)),
+        ip(n_op), ip(n_a), ip(n_b), ip(n_o), np.int32(len(n_op)),
+        ip(f_op), ip(f_a), ip(f_b), ip(f_o), np.int32(len(f_op)),
+        ip(plan.ff_d), ip(plan.ff_c), ip(plan.ff_r), ip(plan.ff_q),
+        ip(plan.ff_lc), ip(plan.ff_ren),
+        ip(plan.seg), np.int32(len(plan.seg) - 1),
+        ip(fsig), np.int32(FV.shape[1]), up(FV), up(FU),
+        up(HV), up(HU), scratch.ctypes.data_as(u64p))
 
 
 def _as_i32(a):
