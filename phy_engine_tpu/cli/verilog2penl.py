@@ -122,11 +122,16 @@ def main(argv=None) -> int:
         st = report.opt_stats
         if st is not None:
             nz = {k: v for k, v in vars(st).items()
-                  if v and k not in ("omax_trace", "omax_summary")}
+                  if v and k not in ("omax_trace", "omax_summary",
+                                     "passes")}
             if nz:
                 print("opt: " + " ".join(f"{k}={v}"
                                          for k, v in sorted(nz.items())),
                       file=sys.stderr)
+            # per-pass gate deltas + wall time (pe_synth_report.passes)
+            for name, before, after, us in st.passes:
+                print(f"  pass {name:<10s} {before:>6d} -> {after:<6d}"
+                      f" {us/1000.0:8.1f} ms", file=sys.stderr)
             if st.omax_summary:
                 print(st.omax_summary, file=sys.stderr)
                 for r, stage, cost in st.omax_trace:

@@ -726,7 +726,9 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
 
     # run the pass sequence, checkpointing after each stage; emit the
     # best graph seen (a stage that inflates must not discard the wins
-    # of the stages around it)
+    # of the stages around it).  Per-pass deltas + wall time land in
+    # stats.passes (pe_synth_report.passes parity).
+    import time as _time
     best_g = None
     best_count = None
 
@@ -736,15 +738,45 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
         n = g.gate_count()
         if best_count is None or n < best_count:
             best_g, best_count = g, n
+        return n
+
+    def staged(name, fn, out_map, keep_worse=False):
+        """Run a stage, record (pass, before, after, us), checkpoint,
+        and roll back stages that regressed (the reference's
+        max_total_* snapshot-rollback role, pe_synth.h:17644-17664)."""
+        roots = [idx for (_, idx) in out_map.values()]
+        pre = _live_gate_count(bld, roots)
+        t0 = _time.monotonic()
+        new_map = fn(out_map)
+        us = int((_time.monotonic() - t0) * 1e6)
+        roots = [idx for (_, idx) in new_map.values()]
+        post = _live_gate_count(bld, roots)
+        stats.passes.append((name, pre, post, us))
+        checkpoint(new_map)
+        if post > pre and not keep_worse:
+            return out_map
+        return new_map
 
     checkpoint(out_map)                  # normalize + re-selection only
     if tt_passes and binary_ok:
-        out_map = tt_sweep(bld, out_map, stats)
-        checkpoint(out_map)
-        out_map = qm_cones(bld, out_map, stats)
-        checkpoint(out_map)
-    out_map = factor_rounds(out_map)
-    checkpoint(out_map)
+        from .opt_map import cut_rewrite, resub
+        out_map = staged("tt_sweep",
+                         lambda om: tt_sweep(bld, om, stats), out_map)
+        out_map = staged("rewrite",
+                         lambda om: cut_rewrite(bld, om, stats),
+                         out_map)
+        out_map = staged("resub",
+                         lambda om: resub(bld, om, stats), out_map)
+        out_map = staged("qm_2lvl",
+                         lambda om: qm_cones(bld, om, stats), out_map)
+        from .opt_map import sop_rewrite
+        out_map = staged("qm_deep",
+                         lambda om: sop_rewrite(bld, om, stats),
+                         out_map)
+        out_map = staged("rewrite2",
+                         lambda om: cut_rewrite(bld, om, stats,
+                                                rounds=1), out_map)
+    out_map = staged("factor", factor_rounds, out_map)
 
     best_g = macro_extract(best_g, stats)
     after = instance_count(best_g)
@@ -1371,8 +1403,10 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
         return False
     base_cost = graph_cost(g0, cost_model, weights)
 
-    orders = [("tt", "qm", "factor"), ("factor", "tt", "qm"),
-              ("tt", "factor", "qm"), ("qm", "tt", "factor")]
+    orders = [("tt", "rewrite", "qm", "factor"),
+              ("factor", "tt", "rewrite", "qm"),
+              ("tt", "rewrite", "factor", "qm"),
+              ("qm", "rewrite", "tt", "factor")]
     best_g: Optional[GateGraph] = None
     best_cost = base_cost
     tried = 0
@@ -1408,6 +1442,9 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
                 out_map = factor(out_map)
             elif stage == "tt" and binary_ok:
                 out_map = tt_sweep(bld, out_map, stats, seed=seed + r)
+            elif stage == "rewrite" and binary_ok:
+                from .opt_map import cut_rewrite
+                out_map = cut_rewrite(bld, out_map, stats, rounds=1)
             elif stage == "qm" and binary_ok:
                 out_map = qm_cones(bld, out_map, stats)
             g = _to_gategraph(bld, out_map)
@@ -1606,17 +1643,25 @@ def _cube_cover(v: int, mask: int, nvars: int, patt, ones):
 
 
 def espresso_cover(on_words, nvars: int,
-                   max_minterms: int = 4096) -> Optional[List[Tuple[int, int]]]:
+                   max_minterms: int = 4096,
+                   dc_words=None) -> Optional[List[Tuple[int, int]]]:
     """Greedy EXPAND + IRREDUNDANT over the ON-set truth table
-    (uint64-packed).  Returns (value, dc_mask) cubes or None when the
-    ON-set is too large to enumerate."""
+    (uint64-packed).  ``dc_words``: optional don't-care minterms —
+    cubes may cover them freely but need not (infer_dc_* roles).
+    Returns (value, dc_mask) cubes or None when the ON-set is too
+    large to enumerate."""
     import numpy as np
     patt, npat, nwords = _var_patterns(nvars)
     ones = np.full(nwords, ~np.uint64(0))
     if npat < 64:
         ones = ones & np.uint64((1 << npat) - 1)
     on = np.asarray(on_words, np.uint64) & ones
-    off = ~on & ones
+    if dc_words is not None:
+        dc = np.asarray(dc_words, np.uint64) & ones
+        on = on & ~dc
+        off = ~(on | dc) & ones
+    else:
+        off = ~on & ones
 
     on_bits = np.unpackbits(on.view(np.uint8), bitorder="little")[:npat]
     minterms = np.nonzero(on_bits)[0]
@@ -1697,6 +1742,31 @@ def espresso_cover(on_words, nvars: int,
         cubes, covs = irredundant(cubes, covs)
         if not changed:
             break
+
+    # LAST-GASP (pe_synth.h espresso_solution final stage role): try to
+    # merge cube pairs into their supercube when it avoids the OFF-set;
+    # escapes minima the per-cube EXPAND order can't reach.
+    import numpy as _np
+    merged = True
+    while merged and len(cubes) > 1:
+        merged = False
+        for i in range(len(cubes)):
+            for j in range(i + 1, len(cubes)):
+                vi, mi = cubes[i]
+                vj, mj = cubes[j]
+                mask = mi | mj | (vi ^ vj)
+                v = vi & ~mask
+                cov = _cube_cover(v, mask, nvars, patt, ones)
+                if _np.any(cov & off):
+                    continue
+                cubes[i] = (v, mask)
+                covs[i] = cov
+                del cubes[j], covs[j]
+                merged = True
+                break
+            if merged:
+                break
+    cubes, covs = irredundant(cubes, covs)
     return cubes
 
 

@@ -53,8 +53,13 @@ class OptStats:
         self.adders_extracted = 0   # HA/FA macro blocks extracted
         self.mul2_extracted = 0     # MUL2 macro blocks extracted
         self.espresso_rewritten = 0  # cones covered by espresso (O3)
+        self.rewrite_applied = 0    # cut-rewrite acceptances (O3+)
+        self.resub_applied = 0      # resubstitution acceptances (O3+)
+        self.dc_minterms = 0        # don't-care minterms mined (XZ/ODC)
         self.omax_trace = []        # (restart, stage, cost) telemetry
         self.omax_summary = ""      # one-line Omax report
+        self.passes = []            # (pass, before, after, elapsed_us)
+                                    # — pe_synth_report.passes parity
 
     def total(self):
         return (self.removed_gates + self.merged_nets +
