@@ -4,21 +4,37 @@ Scope parity with the reference's clean-room module
 (non-linear/bsim3v32.h — itself an explicitly incremental
 implementation, see its header TODO): 4-terminal D/G/S/B device with
 
-* Vth with body effect (k1/k2-style via gamma/phi) and the BSIM3
-  ``Vgsteff`` / ``Vdseff`` smoothing functions (bsim3v32.h:668+ uses the
-  same smoothed-transition approach) for continuous subthreshold ->
+* Vth with body effect (gamma/k1/k2), DIBL (eta0), temperature scaling
+  (kt1/kt2/ute/at/xti), and the BSIM3 ``Vgsteff`` / ``Vdseff``
+  smoothing functions (bsim3v32.h:668+) for continuous subthreshold ->
   strong-inversion -> saturation transitions;
-* velocity saturation (Esat*L) and channel-length modulation (the
-  compat ``lambda`` surface of the C ABI, dll_main.cpp:1919-1941);
-* bulk junction diodes B-S / B-D with SPICE limexp clamping;
-* gate overlap capacitances Cgs/Cgd/Cgb: trapezoidal companions in TR,
-  jwC stamps in AC.
+* mobMod1 vertical-field mobility degradation (ua/ub/uc with ua1/ub1/
+  uc1 tempcos; the legacy ``theta`` surface remains as a first-order
+  term), velocity saturation (Esat*L) and channel-length modulation;
+* source/drain series resistance folded into the I-V
+  (bsim3v32.h:985-1000 rdsw/prwg/prwb/prt semantics);
+* GIDL/GISL (bsim3v32.h:1018-1054 subset: agidl*Weff*Vdb*
+  exp(-bgidl/(Vdg+cgidl)), GISL falling back to GIDL params);
+* impact-ionization substrate current
+  (bsim3v32.h:1141-1154: alpha0*|Ids|*vds_eff*exp(-beta0/vds_eff));
+* bulk junction diodes B-S / B-D with SPICE limexp clamping and
+  Is(T) = Is*(T/Tnom)^(XTI/N)*exp(Eg/N*(1/Vtnom-1/Vt));
+* geometry: Leff/Weff via lint/wint and linear L/W binning
+  p_eff = p + l*(Leff-Lref) + w*(Weff-Wref) + p*(dL*dW)
+  (bsim3v32_lw_scale, bsim3v32.h:304-313) for Vth0/Kp/u0/vsat;
+* charge-based C-V: one Q(v_d,v_g,v_s,v_b) function covering the gate
+  overlap caps, capMod>=1 intrinsic charges (Vgsteff_cv / Vdseff_cv,
+  smooth linear/saturation blend, xpart 0/100-50/50-40/60 partition,
+  k1-based depletion charge, accumulation/depletion gate-bulk terms —
+  bsim3v32.h:1202-1420 semantics), and voltage-dependent bulk junction
+  depletion charges (cj/mj/pb area + cjsw/mjsw/pbsw sidewall).
 
 Where the reference hand-rolls forward-mode duals (``bsim3v32_dual3``,
-bsim3v32.h:507) to get gm/gds/gmb, this implementation differentiates
-the terminal-current function with ``jax.jacfwd`` — the Newton stamp is
-the exact 4x4 Jacobian of I(vd,vg,vs,vb), machine-generated and always
-consistent with the current equation.
+bsim3v32.h:507) to get gm/gds/gmb and the C matrix, this
+implementation differentiates the terminal-current and terminal-charge
+functions with ``jax.jacfwd`` — the Newton stamp is the exact 4x4
+Jacobian of I(v), and the transient companion / AC susceptance is the
+exact 4x4 C(v) = dQ/dv, machine-generated and always consistent.
 """
 
 from __future__ import annotations
@@ -32,68 +48,132 @@ from .nonlinear import limexp
 _K_B = 1.380649e-23
 _Q_E = 1.602176634e-19
 _T0 = 273.15
+_EPS_SI = 11.7 * 8.854187817e-12
+_EPS_OX = 3.9 * 8.854187817e-12
 
 # parameter order = the C ABI compat property stream (dll_main.cpp:1921)
-# followed by the second-tier BSIM parameters (appended so the compat
-# stream prefix is stable): temperature coefficients (kt1/ute/at/xti —
-# bsim3v32.h temperature scaling), DIBL (eta0), vertical-field mobility
-# degradation (theta == ua-surface), junction caps (cjs/cjd).
-_PARAMS = ("W", "L", "Kp", "lambda", "Vth0", "gamma", "phi",
-           "Cgs", "Cgd", "Cgb", "diode_Is", "diode_N", "Temp",
-           "vsat", "nfactor", "u0",
-           "kt1", "ute", "at", "xti", "eg", "eta0", "theta",
-           "cjs", "cjd")
-_DEFAULTS = {"W": 1e-6, "L": 1e-6, "Kp": 1e-4, "lambda": 0.0,
-             "Vth0": 0.7, "gamma": 0.0, "phi": 0.7,
-             "Cgs": 0.0, "Cgd": 0.0, "Cgb": 0.0,
-             "diode_Is": 1e-14, "diode_N": 1.0, "Temp": 27.0,
-             "vsat": 8e4, "nfactor": 1.0, "u0": 0.06,
-             "kt1": 0.0, "ute": 0.0, "at": 0.0, "xti": 3.0,
-             "eg": 1.12, "eta0": 0.0, "theta": 0.0,
-             "cjs": 0.0, "cjd": 0.0}
+# followed by the tiered BSIM parameter waves (appended so the compat
+# stream prefix stays stable).
+_PARAMS = (
+    # -- compat prefix (wave 1) ------------------------------------------
+    "W", "L", "Kp", "lambda", "Vth0", "gamma", "phi",
+    "Cgs", "Cgd", "Cgb", "diode_Is", "diode_N", "Temp",
+    "vsat", "nfactor", "u0",
+    "kt1", "ute", "at", "xti", "eg", "eta0", "theta",
+    "cjs", "cjd",
+    # -- wave 2: geometry ------------------------------------------------
+    "lint", "wint", "lref", "wref",
+    "lvth0", "wvth0", "pvth0", "lkp", "wkp", "pkp",
+    "lu0", "wu0", "pu0", "lvsat", "wvsat", "pvsat",
+    # -- wave 2: mobility (mobMod1) + tempcos ----------------------------
+    "tox", "ua", "ub", "uc", "ua1", "ub1", "uc1", "kt2",
+    # -- wave 2: series resistance ---------------------------------------
+    "rdsw", "prwg", "prwb", "prt",
+    # -- wave 2: GIDL / GISL ----------------------------------------------
+    "agidl", "bgidl", "cgidl", "egidl",
+    "agisl", "bgisl", "cgisl", "egisl",
+    # -- wave 2: impact ionization ----------------------------------------
+    "alpha0", "beta0",
+    # -- wave 2: charge model ---------------------------------------------
+    "capmod", "xpart", "k1", "k2", "keta", "nch", "vfbcv", "voffcv",
+    # -- wave 2: junction capacitance --------------------------------------
+    "cj", "mj", "pb", "cjsw", "mjsw", "pbsw",
+    "ad", "as", "pd", "ps",
+)
+_DEFAULTS = {p: 0.0 for p in _PARAMS}
+_DEFAULTS.update({
+    "W": 1e-6, "L": 1e-6, "Kp": 1e-4, "lambda": 0.0,
+    "Vth0": 0.7, "gamma": 0.0, "phi": 0.7,
+    "Cgs": 0.0, "Cgd": 0.0, "Cgb": 0.0,
+    "diode_Is": 1e-14, "diode_N": 1.0, "Temp": 27.0,
+    "vsat": 8e4, "nfactor": 1.0, "u0": 0.06,
+    "xti": 3.0, "eg": 1.12,
+    "tox": 1e-8, "xpart": 0.0,
+    "mj": 0.5, "pb": 1.0, "mjsw": 0.33, "pbsw": 1.0,
+})
 _TNOM = 27.0
+_IX = {p: i for i, p in enumerate(_PARAMS)}
 
 
-def _core_ids(P, vgs, vds, vbs, sign):
-    """Channel current for vds >= 0 (forward orientation)."""
-    W, L, kp, lam = P[0], P[1], P[2], P[3]
-    vth0, gamma, phi = P[4], P[5], P[6]
-    temp, vsat, nf = P[12], P[13], P[14]
+def _p(P, name):
+    return P[_IX[name]]
+
+
+def _geom(P):
+    """Leff/Weff (lint/wint) and the binned parameter set
+    (bsim3v32_lw_scale: p + l*dL + w*dW + p*dL*dW)."""
+    leff = jnp.maximum(_p(P, "L") - 2.0 * _p(P, "lint"), 1e-9)
+    weff = jnp.maximum(_p(P, "W") - 2.0 * _p(P, "wint"), 1e-9)
+    lref = jnp.where(_p(P, "lref") > 0.0, _p(P, "lref"), leff)
+    wref = jnp.where(_p(P, "wref") > 0.0, _p(P, "wref"), weff)
+    dl = leff - lref
+    dw = weff - wref
+
+    def scale(base, pre):
+        return (base + _p(P, "l" + pre) * dl + _p(P, "w" + pre) * dw +
+                _p(P, "p" + pre) * dl * dw)
+
+    binned = {
+        "vth0": scale(_p(P, "Vth0"), "vth0"),
+        "kp": scale(_p(P, "Kp"), "kp"),
+        "u0": scale(_p(P, "u0"), "u0"),
+        "vsat": scale(_p(P, "vsat"), "vsat"),
+    }
+    return leff, weff, binned
+
+
+def _pos_smooth(x, eps=1e-4):
+    return 0.5 * (x + jnp.sqrt(x * x + 4.0 * eps * eps))
+
+
+def _vgsteff(vgst, n, vt):
+    arg = vgst / (2.0 * n * vt)
+    return 2.0 * n * vt * jnp.where(
+        arg > 30.0, arg, jnp.log1p(limexp(jnp.minimum(arg, 30.0))))
+
+
+def _core(P, vgs, vds, vbs):
+    """Channel quantities for vds >= 0 (forward orientation).
+
+    Returns (ids, vgsteff, vdseff, vdsat, vth)."""
+    leff, weff, B = _geom(P)
+    temp = _p(P, "Temp")
     vt = _K_B * (temp + _T0) / _Q_E
-
-    # temperature scaling (bsim3v32.h temperature section):
-    # Vth(T) = Vth0 + kt1*(T/Tnom - 1); u0(T) = u0*(T/Tnom)^ute;
-    # vsat(T) = vsat - at*(T/Tnom - 1)
     t_ratio = (temp + _T0) / (_TNOM + _T0)
-    kt1, ute, at_ = P[16], P[17], P[18]
-    vth0_t = vth0 + kt1 * (t_ratio - 1.0)
-    vsat = jnp.maximum(vsat - at_ * (t_ratio - 1.0), 1e3)
+    dt_c = temp - _TNOM
+
+    # temperature scaling (bsim3v32.h temperature section)
+    vth0_t = B["vth0"] + (_p(P, "kt1") +
+                          _p(P, "kt2") * vbs) * (t_ratio - 1.0)
+    vsat = jnp.maximum(B["vsat"] - _p(P, "at") * (t_ratio - 1.0), 1e3)
 
     # body effect; clamp vbs below phi to keep sqrt real (smoothly)
-    phi_s = jnp.maximum(phi, 0.1)
+    phi_s = jnp.maximum(_p(P, "phi"), 0.1)
     vbs_c = phi_s - 0.5 * ((phi_s - vbs) +
                            jnp.sqrt((phi_s - vbs) ** 2 + 4.0 * 0.01))
-    vth = vth0_t + gamma * (jnp.sqrt(jnp.maximum(phi_s - vbs_c,
-                                                 1e-12)) -
-                            jnp.sqrt(phi_s))
-    # DIBL: threshold lowered by eta0 * vds (bsim3v32.h dvt/eta terms)
-    vth = vth - P[21] * vds
+    sqrt_pv = jnp.sqrt(jnp.maximum(phi_s - vbs_c, 1e-12))
+    vth = vth0_t + _p(P, "gamma") * (sqrt_pv - jnp.sqrt(phi_s))
+    vth = vth - _p(P, "eta0") * vds          # DIBL
     vgst = vgs - vth
 
     # Vgsteff smoothing (strong inversion <-> subthreshold)
-    n = jnp.maximum(nf, 0.1)
-    arg = vgst / (2.0 * n * vt)
-    vgsteff = 2.0 * n * vt * jnp.where(
-        arg > 30.0, arg, jnp.log1p(limexp(jnp.minimum(arg, 30.0))))
+    n = jnp.maximum(_p(P, "nfactor"), 0.1)
+    vgsteff = _vgsteff(vgst, n, vt)
 
-    # vertical-field mobility degradation + temperature exponent
-    u0 = P[15] * t_ratio ** P[17]
-    u0 = u0 / (1.0 + P[22] * vgsteff)
-    kp_eff = kp * (u0 / jnp.maximum(P[15], 1e-12))
-    beta = kp_eff * W / jnp.maximum(L, 1e-9)
-    esat_l = 2.0 * vsat * L / jnp.maximum(u0, 1e-6)
+    # mobMod1 mobility: u0 / (1 + (ua + uc*vbs)*E + ub*E^2), with
+    # E = (vgsteff + 2 vth)/tox; the legacy theta term multiplies in
+    tox = jnp.maximum(_p(P, "tox"), 1e-9)
+    ua = _p(P, "ua") + _p(P, "ua1") * dt_c
+    ub = _p(P, "ub") + _p(P, "ub1") * dt_c
+    uc = _p(P, "uc") + _p(P, "uc1") * dt_c
+    e_eff = (vgsteff + 2.0 * vth) / tox
+    denom = 1.0 + (ua + uc * vbs_c) * e_eff + ub * e_eff * e_eff
+    denom = jnp.maximum(denom, 0.1) * (1.0 + _p(P, "theta") * vgsteff)
+    u0 = B["u0"] * t_ratio ** _p(P, "ute") / denom
+    kp_eff = B["kp"] * (u0 / jnp.maximum(B["u0"], 1e-12))
+    beta = kp_eff * weff / leff
+    esat_l = 2.0 * vsat * leff / jnp.maximum(u0, 1e-6)
     vdsat = esat_l * vgsteff / (esat_l + vgsteff)
-    # Vdseff smoothing (delta = 10 mV)
     delta = 0.01
     t1 = vdsat - vds - delta
     vdseff = vdsat - 0.5 * (t1 + jnp.sqrt(t1 * t1 +
@@ -102,8 +182,34 @@ def _core_ids(P, vgs, vds, vbs, sign):
     ids0 = beta * vgsteff * (1.0 - vdseff /
                              (2.0 * (vgsteff + 2.0 * vt))) * vdseff
     ids0 = ids0 / (1.0 + vdseff / esat_l)
-    ids = ids0 * (1.0 + lam * (vds - vdseff))
-    return ids
+
+    # series resistance fold (bsim3v32.h:985-1000): rdsw [Ohm*um]
+    rdsw = _p(P, "rdsw") * (1.0 + _p(P, "prt") * (t_ratio - 1.0))
+    rds = rdsw * (1.0 + _p(P, "prwg") * vgsteff +
+                  _p(P, "prwb") * (sqrt_pv - jnp.sqrt(phi_s)))
+    rds = jnp.maximum(rds, 0.0) * 1e-6 / weff
+    ids0 = ids0 / (1.0 + rds * ids0 / jnp.maximum(vdseff, 1e-6))
+
+    ids = ids0 * (1.0 + _p(P, "lambda") * (vds - vdseff))
+    return ids, vgsteff, vdseff, vdsat, vth
+
+
+def _barrier_t(P, b):
+    """barrier(T) = barrier(Tnom) * Tnom/T (bsim3v32.h:399-409)."""
+    t_k = _p(P, "Temp") + _T0
+    return b * (_TNOM + _T0) / jnp.maximum(t_k, 1.0)
+
+
+def _gidl(P, weff, a, b, c, e, vg, vx, vb):
+    """Clean-room GIDL subset (bsim3v32.h:1018-1040):
+    I = a*Weff * Vxb_eff * exp(-b_T / (Vxg_eff + c)), flowing x->bulk
+    (x = drain for GIDL, source for GISL)."""
+    vxg_eff = _pos_smooth((vx - vg) - e)
+    vxb_eff = _pos_smooth(vx - vb)
+    denom = jnp.maximum(vxg_eff + c, 1e-6)
+    on = (a > 0.0) & (b > 0.0)
+    i = a * weff * vxb_eff * limexp(-_barrier_t(P, b) / denom)
+    return jnp.where(on, i, 0.0)
 
 
 def _terminal_currents(P, v4, sign):
@@ -111,40 +217,193 @@ def _terminal_currents(P, v4, sign):
 
     ``sign``: +1 NMOS, -1 PMOS (PMOS evaluated in mirrored voltages).
     """
-    vd, vg, vs, vb = v4[0], v4[1], v4[2], v4[3]
-    # PMOS: mirror all voltages
-    vd, vg, vs, vb = sign * vd, sign * vg, sign * vs, sign * vb
+    vd, vg, vs, vb = (sign * v4[0], sign * v4[1],
+                      sign * v4[2], sign * v4[3])
     vds = vd - vs
     fwd = vds >= 0.0
 
-    def chan(vgs, vdsx, vbs):
-        return _core_ids(P, vgs, vdsx, vbs, sign)
-
-    ids_f = chan(vg - vs, vds, vb - vs)
-    ids_r = chan(vg - vd, -vds, vb - vd)
+    ids_f, vgst_f, vdse_f, _vds_f, _vth_f = _core(P, vg - vs, vds,
+                                                  vb - vs)
+    ids_r, vgst_r, vdse_r, _vds_r, _vth_r = _core(P, vg - vd, -vds,
+                                                  vb - vd)
     ids = jnp.where(fwd, ids_f, -ids_r)
+    vdseff = jnp.where(fwd, vdse_f, vdse_r)
+
+    # impact ionization (bsim3v32.h:1141-1154): drain->bulk
+    vds_ii = _pos_smooth(jnp.abs(vds) - vdseff)
+    a0, b0 = _p(P, "alpha0"), _p(P, "beta0")
+    iii = jnp.where((a0 > 0.0) & (b0 > 0.0),
+                    a0 * jnp.abs(ids) * vds_ii *
+                    limexp(-_barrier_t(P, b0) / jnp.maximum(vds_ii,
+                                                            1e-6)),
+                    0.0)
+
+    # GIDL (drain edge) and GISL (source edge, params fall back)
+    leff, weff, _B = _geom(P)
+    ig_d = _gidl(P, weff, _p(P, "agidl"), _p(P, "bgidl"),
+                 _p(P, "cgidl"), _p(P, "egidl"), vg, vd, vb)
+    ag = jnp.where(_p(P, "agisl") > 0.0, _p(P, "agisl"),
+                   _p(P, "agidl"))
+    bg = jnp.where(_p(P, "bgisl") > 0.0, _p(P, "bgisl"),
+                   _p(P, "bgidl"))
+    cg = jnp.where(_p(P, "cgisl") > 0.0, _p(P, "cgisl"),
+                   _p(P, "cgidl"))
+    eg_ = jnp.where(_p(P, "egisl") > 0.0, _p(P, "egisl"),
+                    _p(P, "egidl"))
+    ig_s = _gidl(P, weff, ag, bg, cg, eg_, vg, vs, vb)
 
     # bulk junctions (SPICE-style, limexp-clamped) with Is(T) scaling:
-    # Is(T) = Is * (T/Tnom)^(XTI/N) * exp(Eg/N * (1/Vtnom - 1/Vt)/1)
-    nj = P[11]
-    vt = _K_B * (P[12] + _T0) / _Q_E
+    # Is(T) = Is * (T/Tnom)^(XTI/N) * exp(Eg/N * (1/Vtnom - 1/Vt))
+    nj = jnp.maximum(_p(P, "diode_N"), 0.1)
+    vt = _K_B * (_p(P, "Temp") + _T0) / _Q_E
     vtnom = _K_B * (_TNOM + _T0) / _Q_E
-    t_ratio = (P[12] + _T0) / (_TNOM + _T0)
-    njc = jnp.maximum(nj, 0.1)
-    # exp(Eg/N * (1/Vt_nom - 1/Vt)): Eg[eV]/Vt[V] = Eg*q/kT
-    is_ = P[10] * t_ratio ** (P[19] / njc) * \
-        limexp((P[20] / njc) * (1.0 / vtnom - 1.0 / vt))
-    nv = njc * vt
+    t_ratio = (_p(P, "Temp") + _T0) / (_TNOM + _T0)
+    is_ = _p(P, "diode_Is") * t_ratio ** (_p(P, "xti") / nj) * \
+        limexp((_p(P, "eg") / nj) * (1.0 / vtnom - 1.0 / vt))
+    nv = nj * vt
     ibs = is_ * (limexp((vb - vs) / nv) - 1.0)
     ibd = is_ * (limexp((vb - vd) / nv) - 1.0)
 
-    i_d = ids - ibd
-    i_s = -ids - ibs
-    i_b = ibs + ibd
+    i_d = ids - ibd + iii + ig_d
+    i_s = -ids - ibs + ig_s
+    i_b = ibs + ibd - iii - ig_d - ig_s
     i_g = jnp.zeros(())
     # un-mirror currents for PMOS
     return sign * jnp.stack([i_d, i_g, i_s, i_b])
 
+
+# ---------------------------------------------------------------------------
+# charge model: one Q(v) covering overlaps, intrinsic C-V, junctions
+# ---------------------------------------------------------------------------
+
+def _qj(v, cj0, mjq, pbq):
+    """Depletion charge of a junction cap (SPICE grading), linearized
+    above pb/2 to stay finite in forward bias."""
+    pbq = jnp.maximum(pbq, 0.1)
+    mjq = jnp.clip(mjq, 0.05, 0.95)
+    fc = 0.5 * pbq
+    q_rev = cj0 * pbq / (1.0 - mjq) * \
+        (1.0 - jnp.maximum(1.0 - jnp.minimum(v, fc) / pbq,
+                           1e-3) ** (1.0 - mjq))
+    c_fc = cj0 * (1.0 - fc / pbq) ** (-mjq)
+    q_fwd = q_rev + c_fc * (v - fc)      # evaluated at v=fc boundary
+    return jnp.where(v <= fc, q_rev, q_fwd)
+
+
+def _intrinsic_charges(P, vgs, vds, vbs):
+    """capMod>=1 intrinsic (qd, qg, qs, qb) — clean-room simplified
+    charge model mirroring bsim3v32.h:1202-1420 semantics."""
+    leff, weff, B = _geom(P)
+    temp = _p(P, "Temp")
+    vt = _K_B * (temp + _T0) / _Q_E
+    cox = _EPS_OX / jnp.maximum(_p(P, "tox"), 1e-9)
+    coxwl = cox * weff * leff
+
+    phi_s = jnp.maximum(_p(P, "phi"), 0.1)
+    vbseff = phi_s - _pos_smooth(phi_s - vbs, 1e-2)
+    sqrt_phi = jnp.sqrt(phi_s)
+    sqrt_pv = jnp.sqrt(jnp.maximum(phi_s - vbseff, 1e-12))
+    k1 = jnp.where(_p(P, "k1") != 0.0, _p(P, "k1"), _p(P, "gamma"))
+    qb = coxwl * (k1 * (sqrt_pv - sqrt_phi) - _p(P, "k2") * vbseff)
+
+    # CV-effective gate overdrive (voffcv-shifted)
+    _ids, vgsteff, vdseff, vdsat, vth = _core(P, vgs, _pos_smooth(vds),
+                                              vbs)
+    vgst_cv = vgs - vth - _p(P, "voffcv")
+    n = jnp.maximum(_p(P, "nfactor"), 0.1)
+    vgsteff_cv = _vgsteff(vgst_cv, n, vt)
+    abulk = 1.0 + _p(P, "keta") * vbseff
+    vds_pos = _pos_smooth(vds)
+
+    # smooth linear/saturation blend around vdsat
+    delta = 0.01
+    s_reg = vds_pos - vdsat
+    f_sat = 0.5 * (1.0 + s_reg / jnp.sqrt(s_reg * s_reg +
+                                          delta * delta))
+
+    qinv_lin = -coxwl * (vgsteff_cv - abulk * vdseff / 2.0)
+    qinv_sat = -(2.0 / 3.0) * coxwl * vgsteff_cv
+    qinv = (1.0 - f_sat) * qinv_lin + f_sat * qinv_sat
+
+    # partition: Ward-Dutton-ish in linear; xpart anchors in saturation
+    qd_lin = -coxwl * (0.5 * vgsteff_cv - abulk * vdseff / 3.0)
+    xp = jnp.clip(_p(P, "xpart"), 0.0, 1.0)
+    frac_d = jnp.where(xp <= 0.5, xp, 0.6 - 0.2 * xp)
+    qd_sat = frac_d * qinv_sat
+    qd = (1.0 - f_sat) * qd_lin + f_sat * qd_sat
+    qs = qinv - qd
+
+    qg = -(qinv + qb)
+
+    # accumulation / depletion gate-bulk charge (vfbcv observable)
+    nch = jnp.where(_p(P, "nch") > 1.0, _p(P, "nch"), 1e23)
+    xdep = jnp.sqrt(2.0 * _EPS_SI *
+                    jnp.maximum(phi_s - vbseff, 1e-12) / (_Q_E * nch))
+    cdep = _EPS_SI / jnp.maximum(xdep, 1e-18)
+    cdep_wl = coxwl * cdep / (cox + cdep)
+    vfb = jnp.where(_p(P, "vfbcv") != 0.0, _p(P, "vfbcv"),
+                    B["vth0"] - phi_s)
+    x = (vgs - vbs) - vfb
+    absx = jnp.sqrt(x * x + 1e-4)
+    minx = 0.5 * (x - absx)
+    maxx = 0.5 * (x + absx)
+    vgst_sgn = vgs - vth
+    f_cut = 0.5 * (1.0 - vgst_sgn / jnp.sqrt(vgst_sgn * vgst_sgn +
+                                             1e-4))
+    qacc = coxwl * minx
+    qdep = cdep_wl * maxx * f_cut
+    qg = qg + qacc + qdep
+    qb = qb - qacc - qdep
+    return qd, qg, qs, qb
+
+
+def _charges(P, v4, sign):
+    """Terminal charges Q(d,g,s,b): overlap + intrinsic + junction."""
+    vd, vg, vs, vb = (sign * v4[0], sign * v4[1],
+                      sign * v4[2], sign * v4[3])
+    # linear overlap caps (wave-1 surface)
+    qg = (_p(P, "Cgs") * (vg - vs) + _p(P, "Cgd") * (vg - vd) +
+          _p(P, "Cgb") * (vg - vb))
+    qd = _p(P, "Cgd") * (vd - vg)
+    qs = _p(P, "Cgs") * (vs - vg)
+    qb = _p(P, "Cgb") * (vb - vg)
+    # legacy fixed junction caps
+    qb = qb + _p(P, "cjs") * (vb - vs) + _p(P, "cjd") * (vb - vd)
+    qs = qs + _p(P, "cjs") * (vs - vb)
+    qd = qd + _p(P, "cjd") * (vd - vb)
+
+    # voltage-dependent junction depletion charges (area + sidewall)
+    cj_s = (_p(P, "cj") * _p(P, "as") +
+            0.0)
+    cj_d = _p(P, "cj") * _p(P, "ad")
+    cjsw_s = _p(P, "cjsw") * _p(P, "ps")
+    cjsw_d = _p(P, "cjsw") * _p(P, "pd")
+    qbs = _qj(vb - vs, cj_s, _p(P, "mj"), _p(P, "pb")) + \
+        _qj(vb - vs, cjsw_s, _p(P, "mjsw"), _p(P, "pbsw"))
+    qbd = _qj(vb - vd, cj_d, _p(P, "mj"), _p(P, "pb")) + \
+        _qj(vb - vd, cjsw_d, _p(P, "mjsw"), _p(P, "pbsw"))
+    qb = qb + qbs + qbd
+    qs = qs - qbs
+    qd = qd - qbd
+
+    # intrinsic charges (capMod >= 1), source/drain-swap symmetric
+    vds = vd - vs
+    fwd = vds >= 0.0
+    qd_f, qg_f, qs_f, qb_f = _intrinsic_charges(P, vg - vs, vds,
+                                                vb - vs)
+    qs_r, qg_r, qd_r, qb_r = _intrinsic_charges(P, vg - vd, -vds,
+                                                vb - vd)
+    on = _p(P, "capmod") >= 1.0
+    qd = qd + jnp.where(on, jnp.where(fwd, qd_f, qd_r), 0.0)
+    qg = qg + jnp.where(on, jnp.where(fwd, qg_f, qg_r), 0.0)
+    qs = qs + jnp.where(on, jnp.where(fwd, qs_f, qs_r), 0.0)
+    qb = qb + jnp.where(on, jnp.where(fwd, qb_f, qb_r), 0.0)
+    return sign * jnp.stack([qd, qg, qs, qb])
+
+
+# ---------------------------------------------------------------------------
+# stamps
+# ---------------------------------------------------------------------------
 
 def _make_stamp(sign):
     def stamp(P, v, ib, state, ctx):
@@ -161,45 +420,32 @@ def _make_stamp(sign):
         new_state["vs"] = v[2]
         new_state["vb"] = v[3]
         if ctx.mode == "tr":
-            cap_a, cap_z, new_state = _cap_companion(P, v, new_state,
-                                                     apply=True)
-        else:
-            cap_a = jnp.zeros(4 * len(_CAP_PAIRS))
-            cap_z = jnp.zeros(2 * len(_CAP_PAIRS))
-        return (jnp.concatenate([a_vals, cap_a]),
-                jnp.concatenate([z_vals, cap_z]), new_state)
+            # trapezoidal charge companion: i = G@v + h with G, h from
+            # the last accepted step (step_update)
+            G = jnp.stack([state[f"cg{k}"] for k in range(16)])
+            h = jnp.stack([state[f"ch{k}"] for k in range(4)])
+            a_vals = a_vals + G
+            z_vals = z_vals - h
+        return a_vals, z_vals, new_state
     return stamp
 
 
-# capacitor terminal pairs: gate overlaps (g,s),(g,d),(g,b) plus bulk
-# junction caps (b,s),(b,d) — (pin_a, pin_b, P index)
-_CAP_PAIRS = ((1, 2, 7), (1, 0, 8), (1, 3, 9),
-              (3, 2, 23), (3, 0, 24))
-
-
-def _cap_companion(P, v, state, apply: bool):
-    a_parts = []
-    z_parts = []
-    for ci, (pa, pb, pi) in enumerate(_CAP_PAIRS):
-        geq = state[f"cg{ci}_g"]
-        ieq = state[f"cg{ci}_h"]
-        a_parts.append(jnp.stack([geq, -geq, -geq, geq]))
-        z_parts.append(jnp.stack([-ieq, ieq]))
-    return jnp.concatenate(a_parts), jnp.concatenate(z_parts), state
-
-
-def _step_update(P, v, ib, state, dt, t):
-    out = dict(state)
-    for ci, (pa, pb, pi) in enumerate(_CAP_PAIRS):
-        c = P[pi]
-        v_prev = v[pa] - v[pb]
-        g_new = 2.0 * c / dt
-        hist = -(g_new + state[f"cg{ci}_g"]) * v_prev - \
-            state[f"cg{ci}_h"]
-        valid = c > 0.0
-        out[f"cg{ci}_g"] = jnp.where(valid, g_new, 0.0)
-        out[f"cg{ci}_h"] = jnp.where(valid, hist, 0.0)
-    return out
+def _make_step_update(sign):
+    def _step_update(P, v, ib, state, dt, t):
+        out = dict(state)
+        C = jax.jacfwd(lambda v4: _charges(P, v4, sign))(v)
+        G_prev = jnp.stack([state[f"cg{k}"]
+                            for k in range(16)]).reshape(4, 4)
+        h_prev = jnp.stack([state[f"ch{k}"] for k in range(4)])
+        ic_now = G_prev @ v + h_prev          # companion current at t
+        G_new = 2.0 * C / dt
+        h_new = -(G_new @ v) - ic_now
+        for k in range(16):
+            out[f"cg{k}"] = G_new.reshape(-1)[k]
+        for k in range(4):
+            out[f"ch{k}"] = h_new[k]
+        return out
+    return _step_update
 
 
 def _make_ac_stamp(sign):
@@ -207,19 +453,11 @@ def _make_ac_stamp(sign):
         v = jnp.stack([state["vd"], state["vg"], state["vs"],
                        state["vb"]])
         J = jax.jacfwd(lambda v4: _terminal_currents(P, v4, sign))(v)
-        return _ac_common(P, J.reshape(-1), omega)
+        C = jax.jacfwd(lambda v4: _charges(P, v4, sign))(v)
+        a_re = J.reshape(-1)
+        a_im = omega * C.reshape(-1)
+        return a_re, a_im, jnp.zeros(4), jnp.zeros(4)
     return _ac_stamp
-
-
-def _ac_common(P, j, omega):
-    a_re = jnp.concatenate([j, jnp.zeros(4 * len(_CAP_PAIRS))])
-    caps = []
-    for ci, (pa, pb, pi) in enumerate(_CAP_PAIRS):
-        y = P[pi] * omega
-        caps.append(jnp.stack([y, -y, -y, y]))
-    a_im = jnp.concatenate([jnp.zeros(16)] + caps)
-    nz = 4 + 2 * len(_CAP_PAIRS)
-    return a_re, a_im, jnp.zeros(nz), jnp.zeros(nz)
 
 
 def _pattern(pins, brs):
@@ -230,25 +468,17 @@ def _pattern(pins, brs):
         for c in order:
             rows.append(r)
             cols.append(c)
-    # overlap caps
-    for (pa, pb, _pi) in _CAP_PAIRS:
-        a, b2 = order[pa], order[pb]
-        rows.extend([a, a, b2, b2])
-        cols.extend([a, b2, a, b2])
     return rows, cols
 
 
 def _rhs(pins, brs):
     d, g, s, b = pins
-    out = [d, g, s, b]
-    for (pa, pb, _pi) in _CAP_PAIRS:
-        out.extend([pins[pa], pins[pb]])
-    return out
+    return [d, g, s, b]
 
 
 _STATE = tuple([("vd", 0.0), ("vg", 0.0), ("vs", 0.0), ("vb", 0.0)] +
-               [(f"cg{i}_{k}", 0.0) for i in range(len(_CAP_PAIRS))
-                for k in ("g", "h")])
+               [(f"cg{k}", 0.0) for k in range(16)] +
+               [(f"ch{k}", 0.0) for k in range(4)])
 
 
 def _mk(name, id_name, sign):
@@ -259,7 +489,7 @@ def _mk(name, id_name, sign):
         state_vars=_STATE,
         pattern=_pattern, rhs_pattern=_rhs,
         stamp=_make_stamp(sign), ac_stamp=_make_ac_stamp(sign),
-        step_update=_step_update, nonlinear=True,
+        step_update=_make_step_update(sign), nonlinear=True,
         attrs=_PARAMS,
     ))
 
