@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import copy
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Set, Tuple
 
 from .ast import Module, SignalDecl, Instance, GenerateFor, GenerateIf
 from .parser import CompileError
@@ -68,6 +68,9 @@ class InstanceState:
     functions: Dict[str, Any] = field(default_factory=dict)
     tasks: Dict[str, Any] = field(default_factory=dict)
     path: str = ""
+    # begin/end-local declarations hoisted by elaborate: static storage
+    # with declared widths, but NOT module-visible nets for synthesis
+    block_locals: Set[str] = field(default_factory=set)
 
     def signal_width(self, name: str) -> int:
         s = self.signals.get(name)
@@ -139,6 +142,34 @@ def elaborate(design: Design, top: Module,
         add_signal(decl)
     for decl in gen_signals.values():
         add_signal(decl)
+
+    # 3b. hoist block-local declarations (begin/end stmt[3] lists) out
+    # of always/initial bodies so their declared widths govern runtime
+    # and synthesis — block locals in this subset are static per scope
+    # (module signals win on a name clash)
+    def hoist_block_locals(stmt):
+        if not isinstance(stmt, tuple):
+            return
+        if stmt and stmt[0] == "block" and len(stmt) >= 4:
+            for decl in stmt[3]:
+                if decl.name not in inst.signals:
+                    add_signal(decl)
+                    inst.block_locals.add(decl.name)
+        for part in stmt[1:]:
+            if isinstance(part, tuple):
+                hoist_block_locals(part)
+            elif isinstance(part, list):
+                for x in part:
+                    if isinstance(x, tuple):
+                        hoist_block_locals(x)
+                    elif (isinstance(x, (list, tuple)) and len(x) == 2
+                          and isinstance(x[1], tuple)):
+                        hoist_block_locals(x[1])
+
+    for ab in inst.always_blocks:
+        hoist_block_locals(ab.body)
+    for st in inst.initials:
+        hoist_block_locals(st)
 
     # 4. children
     for vi in list(mod.instances) + gen_instances:

@@ -61,6 +61,25 @@ class EvalCtx:
     locals: Optional[Dict[str, Any]] = None
     tick: int = 0
     rng: List[int] = field(default_factory=lambda: [0x12345678])
+    rt: Any = None                        # Runtime for hierarchy walks
+
+    def _hier_lookup(self, name: str):
+        """Resolve inst.sub.sig hierarchical references (the reference
+        resolves these through module_state children)."""
+        if self.rt is None or "." not in name:
+            return None
+        parts = name.split(".")
+        cur = self.rt
+        for p in parts[:-1]:
+            nxt = None
+            for child, crt in zip(cur.inst.children, cur.children):
+                if child.name == p:
+                    nxt = crt
+                    break
+            if nxt is None:
+                return None
+            cur = nxt
+        return cur.values.get(parts[-1])
 
     def lookup(self, name: str):
         if self.locals is not None and name in self.locals:
@@ -69,6 +88,9 @@ class EvalCtx:
             return self.signals[name]
         if name in self.params:
             return self.params[name]
+        h = self._hier_lookup(name)
+        if h is not None:
+            return h
         # hierarchical/generated names fall through
         raise SimError(f"unknown identifier {name!r}")
 
@@ -649,6 +671,8 @@ def call_task(name: str, args: List[Any], ctx: EvalCtx, nba):
                   tick=ctx.tick, rng=ctx.rng)
     try:
         exec_stmt(t.body, sub, nba)
+    except _ReturnSignal:
+        pass                       # `return` inside a task body
     except _DisableSignal as d:
         if d.name != name:
             raise
@@ -683,7 +707,7 @@ class Runtime:
     def ctx(self, tick: int) -> EvalCtx:
         return EvalCtx(params=self.inst.params, signals=self.values,
                        functions=self.inst.functions, inst=self.inst,
-                       tick=tick, rng=self.rng)
+                       tick=tick, rng=self.rng, rt=self)
 
     def multi_assign_sigs(self):
         """Signal names with more than one continuous-assign driver

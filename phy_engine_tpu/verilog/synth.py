@@ -20,7 +20,7 @@ from ..netlist.netlist import Netlist, Node
 from ..netlist import operations as ops
 from ..models import (AND, OR, NOT, XOR, XNOR, NAND, NOR, YES, INPUT,
                       TRI_STATE, RESOLVE2, D_FF, D_FF_ARSTN, FULL_ADDER,
-                      HALF_ADDER, TICK_DELAY)
+                      HALF_ADDER, TICK_DELAY, CASE_EQ)
 from .elaborate import InstanceState
 from .fourstate import Val
 from .simulate import EvalCtx, eval_expr, self_width, SimError
@@ -36,6 +36,12 @@ C0, C1, CX = 0, 1, 2
 class SynthOptions:
     opt_level: int = 0
     loop_unroll_limit: int = 4096
+    # dynamic (signal-bounded) while/do-while/for loops unroll this many
+    # guarded copies (pe_synth_options.loop_unroll_limit role:
+    # "bounded unrolling for dynamic for/while in procedural blocks").
+    # The synthesized circuit is correct whenever the runtime trip
+    # count stays within the bound; raise it for wider data paths.
+    dyn_loop_unroll: int = 16
     # Allow optimizations that are only sound when external inputs are
     # binary (never X/Z) — enables complement rules and truth-table
     # passes, mirroring the reference's assume_binary_inputs relaxation.
@@ -142,6 +148,12 @@ class SynthContext:
         from ..digital.logic import XNOR_TABLE
         return self.gate2(XNOR, a, b, out,
                           fold=lambda x, y: int(XNOR_TABLE[x, y]))
+
+    def g_case_eq(self, a, b, out=None):
+        """4-state case equality (===): X/Z compare as themselves."""
+        def fold(x, y):
+            return 1 if x == y else 0
+        return self.gate2(CASE_EQ, a, b, out, fold=fold)
 
     def g_not(self, a, out=None):
         from ..digital.logic import NOT_TABLE
@@ -292,6 +304,10 @@ class BitSynth:
                 bits = list(env[name])
             elif name in self.inst.params:
                 bits = _const_bits(self.inst.params[name])
+            elif "." in name:
+                # hierarchical read inst.port: the value on the nets
+                # bound to that child port connection
+                bits = self._hier_bits(name, env)
             else:
                 raise CompileError(f"synth: unknown signal {name!r}")
             signed = (name in self.inst.signals and
@@ -340,7 +356,20 @@ class BitSynth:
                 l = b if expr[4] == "+" else b - w + 1
                 return [base_bits[i] if 0 <= i < len(base_bits) else CX
                         for i in range(l, l + w)]
-            raise CompileError("synth: variable part-select base")
+            # variable base: out[k] = base_bits[sel (+/-) k] via a mux
+            # tree per output bit (indexed part-select)
+            sel_bits = self.lower(expr[2], env)
+            out = []
+            for k in range(w):
+                if expr[4] == "+":
+                    view = base_bits[k:] if k < len(base_bits) else []
+                else:
+                    # a[sel -: w]: bit k reads index sel-(w-1)+k
+                    pad = w - 1 - k
+                    view = [CX] * pad + base_bits
+                out.append(self._mux_select(
+                    view if view else [CX], sel_bits))
+            return out
         if op == "concat":
             out: List[NetT] = []
             for part in reversed(expr[1]):      # LSB last in source
@@ -375,6 +404,20 @@ class BitSynth:
                                 self._expr_signed(expr[3]))
         raise CompileError(f"synth: unsupported expr {op}")
 
+    def _hier_bits(self, name: str, env) -> List[NetT]:
+        """inst.port -> bits of the parent expression bound to that
+        child port (one level; covers the u0.y idiom)."""
+        head, _, rest = name.partition(".")
+        for child in self.inst.children:
+            if child.name != head:
+                continue
+            for b in child.bindings:
+                if b.port == rest:
+                    w = child.signals[b.port].width
+                    return _resize_bits(self.lower(b.expr, env, w),
+                                        w, False)
+        raise CompileError(f"synth: unresolved hierarchical {name!r}")
+
     def _expr_signed(self, expr) -> bool:
         """Verilog self-determined signedness of an expression, as far
         as shifts/compares need it: signed ids, $signed(...) casts, and
@@ -394,6 +437,12 @@ class BitSynth:
         if op == "cast":
             return (self._expr_signed(expr[3]) if expr[2] is None
                     else bool(expr[2]))
+        if op == "unary" and expr[1] in ("+", "-", "~"):
+            return self._expr_signed(expr[2])
+        if op == "binary" and expr[1] in ("+", "-", "*", "/", "%",
+                                          "&", "|", "^", "~^", "^~"):
+            return (self._expr_signed(expr[2]) and
+                    self._expr_signed(expr[3]))
         return False
 
     def _mux_select(self, bits: List[NetT], sel: List[NetT]) -> NetT:
@@ -488,6 +537,29 @@ class BitSynth:
                                  cin=C1)
             if o == "*":
                 return self._mul(a, b, w)
+        if o in ("/", "%"):
+            w = max(self.width_of(expr), ctx_width or 0)
+            a = _resize_bits(self.lower(expr[2], env, w), w, False)
+            b = _resize_bits(self.lower(expr[3], env, w), w, False)
+            q, r = self._divmod(a, b, w)
+            return q if o == "/" else r
+        if o == "**":
+            # square-and-multiply over the exponent bits (wrapping
+            # modulo 2^w like the behavioral engine); exponent bits
+            # beyond ceil(log2(w)) + a margin cannot change a result
+            # that survives the wrap unless the base is 0/1, so keep
+            # them (cap at 16 to bound the network)
+            w = max(self.width_of(expr), ctx_width or 0)
+            a = _resize_bits(self.lower(expr[2], env, w), w, False)
+            e = self.lower(expr[3], env)[:16]
+            acc: List[NetT] = _resize_bits([C1], w, False)
+            cur = a
+            for s in e:
+                mul = self._mul(acc, cur, w)
+                acc = [self.ctx.g_mux(s, x, m)
+                       for x, m in zip(acc, mul)]
+                cur = self._mul(cur, cur, w)
+            return acc
         if o in ("==", "!="):
             a = self.lower(expr[2], env)
             b = self.lower(expr[3], env)
@@ -497,6 +569,16 @@ class BitSynth:
             eqs = [self.ctx.g_xnor(x, y) for x, y in zip(a, b)]
             eq = self.reduce_and(eqs)
             return [eq if o == "==" else self.ctx.g_not(eq)]
+        if o in ("===", "!=="):
+            # 4-state case equality (case_eq.h): X/Z match literally
+            a = self.lower(expr[2], env)
+            b = self.lower(expr[3], env)
+            w = max(len(a), len(b))
+            a = _resize_bits(a, w, False)
+            b = _resize_bits(b, w, False)
+            eqs = [self.ctx.g_case_eq(x, y) for x, y in zip(a, b)]
+            eq = self.reduce_and(eqs)
+            return [eq if o == "===" else self.ctx.g_not(eq)]
         if o in ("<", "<=", ">", ">="):
             a = self.lower(expr[2], env)
             b = self.lower(expr[3], env)
@@ -569,6 +651,26 @@ class BitSynth:
             out.append(s)
         return out[:w]
 
+    def _divmod(self, a: List[NetT], b: List[NetT], w: int):
+        """Unsigned restoring division network: (quotient, remainder).
+        Division by zero yields all-ones / the dividend (the behavioral
+        engine returns X there, which the cross-check treats as free)."""
+        rem: List[NetT] = [C0] * w
+        q: List[NetT] = [C0] * w
+        for i in reversed(range(w)):
+            rem = [a[i]] + rem[:w - 1]
+            nb = [self.ctx.g_not(x) for x in b]
+            carry: NetT = C1
+            diff = []
+            for x, y in zip(rem, nb):
+                s, carry = self.ctx.full_add(x, y, carry)
+                diff.append(s)
+            ge = carry                   # no borrow -> rem >= b
+            q[i] = ge
+            rem = [self.ctx.g_mux(ge, r, d)
+                   for r, d in zip(rem, diff)]
+        return q, rem
+
     def _mul(self, a: List[NetT], b: List[NetT], w: int) -> List[NetT]:
         acc: List[NetT] = [C0] * w
         for i, bi in enumerate(b):
@@ -606,18 +708,177 @@ class BitSynth:
                 lo = eval_expr(ldecl.lsb, cctx).to_signed_int()
                 w = abs(hi - lo) + 1
             local_env[lname] = [CX] * w
-        self.exec_stmt(f.body, local_env, None)
+        local_env["__ret__"] = [C0]       # early-return guard flag
+        self._func_stack.append(f.name)
+        try:
+            self.exec_stmt(f.body, local_env, None)
+        finally:
+            self._func_stack.pop()
         return local_env[f.name]
 
     # -- symbolic statement execution ---------------------------------------
+    # break/continue/return lower to guard flags in the environment:
+    # the normal if/case copy-merge machinery muxes the flags, and the
+    # block handler guards every statement after a potentially-set flag
+    # (pe_synth.h "bounded unrolling for dynamic for/while" +
+    # break/continue support role).
+    _FLAG_NAMES = ("__brk__", "__cont__", "__ret__")
+
+    @property
+    def _func_stack(self):
+        return self.__dict__.setdefault("_fstack", [])
+
+    def _flags_or(self, env):
+        """OR of possibly-set abort flags; None when provably clear."""
+        net = None
+        for f in self._FLAG_NAMES:
+            b = env.get(f)
+            if b is None or b[0] is C0:
+                continue
+            net = b[0] if net is None else self.ctx.g_or(net, b[0])
+        return net
+
+    def _exec_guarded(self, c, stmt, env, nba):
+        """Execute ``stmt`` as if under ``if (c)`` (copy-merge)."""
+        if isinstance(c, int):
+            if c == C1:
+                self.exec_stmt(stmt, env, nba)
+                return
+            if c == C0:
+                return
+        env_t = dict(env)
+        nba_t = dict(nba) if nba is not None else None
+        env_f = dict(env)
+        nba_f = dict(nba) if nba is not None else None
+        self.exec_stmt(stmt, env_t, nba_t)
+        self._merge(c, env, env_f, env_t, env_f, env_t)
+        if nba is not None:
+            self._merge(c, nba, nba_f, nba_t, env_f, env_t)
+
+    def _exec_loop(self, cond, body, step, env, nba, do_first):
+        """Bounded guarded unrolling of while/do-while/dynamic-for.
+        Correct whenever the runtime trip count stays within
+        ``dyn_loop_unroll`` (the reference's loop_unroll_limit
+        semantics for dynamic loops)."""
+        limit = max(1, getattr(self.ctx.opt, "dyn_loop_unroll", 64))
+        saved_brk = env.get("__brk__")
+        saved_cont = env.get("__cont__")
+        env["__brk__"] = [C0]
+        for k in range(limit):
+            env["__cont__"] = [C0]
+            if do_first and k == 0:
+                c: NetT = C1
+            else:
+                c = self.reduce_or(self.lower(cond, env))
+            brk = env["__brk__"][0]
+            ret = env.get("__ret__", [C0])[0]
+            stop = self.ctx.g_or(brk, ret)
+            act = self.ctx.g_and(c, self.ctx.g_not(stop))
+            if act is C0:
+                break
+            self._exec_guarded(act, body, env, nba)
+            if step is not None:
+                # continue jumps TO the step, so only brk/ret gate it
+                brk2 = env["__brk__"][0]
+                ret2 = env.get("__ret__", [C0])[0]
+                act2 = self.ctx.g_and(act, self.ctx.g_not(
+                    self.ctx.g_or(brk2, ret2)))
+                self._exec_guarded(act2, step, env, nba)
+        if saved_brk is None:
+            env.pop("__brk__", None)
+        else:
+            env["__brk__"] = saved_brk
+        if saved_cont is None:
+            env.pop("__cont__", None)
+        else:
+            env["__cont__"] = saved_cont
+
+    def _exec_calltask(self, stmt, env, nba):
+        """Inline a task call: bind inputs, run the body against the
+        module environment (tasks may write module state), write
+        outputs back."""
+        name, args = stmt[1], stmt[2]
+        t = self.inst.tasks.get(name)
+        if t is None:
+            raise CompileError(f"synth: unknown task {name}")
+        cctx = self._const_ctx
+
+        def decl_width(decl):
+            if decl.msb is None:
+                return 1
+            hi = eval_expr(decl.msb, cctx).to_signed_int()
+            lo = eval_expr(decl.lsb, cctx).to_signed_int()
+            return abs(hi - lo) + 1
+
+        shadow = {}
+        outs = []
+        for decl, a in zip(t.args, args):
+            w = decl_width(decl)
+            shadow[decl.name] = env.get(decl.name)
+            d = decl.direction or "input"
+            if d in ("input", "inout"):
+                env[decl.name] = _resize_bits(self.lower(a, env, w),
+                                              w, False)
+            else:
+                env[decl.name] = [CX] * w
+            if d in ("output", "inout"):
+                outs.append((a, decl.name, w))
+        for lname, ldecl in t.locals.items():
+            shadow[lname] = env.get(lname)
+            env[lname] = [CX] * decl_width(ldecl)
+        shadow["__ret__"] = env.get("__ret__")
+        env["__ret__"] = [C0]
+        self.exec_stmt(t.body, env, nba)
+        out_bits = [(a, list(env[n]), w) for a, n, w in outs]
+        for n, old in shadow.items():
+            if old is None:
+                env.pop(n, None)
+            else:
+                env[n] = old
+        for a, bits, w in out_bits:
+            self._assign_bits(a, bits, env, env)
+
     def exec_stmt(self, stmt, env: Dict[str, List[NetT]],
                   nba: Optional[Dict[str, List[NetT]]]):
         if stmt is None:
             return
         op = stmt[0]
         if op == "block":
-            for s in stmt[1]:
+            stmts = stmt[1]
+            for si, s in enumerate(stmts):
                 self.exec_stmt(s, env, nba)
+                if si + 1 < len(stmts):
+                    fl = self._flags_or(env)
+                    if fl is not None:
+                        # break/continue/return may be pending: guard
+                        # the remainder of the block on "no flag set"
+                        self._exec_guarded(
+                            self.ctx.g_not(fl),
+                            ("block", list(stmts[si + 1:])), env, nba)
+                        return
+            return
+        if op == "break":
+            env["__brk__"] = [C1]
+            return
+        if op == "continue":
+            env["__cont__"] = [C1]
+            return
+        if op == "return":
+            if stmt[1] is not None and self._func_stack:
+                self._assign(("id", self._func_stack[-1]), stmt[1],
+                             env, env)
+            env["__ret__"] = [C1]
+            return
+        if op == "while":
+            self._exec_loop(stmt[1], stmt[2], None, env, nba,
+                            do_first=False)
+            return
+        if op == "do_while":
+            self._exec_loop(stmt[2], stmt[1], None, env, nba,
+                            do_first=True)
+            return
+        if op == "calltask":
+            self._exec_calltask(stmt, env, nba)
             return
         if op == "blocking":
             self._assign(stmt[1], stmt[2], env, env)
@@ -669,12 +930,29 @@ class BitSynth:
         var = init[1][1]
         cctx = EvalCtx(params=dict(self.inst.params), signals={},
                        functions=self.inst.functions, inst=self.inst)
-        cctx.params[var] = eval_expr(init[2], cctx)
+        try:
+            cctx.params[var] = eval_expr(init[2], cctx)
+            eval_expr(cond, cctx)       # probe: is the bound static?
+        except SimError:
+            # signal-dependent control: guarded bounded unrolling
+            self._assign(init[1], init[2], env, env)
+            self._exec_loop(cond, body, step, env, nba,
+                            do_first=False)
+            return
         count = 0
+        saved_brk = env.get("__brk__")
+        saved_cont = env.get("__cont__")
+        env["__brk__"] = [C0]
         while True:
             c = eval_expr(cond, cctx)
             if not c.to_int():
                 break
+            env["__cont__"] = [C0]
+            brk = env["__brk__"][0]
+            ret = env.get("__ret__", [C0])[0]
+            act = self.ctx.g_not(self.ctx.g_or(brk, ret))
+            if act is C0:
+                break                 # break/return already taken
             # expose the loop var as a constant to the body — both via
             # params (for try_const index folding) and via env (for
             # direct uses like slices of the loop variable, which would
@@ -683,7 +961,7 @@ class BitSynth:
             self.inst.params[var] = cctx.params[var]
             if var in env:
                 env[var] = _const_bits(cctx.params[var])
-            self.exec_stmt(body, env, nba)
+            self._exec_guarded(act, body, env, nba)
             if saved is None:
                 self.inst.params.pop(var, None)
             else:
@@ -692,6 +970,14 @@ class BitSynth:
             count += 1
             if count > self.ctx.opt.loop_unroll_limit:
                 raise CompileError("synth: loop unroll limit exceeded")
+        if saved_brk is None:
+            env.pop("__brk__", None)
+        else:
+            env["__brk__"] = saved_brk
+        if saved_cont is None:
+            env.pop("__cont__", None)
+        else:
+            env["__cont__"] = saved_cont
 
     def _exec_case(self, stmt, env, nba):
         kind, sel_expr, items, default = stmt[1], stmt[2], stmt[3], stmt[4]
@@ -807,6 +1093,34 @@ class BitSynth:
                     cur[i] = bits[k]
             write_env[name] = cur
             return
+        if lhs[0] == "pslice":
+            name = lhs[1][1]
+            w = self.try_const(lhs[3]).to_int()
+            cur = list(write_env.get(name, read_env.get(name, [])))
+            bits = _resize_bits(self.lower(rhs, read_env, w), w, False)
+            base = self.try_const(lhs[2])
+            if base is not None and base.known:
+                b = base.to_signed_int()
+                l = b if lhs[4] == "+" else b - w + 1
+                for k in range(w):
+                    if 0 <= l + k < len(cur):
+                        cur[l + k] = bits[k]
+                write_env[name] = cur
+                return
+            # variable base: decoder write — bit i takes bits[k] when
+            # the select equals the matching base index
+            sel = self.lower(lhs[2], read_env)
+            for i in range(len(cur)):
+                v = cur[i]
+                for k in range(w):
+                    tgt = i - k if lhs[4] == "+" else i + (w - 1 - k)
+                    if tgt < 0 or tgt >= (1 << len(sel)):
+                        continue
+                    m = self._index_match(sel, tgt)
+                    v = self.ctx.g_mux(m, v, bits[k])
+                cur[i] = v
+            write_env[name] = cur
+            return
         if lhs[0] == "concat":
             parts = lhs[1]
             widths = [self.width_of(p) for p in parts]
@@ -908,6 +1222,8 @@ def _signal_nodes(ctx: SynthContext, inst: InstanceState,
                   ) -> Dict[str, List[NetT]]:
     sigbits: Dict[str, List[NetT]] = {}
     for name, sig in inst.signals.items():
+        if name in inst.block_locals:
+            continue               # locals get no module-visible nets
         if sig.array_len:
             # memory: array_len words flattened word-major into one bit
             # list; reads become per-bit mux trees, writes demux into
@@ -978,8 +1294,29 @@ def _synth_instance(ctx: SynthContext, inst: InstanceState,
                     bs.lower(b.expr, sigbits, sig.width), sig.width, False)
                 child_ports[b.port] = [ctx.as_node(x) for x in bits]
             else:
-                # output: child drives parent lvalue nets
-                nets = _lvalue_nodes(ctx, bs, b.expr, sigbits, sig.width)
+                # output: child drives parent lvalue nets; wider parent
+                # targets get Verilog width adaptation (zero- or
+                # sign-extension from the child MSB, matching the
+                # behavioral child->parent resize in simulate.py)
+                if b.expr[0] == "id" and b.expr[1] in sigbits:
+                    pw = len(sigbits[b.expr[1]])
+                    nets = _lvalue_nodes(ctx, bs, b.expr, sigbits, pw)
+                else:
+                    nets = _lvalue_nodes(ctx, bs, b.expr, sigbits,
+                                         sig.width)
+                if len(nets) > sig.width:
+                    # wider parent: extend from the child MSB
+                    ext, nets = nets[sig.width:], nets[:sig.width]
+                    src = nets[-1] if sig.signed else C0
+                    for n in ext:
+                        ctx.buf(src, n)
+                elif len(nets) < sig.width:
+                    # narrower parent: child MSBs land on fresh dummy
+                    # nets (NOT the shared const node, which they would
+                    # otherwise corrupt as extra drivers)
+                    nets = nets + [ctx.new_node()
+                                   for _ in range(sig.width -
+                                                  len(nets))]
                 child_ports[b.port] = nets
         _synth_instance(ctx, child, child_ports)
 
@@ -1068,6 +1405,9 @@ def _synth_comb_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
     their own output nets, so incomplete assignment becomes a latch loop
     handled by the digital engine's fixpoint group."""
     env = {k: list(v) for k, v in sigbits.items()}
+    for name in bs.inst.block_locals:
+        sig = bs.inst.signals[name]
+        env[name] = [CX] * (sig.width * max(1, sig.array_len or 1))
     bs.exec_stmt(ab.body, env, None)
     for name, bits in env.items():
         if name not in sigbits:
@@ -1111,6 +1451,9 @@ def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
 
     # symbolic next-state
     env = {k: list(v) for k, v in sigbits.items()}
+    for _bl in bs.inst.block_locals:
+        _sg = bs.inst.signals[_bl]
+        env[_bl] = [CX] * (_sg.width * max(1, _sg.array_len or 1))
     nba: Dict[str, List[NetT]] = {}
     bs.exec_stmt(main_stmt if reset_cond is not None else body, env, nba)
     # blocking assigns to state regs inside always_ff count as state too
@@ -1125,6 +1468,9 @@ def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
     arst_net = None
     if reset_cond is not None:
         renv = {k: list(v) for k, v in sigbits.items()}
+        for _bl in bs.inst.block_locals:
+            _sg = bs.inst.signals[_bl]
+            renv[_bl] = [CX] * (_sg.width * max(1, _sg.array_len or 1))
         rnba: Dict[str, List[NetT]] = {}
         bs.exec_stmt(reset_stmt, renv, rnba)
         for name, bits in rnba.items():

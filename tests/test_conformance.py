@@ -1,0 +1,48 @@
+"""Reference Verilog corpus conformance (VERDICT item 6).
+
+Runs the reference's test/0007.verilog + test/0015.verilog_compile
+sources (extracted as data) through compile -> elaborate -> behavioral
+simulate -> synthesize -> gate-level cross-check.  Gate: >= 90% of the
+corpus passing (the harness itself reports per-case detail when run
+standalone: ``python tests/conformance.py --verbose``).
+"""
+
+import os
+
+import pytest
+
+from conformance import collect_corpus, run_case, EXPECT_ERROR
+
+_CASES = collect_corpus()
+
+pytestmark = pytest.mark.skipif(not _CASES,
+                                reason="reference corpus unavailable")
+
+# the one case that is intentionally slow (16x guarded dynamic-loop
+# unrolling of an fp8 FPU): keep the sweep fast by running it only in
+# the standalone harness
+_SLOW = ("sim_fp8_e5m2_adder_compile",)
+
+
+def test_corpus_pass_rate():
+    passed = 0
+    total = 0
+    fails = []
+    for name, src, top, inc in _CASES:
+        if any(s in name for s in _SLOW):
+            continue
+        total += 1
+        err = run_case(src, top, includes=inc,
+                       expect_error=any(e in name
+                                        for e in EXPECT_ERROR))
+        if err is None:
+            passed += 1
+        else:
+            fails.append((name, err))
+    rate = passed / max(1, total)
+    detail = "\n".join(f"  {n}: {e}" for n, e in fails)
+    assert rate >= 0.90, (f"corpus pass rate {rate:.1%} "
+                          f"({passed}/{total})\n{detail}")
+    # track the current level so regressions are visible, not silent
+    assert rate >= 0.97, (f"pass rate regressed to {rate:.1%}"
+                          f" ({passed}/{total})\n{detail}")
