@@ -216,9 +216,8 @@ def lower_digital(nl: Netlist) -> Optional[DigitalIR]:
             level_of[dj] = max(level_of[dj], level_of[gi] + 1)
             if remaining[dj] == 0:
                 dq.append(dj)
-    acyclic = [gi for gi in range(n_gates) if remaining[gi] == 0 or
-               level_of[gi] >= 0 and remaining[gi] == 0]
-    cyclic_ids = [gi for gi in range(n_gates) if gi not in set(order)]
+    ordered = set(order)
+    cyclic_ids = [gi for gi in range(n_gates) if gi not in ordered]
 
     def make_segments(gate_ids) -> List[Segment]:
         by_op: Dict[str, List[int]] = {}
@@ -241,9 +240,12 @@ def lower_digital(nl: Netlist) -> Optional[DigitalIR]:
         return segs
 
     max_level = int(level_of[list(order)].max()) if order else -1
+    by_level: Dict[int, List[int]] = {}
+    for gi in order:
+        by_level.setdefault(int(level_of[gi]), []).append(gi)
     levels = []
     for lv in range(max_level + 1):
-        ids = [gi for gi in order if level_of[gi] == lv]
+        ids = by_level.get(lv)
         if ids:
             levels.append(make_segments(ids))
     cyclic = make_segments(cyclic_ids) if cyclic_ids else []

@@ -48,7 +48,7 @@ class Node:
     """
 
     __slots__ = ("pins", "num_of_analog_node", "is_ground", "voltage",
-                 "digital", "node_index", "name", "_uid")
+                 "digital", "node_index", "name", "_uid", "_pos")
 
     _uid_counter = itertools.count()
 
@@ -95,7 +95,7 @@ class ModelInstance:
     """
 
     __slots__ = ("mdef", "params", "pins", "branches", "name", "describe",
-                 "enabled", "runtime", "_uid")
+                 "enabled", "runtime", "_uid", "_pos")
 
     _uid_counter = itertools.count()
 

@@ -21,6 +21,7 @@ def add_model(nl: Netlist, mdef_or_inst, params=None, name: str = "") -> ModelIn
         inst = ModelInstance(mdef_or_inst, params, name)
     else:
         raise TypeError(f"cannot add {type(mdef_or_inst)} to netlist")
+    inst._pos = len(nl.models)      # O(1) delete_model lookup
     nl.models.append(inst)
     nl.touch()
     return inst
@@ -28,10 +29,12 @@ def add_model(nl: Netlist, mdef_or_inst, params=None, name: str = "") -> ModelIn
 
 def delete_model(nl: Netlist, inst: ModelInstance) -> bool:
     """Remove a device (tombstone, like operation.h:91-128) and detach pins."""
-    try:
-        pos = nl.models.index(inst)
-    except ValueError:
-        return False
+    pos = getattr(inst, "_pos", -1)
+    if not (0 <= pos < len(nl.models)) or nl.models[pos] is not inst:
+        try:                           # fallback for foreign instances
+            pos = nl.models.index(inst)
+        except ValueError:
+            return False
     for pin in inst.pins:
         if pin.node is not None:
             remove_from_node(nl, inst, pin.index, pin.node)
@@ -48,9 +51,22 @@ def get_model(nl: Netlist, pos: int) -> Optional[ModelInstance]:
 
 def create_node(nl: Netlist, name: str = "") -> Node:
     node = Node(name=name)
+    node._pos = len(nl.nodes)       # O(1) swap-removal in drop_node
     nl.nodes.append(node)
     nl.touch()
     return node
+
+
+def drop_node(nl: Netlist, node: Node) -> bool:
+    """Remove a net from the list in O(1) (swap-with-last)."""
+    pos = getattr(node, "_pos", -1)
+    if not (0 <= pos < len(nl.nodes)) or nl.nodes[pos] is not node:
+        return False               # already dropped (stale position)
+    last = nl.nodes[-1]
+    nl.nodes[pos] = last
+    last._pos = pos
+    nl.nodes.pop()
+    return True
 
 
 def _pin_of(inst: ModelInstance, pin: Union[int, str, Pin]) -> Pin:
@@ -112,8 +128,7 @@ def merge_node(nl: Netlist, keep: Node, absorb: Node) -> Node:
     keep.num_of_analog_node += absorb.num_of_analog_node
     absorb.pins.clear()
     absorb.num_of_analog_node = 0
-    if absorb in nl.nodes:
-        nl.nodes.remove(absorb)
+    drop_node(nl, absorb)
     nl.touch()
     return keep
 

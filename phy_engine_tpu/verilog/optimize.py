@@ -138,8 +138,8 @@ def dce(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
             dead_nets = [n for n in outs if n is not None]
             ops.delete_model(nl, inst)
             for n in dead_nets:
-                if n in nl.nodes and not n.pins:
-                    nl.nodes.remove(n)
+                if not n.pins:
+                    ops.drop_node(nl, n)
             stats.removed_gates += 1
             changed = True
     return changed
@@ -216,17 +216,35 @@ def not_fuse(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
 
 
 def const_prop(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
-    """Fold gates whose inputs are all constant nets (4-state-safe)."""
+    """Fold gates whose inputs are all constant nets (4-state-safe).
+
+    Constant nets are precomputed in one sweep over the models —
+    per-net _drivers() scans are O(fanout), which explodes on the
+    shared constant nets of large designs (100k+ reader pins)."""
     from ..models import INPUT
     changed = False
-    for inst in list(nl.live_models()):
+    live = list(nl.live_models())
+    drv_count: Dict[int, int] = {}
+    for inst in live:
+        for i in inst.mdef.dout_pins:
+            n = inst.pins[i].node
+            if n is not None:
+                drv_count[id(n)] = drv_count.get(id(n), 0) + 1
+    const_of: Dict[int, int] = {}
+    for inst in live:
+        code = _const_code(inst)
+        if code is not None:
+            n = inst.pins[0].node
+            if n is not None and drv_count.get(id(n), 0) == 1:
+                const_of[id(n)] = code
+    for inst in live:
         if not _is_gate(inst):
             continue
         op = inst.mdef.digital_op
         ins = _in_nodes(inst)
         if any(n is None for n in ins):
             continue
-        codes = [_net_const(n) for n in ins]
+        codes = [const_of.get(id(n)) for n in ins]
         if any(c is None for c in codes):
             continue
         outs = _out_nodes(inst)
