@@ -159,6 +159,28 @@ def digital_run(plan, st, narrow, fsig, FV, FU, HV, HU) -> None:
         up(HV), up(HU), scratch.ctypes.data_as(u64p))
 
 
+_CSRC = os.path.join(_DIR, "pe_capi.c")
+_CLIB = os.path.join(_DIR, "libphyengine_tpu.so")
+
+
+def build_capi() -> str:
+    """Build (if stale) and return the path of the embeddable C ABI
+    library (dll_api.h role; see pe_capi.c).  Raises on failure."""
+    import sysconfig
+    fresh = (os.path.exists(_CLIB) and
+             os.path.getmtime(_CLIB) >= os.path.getmtime(_CSRC))
+    if fresh:
+        return _CLIB
+    inc = sysconfig.get_path("include")
+    libdir = sysconfig.get_config_var("LIBDIR") or ""
+    ver = sysconfig.get_config_var("LDVERSION") or \
+        sysconfig.get_config_var("VERSION")
+    cmd = ["cc", "-O2", "-shared", "-fPIC", _CSRC, f"-I{inc}",
+           f"-L{libdir}", f"-lpython{ver}", "-o", _CLIB]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    return _CLIB
+
+
 def _as_i32(a):
     return np.ascontiguousarray(a, dtype=np.int32)
 
