@@ -87,9 +87,9 @@ def tp_solve_op(ir: AnalogIR, mesh: Mesh, params, x0, states0, env,
     solution stay replicated — XLA inserts the cross-device reduction
     for the scatter-add (the collective rides ICI).
 
-    Families whose instance count does not divide the device count stay
-    replicated (correct, just not distributed).  Returns (x, states, ok)
-    with x replicated on every device.
+    EVERY family shards: populations are mask-padded to a multiple of
+    the device count (tp_pad_ir), so there is no replication fallback.
+    Returns (x, states, ok) with x replicated on every device.
     """
     from ..models.base import StampCtx
 
@@ -98,20 +98,125 @@ def tp_solve_op(ir: AnalogIR, mesh: Mesh, params, x0, states0, env,
     shard = NamedSharding(mesh, P(axes))
     repl = NamedSharding(mesh, P())
 
-    def place(v):
-        v = jnp.asarray(v)
-        if v.ndim >= 1 and v.shape[0] % n_dev == 0 and v.shape[0] > 0:
-            return jax.device_put(v, shard)
-        return jax.device_put(v, repl)
-
-    params_s = {k: place(v) for k, v in params.items()}
-    states_s = jax.tree.map(place, states0)
+    ir2, pad_params = tp_pad_ir(ir, n_dev)
+    params_s = {k: jax.device_put(jnp.asarray(v), shard)
+                for k, v in pad_params(params).items()}
+    states_s = {}
+    for fam in ir2.families:
+        key = fam.mdef.id_name
+        st = states0.get(key, {})
+        padded = {}
+        for k, v in st.items():
+            v = np.asarray(v)
+            if v.shape[0] < len(fam.P):
+                v = np.concatenate([v, np.repeat(
+                    v[-1:], len(fam.P) - v.shape[0], axis=0)])
+            padded[k] = jax.device_put(jnp.asarray(v), shard)
+        states_s[key] = padded
     x0 = jax.device_put(jnp.asarray(x0), repl)
 
     def run(p, x, s, envd):
         ctx = StampCtx(mode=mode, t=jnp.zeros((), dtype),
                        dt=jnp.zeros((), dtype), env=envd)
-        return analog.newton_solve(ir, p, x, s, ctx, None, dtype)
+        return analog.newton_solve(ir2, p, x, s, ctx, None, dtype)
 
     fn = jax.jit(run, out_shardings=(repl, None, repl))
     return fn(params_s, x0, states_s, env)
+
+
+# ---------------------------------------------------------------------------
+# mask-padded tensor parallelism (no replication fallback)
+# ---------------------------------------------------------------------------
+
+def tp_pad_ir(ir: AnalogIR, n_dev: int):
+    """Pad every family's instance axis to a multiple of ``n_dev`` so
+    ALL families shard (the scale axis of SURVEY §5: one huge circuit,
+    instances distributed).  Padded instances are copies of the last
+    real instance with ``mask=0`` — the assembler multiplies their
+    stamp values to zero (engine/analog.py mask support), so their
+    scatter targets are harmless.
+
+    Returns (padded_ir, pad_params) where ``pad_params(params)`` pads
+    the runtime parameter dict the same way."""
+    import dataclasses
+
+    pads = {}
+    fams = []
+    for fam in ir.families:
+        n = len(fam.P)
+        pad = (-n) % n_dev
+
+        def rep(a, _p=pad):
+            a = np.asarray(a)
+            if _p == 0:
+                return a
+            return np.concatenate([a, np.repeat(a[-1:], _p, axis=0)])
+
+        f2 = dataclasses.replace(
+            fam, P=rep(fam.P), pin_nodes=rep(fam.pin_nodes),
+            br_idx=rep(fam.br_idx), a_rows=rep(fam.a_rows),
+            a_cols=rep(fam.a_cols), z_rows=rep(fam.z_rows),
+            state0={k: rep(v) for k, v in fam.state0.items()})
+        f2.mask = np.concatenate([np.ones(n), np.zeros(pad)])
+        pads[fam.mdef.id_name] = pad
+        fams.append(f2)
+    ir2 = dataclasses.replace(ir, families=fams)
+
+    def pad_params(params):
+        out = {}
+        for key, P in params.items():
+            p = pads.get(key, 0)
+            P = np.asarray(P)
+            if p:
+                P = np.concatenate([P, np.repeat(P[-1:], p, axis=0)])
+            out[key] = P
+        return out
+
+    return ir2, pad_params
+
+
+def tp_assemble_sparse(ir: AnalogIR, mesh: Mesh, params, x, states,
+                       env, mode: str = "op", dtype=jnp.float64):
+    """Sharded sparse MNA assembly of ONE huge circuit: instance
+    populations are mask-padded (tp_pad_ir) and split across every
+    device of the mesh; each chip stamps its slice and XLA reduces the
+    gathered COO value vector (psum over ICI).  Returns replicated
+    (rows, cols, vals, Z) ready for the iterative solver.
+
+    Role: the reference's biggest benchmark netlists
+    (benchmark/0001.models 10^6-resistor ladders / 100k-node meshes)
+    assemble on one host; this is the multi-chip replacement."""
+    from ..models.base import StampCtx
+    from ..engine import analog as _analog
+
+    n_dev = mesh.devices.size
+    axes = tuple(mesh.axis_names)
+    shard = NamedSharding(mesh, P(axes))
+    repl = NamedSharding(mesh, P())
+
+    ir2, pad_params = tp_pad_ir(ir, n_dev)
+    params_s = {k: jax.device_put(jnp.asarray(v), shard)
+                for k, v in pad_params(params).items()}
+    states_s = {}
+    for fam in ir2.families:
+        key = fam.mdef.id_name
+        st = states.get(key, fam.state0)
+        states_s[key] = {k: jax.device_put(
+            jnp.asarray(np.asarray(v) if np.asarray(v).shape[0] ==
+                        len(fam.P) else
+                        np.concatenate([np.asarray(v), np.repeat(
+                            np.asarray(v)[-1:],
+                            len(fam.P) - np.asarray(v).shape[0],
+                            axis=0)])), shard)
+            for k, v in st.items()}
+    x = jax.device_put(jnp.asarray(x), repl)
+
+    def run(p, xv, s, envd):
+        ctx = StampCtx(mode=mode, t=jnp.zeros((), dtype),
+                       dt=jnp.zeros((), dtype), env=envd)
+        rows, cols, vals, Z, _st = _analog.assemble_sparse(
+            ir2, p, xv, s, ctx, None, dtype)
+        return rows, cols, vals, Z
+
+    fn = jax.jit(run, out_shardings=(repl, repl, repl, repl))
+    return fn(params_s, x, states_s, env)
