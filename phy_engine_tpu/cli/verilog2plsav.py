@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                     default="gate_count")
     ap.add_argument("--omax-seed", type=int, default=0)
     ap.add_argument("--name", default=None)
+    ap.add_argument("--layout", choices=("fast", "quality"),
+                    default="fast",
+                    help="placement mode (quality = spectral embedding"
+                         " + occupancy grid + force refinement)")
     ap.add_argument("--time", dest="timing", action="store_true")
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args(argv)
@@ -83,8 +87,10 @@ def main(argv=None) -> int:
                      omax_verify=args.opt_verify,
                      omax_cost_model=args.opt_cost,
                      omax_seed=args.omax_seed))
+    from phy_engine_tpu.io.plsav import ExportOptions
     ex = circuit_to_experiment(
-        nl, name=args.name or os.path.splitext(
+        nl, options=ExportOptions(layout=args.layout),
+        name=args.name or os.path.splitext(
             os.path.basename(args.output))[0])
     ex.save(args.output)
     dt = time.perf_counter() - t0

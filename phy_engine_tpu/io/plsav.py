@@ -390,6 +390,7 @@ class ExportOptions:
     include_linear: bool = True
     include_ground: bool = True
     spacing: float = 0.16
+    layout: str = "fast"            # fast | quality (auto_layout.h modes)
 
 
 _PE_TO_PL_ID = {
@@ -463,7 +464,11 @@ def circuit_to_experiment(nl: Netlist,
         for k in range(1, len(endpoints)):
             (ea, pa), (eb, pb) = endpoints[0], endpoints[k]
             ex.add_wire(ea, pa, eb, pb)
-    from .layout import auto_layout
-    auto_layout(ex, spacing=opt.spacing)
+    if getattr(opt, "layout", "fast") == "quality":
+        from .layout import auto_layout_quality
+        auto_layout_quality(ex, spacing=opt.spacing)
+    else:
+        from .layout import auto_layout
+        auto_layout(ex, spacing=opt.spacing)
     ex._warnings = warnings          # type: ignore[attr-defined]
     return ex

@@ -111,3 +111,85 @@ def test_auto_layout_levels():
     assert stats.placed == 4
     # inputs in column 0, gate next, output last
     assert a.position[0] < g.position[0] < o.position[0]
+
+
+def test_auto_layout_quality_spectral():
+    """Quality mode: connectivity-aware placement with no cell
+    overlaps (auto_layout.h spectral/force/occupancy roles)."""
+    import numpy as np
+    from phy_engine_tpu.io.plsav import Experiment
+    from phy_engine_tpu.io.layout import auto_layout_quality
+
+    ex = Experiment(name="t")
+    # two 6-element cliques joined by one bridge wire: spectral
+    # embedding must keep cliques compact and separated
+    els = [ex.add_element("Logic Input") for _ in range(12)]
+    for grp in (els[:6], els[6:]):
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                ex.add_wire(grp[i], 0, grp[j], 0)
+    ex.add_wire(els[0], 0, els[6], 0)
+    stats = auto_layout_quality(ex, seed=7)
+    assert stats.placed == 12
+    pos = np.array([el.position[:2] for el in ex.elements])
+    # no two elements share a grid cell
+    assert len({tuple(p) for p in map(tuple, pos)}) == 12
+    intra = []
+    for grp in (range(6), range(6, 12)):
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    intra.append(np.linalg.norm(pos[i] - pos[j]))
+    centroid_a = pos[:6].mean(axis=0)
+    centroid_b = pos[6:].mean(axis=0)
+    assert np.linalg.norm(centroid_a - centroid_b) > np.mean(intra)
+
+
+def test_auto_layout_quality_big_footprints():
+    from phy_engine_tpu.io.plsav import Experiment
+    from phy_engine_tpu.io.layout import auto_layout_quality
+
+    ex = Experiment(name="t")
+    big = [ex.add_element("8bit Input") for _ in range(4)]
+    for i in range(3):
+        ex.add_wire(big[i], 0, big[i + 1], 0)
+    assert all(el.is_big for el in ex.elements)
+    stats = auto_layout_quality(ex, spacing=0.1)
+    assert stats.placed == 4
+    # 2x2 footprints: min pairwise distance >= 2 cells = 0.2
+    import numpy as np
+    pos = np.array([el.position[:2] for el in ex.elements])
+    for i in range(4):
+        for j in range(i + 1, 4):
+            d = np.abs(pos[i] - pos[j]).max()
+            assert d >= 0.2 - 1e-9, (i, j, pos[i], pos[j])
+
+
+def test_corner_locator():
+    from phy_engine_tpu.io.plsav import Experiment
+    from phy_engine_tpu.io.layout import CornerLocator
+
+    ex = Experiment(name="t")
+    lt = ex.add_element("Logic Input")
+    lb = ex.add_element("Logic Output")
+    rt = ex.add_element("8bit Input")
+    rb = ex.add_element("8bit Display")
+    lt.position = (0.0, 1.0, 0.0)
+    lb.position = (0.0, 0.0, 0.0)
+    rt.position = (2.0, 1.0, 0.0)
+    rb.position = (2.0, 0.0, 0.0)
+    loc = CornerLocator.from_experiment(
+        ex, "Logic Input", "Logic Output", "8bit Input",
+        "8bit Display")
+    assert loc.locate(0.0, 0.0) == (0.0, 0.0, 0.0)
+    assert loc.locate(1.0, 1.0) == (2.0, 1.0, 0.0)
+    assert loc.locate(0.5, 0.5) == (1.0, 0.5, 0.0)
+    grid = loc.grid(3, 2)
+    assert len(grid) == 6
+    assert grid[0] == (0.0, 0.0, 0.0)
+    assert grid[-1] == (2.0, 1.0, 0.0)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        CornerLocator.from_experiment(ex, "Nope", "Logic Output",
+                                      "8bit Input", "8bit Display")
