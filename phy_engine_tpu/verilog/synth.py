@@ -1384,6 +1384,17 @@ def _lvalue_nodes(ctx: SynthContext, bs: BitSynth, lhs,
         i = bs.try_const(lhs[2]).to_int()
         nets = sigbits[lhs[1][1]]
         return [ctx.as_node(nets[i])]
+    if lhs[0] == "pslice":
+        base = bs.try_const(lhs[2])
+        w = bs.try_const(lhs[3]).to_int()
+        if base is None or not base.known:
+            raise CompileError("synth: variable part-select "
+                               "continuous-assign target")
+        b = base.to_signed_int()
+        lo = b if lhs[4] == "+" else b - w + 1
+        nets = sigbits[lhs[1][1]]
+        return [ctx.as_node(nets[i]) for i in range(lo, lo + w)
+                if 0 <= i < len(nets)]
     if lhs[0] == "concat":
         out = []
         for p in reversed(lhs[1]):
