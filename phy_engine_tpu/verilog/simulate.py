@@ -702,7 +702,12 @@ class Runtime:
         self.pending: List[Tuple[int, Any]] = []      # (due_tick, stmt)
         self.initial_done = False
         self.children = [Runtime(c) for c in inst.children]
-        self.rng = [hash(inst.path) & 0xFFFFFFFF or 1]
+        # stable FNV-1a of the instance path: $random streams must
+        # not depend on PYTHONHASHSEED (reproducibility across runs)
+        h = 0x811C9DC5
+        for ch in inst.path.encode():
+            h = ((h ^ ch) * 0x01000193) & 0xFFFFFFFF
+        self.rng = [h or 1]
 
     def ctx(self, tick: int) -> EvalCtx:
         return EvalCtx(params=self.inst.params, signals=self.values,

@@ -113,7 +113,7 @@ def run_case(src: str, top: str, cycles: int = 8, seed: int = 0,
     if expect_error:
         return "expected a front-end error"
 
-    behavioral_only = ("$urandom" in src or
+    behavioral_only = ("$urandom" in src or "$random" in src or
                        any(m.initials for m in mods))
 
     try:
