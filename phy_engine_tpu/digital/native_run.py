@@ -39,8 +39,13 @@ def _flat_gates(levels, alloc_temp):
     oo: List[int] = []
     for level in levels:
         for sub in _expand_level(level, alloc_temp):
-            for op, a, b, o in sub:
-                ia, ib, io, core = _GEN2_ENC[op]
+            # gates within a sub-level are independent: sort by opcode
+            # so the interpreter sees long same-op runs (predictable
+            # dispatch branch)
+            enc = sorted(
+                ((_GEN2_ENC[op], a, b, o) for op, a, b, o in sub),
+                key=lambda t: t[0])
+            for (ia, ib, io, core), a, b, o in enc:
                 ops.append(core | ia << 3 | ib << 4 | io << 5)
                 aa.append(a)
                 bb.append(b)

@@ -97,7 +97,8 @@ def get_digital_lib():
             fresh = (os.path.exists(_DLIB) and
                      os.path.getmtime(_DLIB) >= os.path.getmtime(_DSRC))
             if not fresh:
-                cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+                       "-shared", "-fPIC", "-std=c++17",
                        "-o", _DLIB, _DSRC]
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=120)

@@ -97,10 +97,41 @@ inline uint64_t gate_eval(int32_t op, uint64_t a, uint64_t b) {
     return (uint64_t)v | ((uint64_t)u << 32);
 }
 
+template <int32_t OP>
+static void run_op(const int32_t* a, const int32_t* b, const int32_t* o,
+                   int32_t i0, int32_t i1, uint64_t* st) {
+    for (int32_t i = i0; i < i1; ++i) {
+        st[o[i]] = gate_eval(OP, st[a[i]], st[b[i]]);
+    }
+}
+
 inline void sweep(const int32_t* op, const int32_t* a, const int32_t* b,
                   const int32_t* o, int32_t n, uint64_t* st) {
-    for (int32_t i = 0; i < n; ++i) {
-        st[o[i]] = gate_eval(op[i], st[a[i]], st[b[i]]);
+    // gates are op-sorted within each independent sub-level
+    // (native_run.py), so dispatch once per run; the constant opcode
+    // lets the compiler strip the decode and the core switch
+    int32_t i = 0;
+    while (i < n) {
+        const int32_t cur = op[i];
+        int32_t j = i + 1;
+        while (j < n && op[j] == cur) { ++j; }
+        switch (cur) {
+            case 0:  run_op<0>(a, b, o, i, j, st); break;   // AND
+            case 1:  run_op<1>(a, b, o, i, j, st); break;   // OR
+            case 2:  run_op<2>(a, b, o, i, j, st); break;   // XOR
+            case 8 | 0:  run_op<8 | 0>(a, b, o, i, j, st); break;
+            case 16 | 0: run_op<16 | 0>(a, b, o, i, j, st); break;
+            case 32 | 0: run_op<32 | 0>(a, b, o, i, j, st); break; // NAND/NOT
+            case 32 | 1: run_op<32 | 1>(a, b, o, i, j, st); break; // NOR
+            case 32 | 2: run_op<32 | 2>(a, b, o, i, j, st); break; // XNOR
+            case 8 | 1:  run_op<8 | 1>(a, b, o, i, j, st); break;  // IMP
+            case 16 | 1: run_op<16 | 1>(a, b, o, i, j, st); break;
+            default:
+                for (int32_t k = i; k < j; ++k) {
+                    st[o[k]] = gate_eval(cur, st[a[k]], st[b[k]]);
+                }
+        }
+        i = j;
     }
 }
 
