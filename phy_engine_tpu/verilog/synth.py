@@ -425,6 +425,9 @@ class BitSynth:
         op = expr[0]
         if op == "id" and expr[1] in self.inst.signals:
             return self.inst.signals[expr[1]].signed
+        if op == "id" and expr[1] in self.inst.params:
+            return bool(getattr(self.inst.params[expr[1]], "signed",
+                                False))
         if op == "syscall" and expr[1] == "$signed":
             return True
         if op == "syscall" and expr[1] == "$unsigned":

@@ -18,10 +18,6 @@ _CASES = collect_corpus()
 pytestmark = pytest.mark.skipif(not _CASES,
                                 reason="reference corpus unavailable")
 
-# the one case that is intentionally slow (16x guarded dynamic-loop
-# unrolling of an fp8 FPU): keep the sweep fast by running it only in
-# the standalone harness
-_SLOW = ("sim_fp8_e5m2_adder_compile",)
 
 
 def test_corpus_pass_rate():
@@ -29,8 +25,6 @@ def test_corpus_pass_rate():
     total = 0
     fails = []
     for name, src, top, inc in _CASES:
-        if any(s in name for s in _SLOW):
-            continue
         total += 1
         err = run_case(src, top, includes=inc,
                        expect_error=any(e in name
@@ -44,5 +38,5 @@ def test_corpus_pass_rate():
     assert rate >= 0.90, (f"corpus pass rate {rate:.1%} "
                           f"({passed}/{total})\n{detail}")
     # track the current level so regressions are visible, not silent
-    assert rate >= 0.97, (f"pass rate regressed to {rate:.1%}"
+    assert rate >= 0.99, (f"pass rate regressed to {rate:.1%}"
                           f" ({passed}/{total})\n{detail}")
