@@ -33,8 +33,8 @@ OP_LEAF, OP_NOT, OP_AND, OP_OR, OP_XOR, OP_CONST0, OP_CONST1 = range(7)
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+           "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
