@@ -769,9 +769,12 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
                          lambda om: resub(bld, om, stats), out_map)
         out_map = staged("qm_2lvl",
                          lambda om: qm_cones(bld, om, stats), out_map)
-        from .opt_map import sop_rewrite
+        from .opt_map import sop_rewrite, bdd_decompose
         out_map = staged("qm_deep",
                          lambda om: sop_rewrite(bld, om, stats),
+                         out_map)
+        out_map = staged("bdd_decomp",
+                         lambda om: bdd_decompose(bld, om, stats),
                          out_map)
         out_map = staged("rewrite2",
                          lambda om: cut_rewrite(bld, om, stats,

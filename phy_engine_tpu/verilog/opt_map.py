@@ -842,3 +842,209 @@ def _eval_over(bld, root: int, patt):
         return r
 
     return ev(root)
+
+
+# ---------------------------------------------------------------------------
+# bounded functional decomposition (pe_synth.h decompose_large_functions
+# / optimize_bdd_decompose_large_cones role)
+# ---------------------------------------------------------------------------
+# Ashenhurst-Curtis via truth-table column multiplicity (the BDD-cut
+# formulation computes the same quantity): pick a bound set B of k
+# variables; if the 2^k cofactor columns of f take only M distinct
+# patterns with ceil(log2(M)) = m < k, then
+#     f(B, F) = h(g_1(B) ... g_m(B), F)
+# and both pieces re-minimize as small two-level covers.  Variable
+# orders are tried a bounded number of times (decomp_var_order_tries).
+
+def _cone_tt_words(bld, root, leaves):
+    import numpy as np
+    from .opt_graph import _var_patterns, _eval_nodes, _live_order
+    nv = len(leaves)
+    patt, npat, nwords = _var_patterns(nv)
+    leaf_words = {l: patt[k] for k, l in enumerate(leaves)}
+    order = _live_order(bld, [root])
+    vals = _eval_nodes(bld, order, leaf_words, nwords)
+    return np.asarray(vals[root], np.uint64), npat
+
+
+def _tt_bits(words, npat):
+    import numpy as np
+    return np.unpackbits(words.view(np.uint8),
+                         bitorder="little")[:npat]
+
+
+def _qm_sop(bld, leaves, on_mt, dc_mt, nvars):
+    """Minimized SOP node over ``leaves`` from ON/DC minterm lists."""
+    from .opt_graph import _qm_primes, _qm_cover, _build_sop
+    if not on_mt:
+        return bld.const(0)
+    primes = _qm_primes(list(on_mt) + list(dc_mt), nvars)
+    cover = _qm_cover(list(on_mt), primes, nvars)
+    return _build_sop(bld, leaves, cover, nvars, False)
+
+
+def bdd_decompose(bld, out_map, stats, min_vars: int = 9,
+                  max_vars: int = 14, bound_min: int = 3,
+                  bound_max: int = 7, order_tries: int = 4,
+                  max_targets: int = 200, seed: int = 11):
+    """Decompose wide cones through a small encoder: accepted when the
+    rebuilt network frees more gates (MFFC) than it adds."""
+    import numpy as np
+    from .opt_graph import _live_order, _supports
+
+    roots = [idx for (_, idx) in out_map.values()]
+    order = _live_order(bld, roots)
+    supp = _supports(bld, order)
+    ref: Dict[int, int] = {i: 0 for i in order}
+    for i in order:
+        for f in bld.nodes[i].fanins:
+            ref[f] = ref.get(f, 0) + 1
+    for r in roots:
+        ref[r] = ref.get(r, 0) + 1
+    leaf_of_bit: Dict[int, int] = {}
+    for i in order:
+        if bld.nodes[i].op == "PIN":
+            leaf_of_bit[supp[i].bit_length() - 1] = i
+
+    rng = np.random.default_rng(seed)
+    repl: Dict[int, int] = {}
+    claimed: Set[int] = set()
+    tried = 0
+    # roots first: decomposing an interior partial product would claim
+    # (and waste) the enclosing cone's much larger opportunity
+    for idx in reversed(order):
+        n = bld.nodes[idx]
+        if n.op not in ("AND", "OR", "XOR") or idx in claimed:
+            continue
+        s = supp.get(idx, 0)
+        nv = bin(s).count("1")
+        if not (min_vars <= nv <= max_vars) or tried >= max_targets:
+            continue
+        leaves = []
+        ok = True
+        b = 0
+        u = s
+        while u:
+            if u & 1:
+                l = leaf_of_bit.get(b)
+                if l is None:
+                    ok = False
+                    break
+                leaves.append(l)
+            u >>= 1
+            b += 1
+        if not ok:
+            continue
+        tried += 1
+        try:
+            words, npat = _cone_tt_words(bld, idx, leaves)
+        except Exception:  # noqa: BLE001 — X consts etc.
+            continue
+        bits = _tt_bits(words, npat)
+
+        # MFFC of the cone (deref to leaves)
+        freed: List[int] = [idx]
+        dec: List[int] = []
+
+        def deref(j):
+            for f in bld.nodes[j].fanins:
+                if not _op_node(bld, f):
+                    continue
+                ref[f] -= 1
+                dec.append(f)
+                if ref[f] == 0 and f not in claimed:
+                    freed.append(f)
+                    deref(f)
+
+        deref(idx)
+        for f in dec:
+            ref[f] += 1
+        mffc = sum(1.0 if bld.nodes[j].op != "NOT" else _NOT_W
+                   for j in freed)
+        if mffc < nv:
+            continue
+
+        best = None
+        for t in range(order_tries):
+            perm = (np.arange(nv) if t == 0
+                    else rng.permutation(nv))
+            for k in range(bound_min, min(bound_max, nv - 2) + 1):
+                bound = perm[:k]
+                free = perm[k:]
+                nf = nv - k
+                # column c (bound assignment) x row r (free assignment)
+                # minterm index: sum over original bit positions
+                cols = np.zeros((1 << k,), np.int64)
+                tt = bits.reshape([2] * nv, order="F")
+                # axis v corresponds to leaf v (LSB-first, F-order)
+                mat = np.moveaxis(tt, list(perm),
+                                  list(range(nv)))
+                mat = mat.reshape((1 << k, 1 << nf), order="F")
+                pats, codes = np.unique(mat, axis=0,
+                                        return_inverse=True)
+                M = pats.shape[0]
+                m = max(1, int(np.ceil(np.log2(max(M, 2)))))
+                if m >= k:
+                    continue
+                # cost estimate: g_i over k vars, h over nf+m vars
+                score = (M, m, k)
+                if best is None or score < best[0]:
+                    best = (score, perm, k, pats, codes)
+            if best is not None and best[0][0] <= 2:
+                break
+        if best is None:
+            continue
+        (_sc, perm, k, pats, codes) = best
+        nf = nv - k
+        m = max(1, int(np.ceil(np.log2(max(pats.shape[0], 2)))))
+        bound_leaves = [leaves[perm[i]] for i in range(k)]
+        free_leaves = [leaves[perm[i]] for i in range(k, nv)]
+
+        n0 = len(bld.nodes)
+        # encoder bits g_j(B): TT over the bound set
+        g_nodes = []
+        for j in range(m):
+            on = [c for c in range(1 << k) if (codes[c] >> j) & 1]
+            g_nodes.append(_qm_sop(bld, bound_leaves, on, [], k))
+        # composer h(F, g): minterms over nf + m vars; codes >= M are DC
+        h_leaves = free_leaves + g_nodes
+        on_mt = []
+        dc_mt = []
+        for c in range(1 << m):
+            for r in range(1 << nf):
+                mt = r | (c << nf)
+                if c >= pats.shape[0]:
+                    dc_mt.append(mt)
+                elif pats[c, r]:
+                    on_mt.append(mt)
+        cand = _qm_sop(bld, h_leaves, on_mt, dc_mt, nf + m)
+        if cand == idx:
+            continue
+        created = sum(1.0 if bld.nodes[j].op != "NOT" else _NOT_W
+                      for j in range(n0, len(bld.nodes)))
+        fs = set(freed)
+        stack = [cand]
+        seen: Set[int] = set()
+        reuse = 0.0
+        while stack:
+            j = stack.pop()
+            if j in seen:
+                continue
+            seen.add(j)
+            if j in fs:
+                reuse += (1.0 if bld.nodes[j].op != "NOT" else _NOT_W)
+                fs.discard(j)
+            stack.extend(bld.nodes[j].fanins)
+        if mffc - reuse - created <= 1e-9:
+            continue
+        repl[idx] = cand
+        claimed.add(idx)
+        claimed.update(freed)
+        stats.bdd_decomposed += 1
+    if not repl:
+        return out_map
+    new_map = _substitute(bld, out_map, repl)
+    from .opt_graph import _live_gate_count
+    cur = _live_gate_count(bld, [x for (_, x) in new_map.values()])
+    base = _live_gate_count(bld, [x for (_, x) in out_map.values()])
+    return new_map if cur <= base else out_map

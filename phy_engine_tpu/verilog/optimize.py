@@ -56,6 +56,7 @@ class OptStats:
         self.rewrite_applied = 0    # cut-rewrite acceptances (O3+)
         self.resub_applied = 0      # resubstitution acceptances (O3+)
         self.dc_minterms = 0        # don't-care minterms mined (XZ/ODC)
+        self.bdd_decomposed = 0     # cones split by functional decomp
         self.omax_trace = []        # (restart, stage, cost) telemetry
         self.omax_summary = ""      # one-line Omax report
         self.passes = []            # (pass, before, after, elapsed_us)

@@ -500,3 +500,78 @@ def test_espresso_dc_support():
     v, mask = cubes[0]
     nlits = 3 - bin(mask).count("1")
     assert nlits <= 1
+
+
+def test_bdd_decompose_structured_cone():
+    """Pipeline smoke: the decomposition stage runs at O3 and never
+    regresses (acceptance is MFFC-gain gated, so an already-compact
+    multi-level cone is correctly left alone)."""
+    src = """
+module m(input [3:0] b, input [4:0] f, output y);
+  wire g = (b[0] & b[1]) | (b[2] & b[3]);
+  // flatten the composition so O0 emits one wide 9-var cone
+  assign y = (((b[0] & b[1]) | (b[2] & b[3])) & (f[0] ^ f[1] ^ f[2]))
+           | (~((b[0] & b[1]) | (b[2] & b[3])) & ((f[3] & f[4]) | f[0]));
+endmodule
+"""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    vectors = [{"b": int(rng.integers(16)), "f": int(rng.integers(32))}
+               for _ in range(40)]
+    r3 = crosscheck_opt(src, "m", vectors, ["y"],
+                        SynthOptions(opt_level=3,
+                                     assume_binary_inputs=True))
+    # functional correctness is the crosscheck; the pass must at least
+    # run without regressing (acceptance is gain-gated)
+    names = [p[0] for p in r3.opt_stats.passes]
+    assert "bdd_decomp" in names
+
+
+def test_bdd_decompose_flat_sop_wins():
+    """Direct pass test (decompose_large_functions role): a 10-var
+    MAJ5(a) ^ MAJ5(b) presented as a FLAT SOP (the shape machine
+    generation produces) must decompose through a 1-bit encoder and
+    shrink, while staying exhaustively exact."""
+    import numpy as np
+    from phy_engine_tpu.verilog.opt_graph import (_Builder, _build_sop,
+                                                  _live_gate_count)
+    from phy_engine_tpu.verilog.optimize import OptStats
+    from phy_engine_tpu.verilog.opt_map import (bdd_decompose,
+                                                _cone_tt_words,
+                                                _tt_bits)
+
+    def maj5(bits):
+        return 1 if sum(bits) >= 3 else 0
+
+    nv = 10
+    minterms = []
+    for m in range(1 << nv):
+        a = [(m >> i) & 1 for i in range(5)]
+        b = [(m >> (5 + i)) & 1 for i in range(5)]
+        if maj5(a) ^ maj5(b):
+            minterms.append(m)
+
+    bld = _Builder(binary_ok=True)
+
+    class _FakeNet:
+        pass
+
+    leaves = [bld.leaf(_FakeNet()) for _ in range(nv)]
+    # flat single-level SOP: one cube per minterm (machine-flat form)
+    root = _build_sop(bld, leaves, [(m, 0) for m in minterms], nv,
+                      False)
+    out_map = {0: (None, root)}
+    before = _live_gate_count(bld, [root])
+
+    stats = OptStats()
+    out_map2 = bdd_decompose(bld, out_map, stats)
+    root2 = next(iter(out_map2.values()))[1]
+    after = _live_gate_count(bld, [root2])
+    assert stats.bdd_decomposed >= 1
+    assert after < before // 2, (before, after)
+
+    # exhaustive equivalence over all 1024 minterms
+    w1, npat = _cone_tt_words(bld, root, leaves)
+    w2, _ = _cone_tt_words(bld, root2, leaves)
+    np.testing.assert_array_equal(_tt_bits(w1, npat),
+                                  _tt_bits(w2, npat))
