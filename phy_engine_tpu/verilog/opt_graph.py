@@ -1406,10 +1406,10 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
         return False
     base_cost = graph_cost(g0, cost_model, weights)
 
-    orders = [("tt", "rewrite", "qm", "factor"),
-              ("factor", "tt", "rewrite", "qm"),
-              ("tt", "rewrite", "factor", "qm"),
-              ("qm", "rewrite", "tt", "factor")]
+    orders = [("tt", "rewrite", "qm", "sop", "factor"),
+              ("factor", "tt", "rewrite", "qm", "bdd"),
+              ("tt", "rewrite", "sop", "factor", "qm"),
+              ("qm", "rewrite", "tt", "bdd", "factor")]
     best_g: Optional[GateGraph] = None
     best_cost = base_cost
     tried = 0
@@ -1448,6 +1448,12 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
             elif stage == "rewrite" and binary_ok:
                 from .opt_map import cut_rewrite
                 out_map = cut_rewrite(bld, out_map, stats, rounds=1)
+            elif stage == "sop" and binary_ok:
+                from .opt_map import sop_rewrite
+                out_map = sop_rewrite(bld, out_map, stats)
+            elif stage == "bdd" and binary_ok:
+                from .opt_map import bdd_decompose
+                out_map = bdd_decompose(bld, out_map, stats)
             elif stage == "qm" and binary_ok:
                 out_map = qm_cones(bld, out_map, stats)
             g = _to_gategraph(bld, out_map)
