@@ -529,6 +529,51 @@ def transient(ir: AnalogIR, params, x0, states0, env, t0, dt, num_steps,
     return x, st, ok, xs
 
 
+def transient_adaptive(ir: AnalogIR, params, x0, states0, env, t0, dt0,
+                       t_stop, max_attempts, dt_min, drives=None,
+                       dtype=jnp.float64, method: str = "dense"):
+    """Adaptive transient: step-halving on Newton failure, step growth
+    back toward dt0 on success (the reference declares ``adapt_step``
+    in its TR settings but never wires it, circuit.h analyze members —
+    this is the TPU-native fixed-shape realization: one lax.scan over a
+    bounded attempt budget; finished lanes no-op).
+
+    Returns (x, states, ok, ts, xs, acc) where ts/xs/acc are the
+    per-attempt time stamps, solution snapshots and acceptance flags
+    (hosts filter accepted rows for the trace); ok means t reached
+    t_stop without the step underflowing dt_min on a failure.
+    """
+    def attempt(carry, _):
+        x, st, t, dt, failed, done = carry
+        rem = t_stop - t
+        dt_eff = jnp.minimum(dt, jnp.maximum(rem, dt_min))
+        t_new = t + dt_eff
+        st2 = step_update_all(ir, params, x, st, dt_eff, t_new)
+        ctx = StampCtx(mode="tr", t=t_new, dt=dt_eff, env=env)
+        x_new, st3, ok = newton_solve(ir, params, x, st2, ctx, drives,
+                                      dtype, method=method)
+        accept = ok & ~done
+        x2 = jnp.where(accept, x_new, x)
+        st4 = jax.tree.map(lambda a, b: jnp.where(accept, a, b),
+                           st3, st)
+        t2 = jnp.where(accept, t_new, t)
+        # halve on a rejected attempt, grow toward dt0 on success
+        dt2 = jnp.where(done, dt,
+                        jnp.where(accept,
+                                  jnp.minimum(dt * 2.0, dt0),
+                                  dt * 0.5))
+        failed2 = failed | (~ok & ~done & (dt * 0.5 < dt_min))
+        done2 = done | (t2 >= t_stop * (1.0 - 1e-12)) | failed2
+        return ((x2, st4, t2, dt2, failed2, done2),
+                (t2, x2, accept))
+
+    init = (x0, states0, jnp.asarray(t0, dtype),
+            jnp.asarray(dt0, dtype), jnp.bool_(False), jnp.bool_(False))
+    (x, st, t, dt, failed, done), (ts, xs, acc) = jax.lax.scan(
+        attempt, init, None, length=max_attempts)
+    return x, st, done & ~failed, ts, xs, acc
+
+
 # ---------------------------------------------------------------------------
 # AC small-signal sweep: batched complex solve over the omega grid.
 #

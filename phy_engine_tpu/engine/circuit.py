@@ -62,6 +62,11 @@ class ACSettings:
 class TRSettings:
     t_stop: float = 1e-3
     t_step: float = 1e-6
+    # adaptive stepping (the reference's unwired adapt_step, realized
+    # as bounded step-halving): t_step is the max/initial step
+    adaptive: bool = False
+    dt_min: float = 0.0              # 0 -> t_step / 1024
+    max_attempts: int = 0            # 0 -> 4x the fixed-step count
 
 
 class Circuit:
@@ -235,6 +240,8 @@ class Circuit:
         print(line, file=sys.stderr)
 
     def _analyze_tr(self) -> bool:
+        if self.tr.adaptive:
+            return self._analyze_tr_adaptive()
         ir = self._ir
         params = self._params()
         dt = self.tr.t_step
@@ -258,6 +265,32 @@ class Circuit:
             self.tr_history = np.asarray(xs)
             self.tr_times = self.tr_duration + dt * np.arange(1, num_steps + 1)
             self.tr_duration += num_steps * dt
+            self._writeback(np.asarray(x))
+        return ok
+
+    def _analyze_tr_adaptive(self) -> bool:
+        """Step-halving transient: t_step is the max step; failed
+        Newton solves retry at dt/2 down to dt_min."""
+        ir = self._ir
+        params = self._params()
+        dt0 = self.tr.t_step
+        n_fixed = max(1, int(round(self.tr.t_stop / dt0)))
+        max_attempts = self.tr.max_attempts or 4 * n_fixed
+        dt_min = self.tr.dt_min or dt0 / 1024.0
+        x, st, ok, ts, xs, acc = _jit_transient_adaptive(
+            ir, self.dtype, max_attempts, self._method())(
+            params, self._x, self._states, self._env_scalars(),
+            jnp.asarray(self.tr_duration, self.dtype),
+            jnp.asarray(dt0, self.dtype),
+            jnp.asarray(self.tr_duration + self.tr.t_stop, self.dtype),
+            jnp.asarray(dt_min, self.dtype), self._drives)
+        ok = bool(ok)
+        if ok:
+            keep = np.asarray(acc)
+            self._x, self._states = x, st
+            self.tr_history = np.asarray(xs)[keep]
+            self.tr_times = np.asarray(ts)[keep]
+            self.tr_duration += self.tr.t_stop
             self._writeback(np.asarray(x))
         return ok
 
@@ -465,6 +498,19 @@ def _jit_newton(ir: AnalogIR, dtype, mode: str, method: str = "dense"):
                                        drives, dtype, method=method)
         _NEWTON_CACHE[key] = jax.jit(run)
     return _NEWTON_CACHE[key]
+
+
+def _jit_transient_adaptive(ir: AnalogIR, dtype, max_attempts: int,
+                            method: str = "dense"):
+    key = ("adapt", id(ir), dtype, max_attempts, method)
+    if key not in _TRANS_CACHE:
+        def run(params, x0, states, env, t0, dt0, t_stop, dt_min,
+                drives):
+            return analog.transient_adaptive(
+                ir, params, x0, states, env, t0, dt0, t_stop,
+                max_attempts, dt_min, drives, dtype, method=method)
+        _TRANS_CACHE[key] = jax.jit(run)
+    return _TRANS_CACHE[key]
 
 
 def _jit_transient(ir: AnalogIR, dtype, num_steps: int,

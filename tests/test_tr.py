@@ -124,3 +124,83 @@ def test_trop_capacitor_open():
     assert c.analyze()
     # at OP the cap is open: no current, V_out = V; TR then holds steady
     assert np.isclose(c.node_voltage(n_out).real, V, atol=1e-6)
+
+
+def test_tr_adaptive_rc_matches_analytic():
+    """Adaptive stepping (the reference's unwired adapt_step): an RC
+    charge ends at the analytic value with monotone accepted times."""
+    import numpy as np
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import RESISTANCE, CAPACITOR, VDC
+    from phy_engine_tpu.engine.circuit import AnalyzeType
+
+    c = pe.Circuit()
+    nl = c.nl
+    v = netops.add_model(nl, VDC, {"V": 1.0})
+    r = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+    cap = netops.add_model(nl, CAPACITOR, {"C": 1e-6})
+    top = netops.create_node(nl)
+    mid = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, top)
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    netops.add_to_node(nl, r, 0, top)
+    netops.add_to_node(nl, r, 1, mid)
+    netops.add_to_node(nl, cap, 0, mid)
+    netops.add_to_node(nl, cap, 1, nl.ground_node)
+    c.set_analyze_type(AnalyzeType.TR)
+    tau = 1e-3
+    c.tr.t_step = tau / 50
+    c.tr.t_stop = tau
+    c.tr.adaptive = True
+    assert c.analyze()
+    vm = c.node_voltage(mid).real
+    assert np.isclose(vm, 1.0 - np.exp(-1.0), rtol=0.05)
+    ts = np.asarray(c.tr_times)
+    assert len(ts) >= 40
+    assert np.all(np.diff(ts) > 0)
+    assert np.isclose(ts[-1], tau, rtol=1e-6)
+
+
+def test_tr_adaptive_nonlinear_diode():
+    """Adaptive TR through a rectifier stays converged and lands on
+    the same endpoint as a fine fixed-step run."""
+    import numpy as np
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import (RESISTANCE, CAPACITOR, VAC,
+                                       PN_JUNCTION)
+    from phy_engine_tpu.engine.circuit import AnalyzeType
+
+    def build():
+        c = pe.Circuit()
+        nl = c.nl
+        src = netops.add_model(nl, VAC, {"Vp": 5.0, "freq": 1e3})
+        d = netops.add_model(nl, PN_JUNCTION, {"Is": 1e-14, "N": 1.0})
+        r = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+        cap = netops.add_model(nl, CAPACITOR, {"C": 1e-6})
+        nin = netops.create_node(nl)
+        nout = netops.create_node(nl)
+        netops.add_to_node(nl, src, 0, nin)
+        netops.add_to_node(nl, src, 1, nl.ground_node)
+        netops.add_to_node(nl, d, 0, nin)
+        netops.add_to_node(nl, d, 1, nout)
+        netops.add_to_node(nl, r, 0, nout)
+        netops.add_to_node(nl, r, 1, nl.ground_node)
+        netops.add_to_node(nl, cap, 0, nout)
+        netops.add_to_node(nl, cap, 1, nl.ground_node)
+        c.set_analyze_type(AnalyzeType.TR)
+        return c, nout
+
+    c1, n1 = build()
+    c1.tr.t_step = 5e-5
+    c1.tr.t_stop = 1e-3
+    c1.tr.adaptive = True
+    assert c1.analyze()
+
+    c2, n2 = build()
+    c2.tr.t_step = 1e-5
+    c2.tr.t_stop = 1e-3
+    assert c2.analyze()
+    assert np.isclose(c1.node_voltage(n1).real,
+                      c2.node_voltage(n2).real, atol=0.15)
