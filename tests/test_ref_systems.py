@@ -17,6 +17,8 @@ import pytest
 from conformance import run_case
 
 _CASES = [
+    ("/root/reference/test/0017.tetris/tetris.v", "tetris_top", 24),
+    ("/root/reference/test/0031.tetris6x6/tetris6x6.v", "tetris6x6", 24),
     ("/root/reference/test/0030.snake6x6/snake6x6.v", "snake6x6", 24),
     ("/root/reference/test/0032.go/go9x9_lite.v", None, 16),
     ("/root/reference/test/0032.go/go9x9.v", None, 16),
