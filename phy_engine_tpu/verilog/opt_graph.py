@@ -690,6 +690,71 @@ def _to_gategraph(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
     return g
 
 
+def _stash_fsm(nl, bld) -> None:
+    """Copy FSM reachable-state tags (synth._tag_fsm_bit) onto the
+    builder, dropping tags whose net is no longer solely driven by the
+    tagged FF (multi-driver nets carry resolved values the reachable
+    set says nothing about)."""
+    bits = getattr(nl, "_fsm_bits", None)
+    bld.fsm_bits = {}
+    bld.fsm_states = {}
+    if not bits:
+        return
+    from .optimize import _drivers
+    for key, (net, ff, group, bit, inv) in bits.items():
+        drv = _drivers(net)
+        if len(drv) == 1 and drv[0].model is ff:
+            bld.fsm_bits[key] = (group, bit, inv)
+    bld.fsm_states = dict(getattr(nl, "_fsm_states", {}))
+
+
+def _fsm_dc_words(bld, leaves: List[int]):
+    """Packed don't-care minterms for a cone from FSM reachable-state
+    tags: a minterm is DC when, for some tagged register group with
+    >=2 bits among the cone leaves, no reachable state value is
+    consistent with the bit values the minterm assigns (pe_synth.h
+    DC-mining tier's one-hot FSM inference role, generalized to any
+    constant-coded state register).  Returns uint64 words or None."""
+    import numpy as np
+    tags = getattr(bld, "fsm_bits", None)
+    if not tags or not getattr(bld, "use_fsm_dc", True):
+        return None
+    groups: Dict[str, List[Tuple[int, int, int]]] = {}
+    for k, li in enumerate(leaves):
+        net = bld.nodes[li].net
+        if net is None:
+            continue
+        t = tags.get(id(net))
+        if t is not None:
+            groups.setdefault(t[0], []).append((k, t[1], t[2]))
+    nsup = len(leaves)
+    if nsup > 20:
+        return None
+    npat = 1 << nsup
+    m = np.arange(npat, dtype=np.uint64)
+    dc = None
+    for gid, mem in groups.items():
+        if len(mem) < 2:
+            continue
+        states = bld.fsm_states.get(gid)
+        if not states:
+            continue
+        allowed = np.zeros(npat, bool)
+        for v in states:
+            okm = np.ones(npat, bool)
+            for (k, b, inv) in mem:
+                bitval = ((v >> b) & 1) ^ inv
+                okm &= (((m >> np.uint64(k)) & np.uint64(1)) ==
+                        np.uint64(bitval))
+            allowed |= okm
+        dc = ~allowed if dc is None else (dc | ~allowed)
+    if dc is None or not dc.any():
+        return None
+    buf = np.zeros(((npat + 63) // 64) * 64, np.uint8)
+    buf[:npat] = dc.astype(np.uint8)
+    return np.packbits(buf, bitorder="little").view(np.uint64)
+
+
 def optimize_o2(nl, protected_ids: Set[int], stats,
                 binary_ok: bool = False, rounds: int = 4,
                 tt_passes: bool = False) -> bool:
@@ -703,6 +768,7 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
     before = g0.gate_count()
 
     bld = _Builder(binary_ok)
+    _stash_fsm(nl, bld)
     mp = _normalize(g0, bld)
     out_map = {k: (net, mp[idx]) for k, (net, idx) in g0.outputs.items()}
 
@@ -1176,28 +1242,40 @@ def qm_cones(bld: _Builder, out_map: Dict[int, Tuple[object, int]],
         tt, npat = _cone_tt(bld, idx, leaves)
         bits = np.unpackbits(
             tt.view(np.uint8), bitorder="little")[:npat]
-        minterms = [m for m in range(npat) if bits[m]]
+        # FSM reachable-state don't-cares over this cone's leaves
+        fdc = _fsm_dc_words(bld, leaves)
+        if fdc is not None:
+            dcb = np.unpackbits(fdc.view(np.uint8),
+                                bitorder="little")[:npat].astype(bool)
+            stats.dc_minterms += int(dcb.sum())
+        else:
+            dcb = np.zeros(npat, bool)
+        dmt = [int(x) for x in np.nonzero(dcb)[0]]
+        minterms = [m for m in range(npat) if bits[m] and not dcb[m]]
+        off_mt_all = [m for m in range(npat)
+                      if not bits[m] and not dcb[m]]
         variants = []
-        if 0 < len(minterms) < npat:
+        if minterms and off_mt_all:
             if nsup <= exact_support:
-                # exact: QM prime implicants + cover
-                on = _qm_cover(minterms, _qm_primes(minterms, nsup),
-                               nsup)
+                # exact: QM primes over ON+DC, cover the ON-set only
+                on = _qm_cover(minterms,
+                               _qm_primes(minterms + dmt, nsup), nsup)
                 variants.append((on, False))
-                off_mt = [m for m in range(npat) if not bits[m]]
-                off = _qm_cover(off_mt, _qm_primes(off_mt, nsup), nsup)
+                off = _qm_cover(off_mt_all,
+                                _qm_primes(off_mt_all + dmt, nsup),
+                                nsup)
                 variants.append((off, True))
             else:
                 # heuristic: espresso EXPAND/IRREDUNDANT on both phases
                 ones_mask = np.uint64((1 << npat) - 1) if npat < 64 \
                     else ~np.uint64(0)
-                on = espresso_cover(tt, nsup)
+                on = espresso_cover(tt, nsup, dc_words=fdc)
                 if on is not None:
                     variants.append((on, False))
-                off = espresso_cover(~np.asarray(tt, np.uint64)
-                                     & ones_mask if tt.size == 1
-                                     else ~np.asarray(tt, np.uint64),
-                                     nsup)
+                off_words = (~np.asarray(tt, np.uint64) & ones_mask
+                             if tt.size == 1
+                             else ~np.asarray(tt, np.uint64))
+                off = espresso_cover(off_words, nsup, dc_words=fdc)
                 if off is not None:
                     variants.append((off, True))
                 if variants:
@@ -1419,6 +1497,12 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
             break
         tried += 1
         bld = _Builder(binary_ok)
+        _stash_fsm(nl, bld)
+        # opt-verify checks full binary-domain equivalence; FSM-DC
+        # rewrites legitimately differ on unreachable states, so the
+        # DC tier is disabled under verify (the candidates would only
+        # be rejected after the work was spent)
+        bld.use_fsm_dc = not verify
         mp = _normalize(g0, bld)
         out_map = {k: (net, mp[idx])
                    for k, (net, idx) in g0.outputs.items()}

@@ -620,6 +620,11 @@ def sop_rewrite(bld, out_map, stats, min_vars: int = 4,
                            pattmap, set(leaves))
             if odc is not None:
                 dc = dc | (odc & ones)
+        if dc_mine:
+            from .opt_graph import _fsm_dc_words
+            fdc = _fsm_dc_words(bld, leaves)
+            if fdc is not None:
+                dc = dc | (np.asarray(fdc, np.uint64) & ones)
         on = on & ~dc
         if int(dc.sum()):
             stats.dc_minterms += int(np.unpackbits(

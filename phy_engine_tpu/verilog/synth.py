@@ -1434,6 +1434,95 @@ def _synth_comb_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
                 ctx.buf(b, ctx.as_node(n))
 
 
+def _collect_const_assigns(bs: BitSynth, roots) -> Optional[Dict]:
+    """name -> set of constant values ever assigned to it in the block
+    (None entry = some RHS is non-constant).  Self-assignment
+    (``state <= state``) counts as a hold, not a value.  Returns None
+    when the whole block defeats the analysis (task calls can assign by
+    side effect).  Feeds the FSM reachable-state DC inference
+    (pe_synth.h DC-mining tier's one-hot FSM role, generalized to any
+    constant-coded state register)."""
+    vals: Dict[str, Optional[set]] = {}
+    bad = False
+
+    def lhs_ids(e, out):
+        if isinstance(e, tuple):
+            if e[0] == "id":
+                out.append(e[1])
+            for x in e[1:]:
+                lhs_ids(x, out)
+        elif isinstance(e, list):
+            for x in e:
+                lhs_ids(x, out)
+
+    def note(lhs, rhs):
+        if isinstance(lhs, tuple) and lhs[0] == "id":
+            name = lhs[1]
+            if vals.get(name, ()) is None:
+                return
+            if isinstance(rhs, tuple) and rhs[0] == "id" \
+                    and rhs[1] == name:
+                return                    # explicit hold
+            v = bs.try_const(rhs)
+            if v is None or any(v.bit(i) >= 2 for i in range(v.width)):
+                vals[name] = None
+                return
+            vals.setdefault(name, set()).add(v.to_int())
+        else:
+            out: List[str] = []
+            lhs_ids(lhs, out)
+            for nm in out:
+                vals[nm] = None
+
+    def walk(st):
+        nonlocal bad
+        if st is None or not isinstance(st, tuple) or bad:
+            return
+        op = st[0]
+        if op in ("blocking", "nonblocking"):
+            note(st[1], st[2])
+        elif op == "block":
+            for s in st[1]:
+                walk(s)
+        elif op == "if":
+            walk(st[2])
+            walk(st[3])
+        elif op == "case":
+            for _pats, body in st[3]:
+                walk(body)
+            walk(st[4])
+        elif op == "while":
+            walk(st[2])
+        elif op == "do_while":
+            walk(st[1])
+        elif op == "for":
+            walk(st[1])
+            walk(st[3])
+            walk(st[4])
+        elif op == "delay":
+            walk(st[2])
+        elif op == "calltask":
+            bad = True
+
+    for r in roots:
+        walk(r)
+    return None if bad else vals
+
+
+def _tag_fsm_bit(nl, ff, net, group: str, bit: int, inv: int, states):
+    """Record that ``net`` (driven by ``ff``) carries bit ``bit`` of a
+    constant-coded state register whose reachable values are ``states``
+    (inv=1: the net holds the complement).  Consumed by the O3+ DC
+    mining (opt_graph._fsm_dc_words); process-local only — never
+    persisted."""
+    bits = getattr(nl, "_fsm_bits", None)
+    if bits is None:
+        bits = nl._fsm_bits = {}
+        nl._fsm_states = {}
+    bits[id(net)] = (net, ff, group, bit, inv)
+    nl._fsm_states[group] = list(states)
+
+
 def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
     """always @(posedge clk [or negedge rst]) -> DFF / DFF_ARSTN."""
     clk_expr = None
@@ -1504,12 +1593,35 @@ def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
         cond_net = bs.reduce_or(c)
         arst_net = ctx.as_node(ctx.g_not(cond_net))
 
+    # FSM reachable-state analysis: a register every assignment of
+    # which is a compile-time constant can only ever hold one of those
+    # constants (or its reset value); binary minterms outside that set
+    # are don't-cares for any logic cone reading >=2 of its bits.
+    fsm_sets = _collect_const_assigns(
+        bs, [reset_stmt, main_stmt] if reset_cond is not None else [body])
+
     for name, bits in targets.items():
         if name not in sigbits:
             continue
         q_nodes = sigbits[name]
         rv = reset_vals.get(name)
         rsym = reset_sym.get(name)
+        fsm_states = None
+        if (fsm_sets is not None and arst_net is not None
+                and rv is not None and rsym is None):
+            vset = fsm_sets.get(name)
+            sig = bs.inst.signals.get(name)
+            if (vset and sig is not None and not sig.array_len
+                    and 2 <= sig.width <= 24
+                    and len(q_nodes) == sig.width
+                    and all(b in (0, 1) for b in rv)):
+                w = sig.width
+                mask = (1 << w) - 1
+                S = {v & mask for v in vset}
+                S.add(sum((rv[i] if i < len(rv) else 0) << i
+                          for i in range(w)))
+                if len(S) < (1 << w):
+                    fsm_states = sorted(S)
         if rsym is not None and arst_net is not None:
             # D = reset active ? reset_expr : next  (sync load)
             bits = [ctx.g_mux(arst_net, rsym[i] if i < len(rsym) else C0,
@@ -1528,12 +1640,20 @@ def _synth_ff_block(ctx: SynthContext, bs: BitSynth, ab, sigbits):
                     qi = ctx.new_node()
                     ops.add_to_node(ctx.nl, ff, 3, qi)
                     ctx.g_not(qi, out=q_node)
+                    if fsm_states is not None:
+                        _tag_fsm_bit(ctx.nl, ff, qi,
+                                     f"fsm{id(bs.inst)}:{name}", i, 1,
+                                     fsm_states)
                 else:
                     ff = ops.add_model(ctx.nl, D_FF_ARSTN)
                     ops.add_to_node(ctx.nl, ff, 0, ctx.as_node(d_net))
                     ops.add_to_node(ctx.nl, ff, 1, clk_node)
                     ops.add_to_node(ctx.nl, ff, 2, arst_net)
                     ops.add_to_node(ctx.nl, ff, 3, q_node)
+                    if fsm_states is not None:
+                        _tag_fsm_bit(ctx.nl, ff, q_node,
+                                     f"fsm{id(bs.inst)}:{name}", i, 0,
+                                     fsm_states)
             else:
                 ff = ops.add_model(ctx.nl, D_FF)
                 ops.add_to_node(ctx.nl, ff, 0, ctx.as_node(d_net))
