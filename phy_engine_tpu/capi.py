@@ -210,3 +210,241 @@ def verilog_runtime_get_port_value(rt, i: int) -> int:
 def verilog_runtime_set_port_value(rt, i: int, value: int) -> int:
     rt.set_value(rt.ports()[i].name, value)
     return 0
+
+
+# -- PhysicsLab experiment handles (dll_api.h:318-443) -----------------------
+
+def pl_experiment_create(type_value: int):
+    from .io import plsav
+    del type_value                     # circuit scenes only (type 0)
+    return plsav.Experiment()
+
+
+def pl_experiment_load_from_string(sav_json: str):
+    import json
+    from .io import plsav
+    return plsav.Experiment.load_from_json(json.loads(sav_json))
+
+
+def pl_experiment_load_from_file(path: str):
+    from .io import plsav
+    return plsav.Experiment.load(path)
+
+
+def pl_experiment_dump(ex, indent: int) -> str:
+    import json
+    return json.dumps(ex.to_json(), ensure_ascii=False,
+                      indent=indent if indent > 0 else None)
+
+
+def pl_experiment_save(ex, path: str, indent: int) -> int:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(pl_experiment_dump(ex, indent))
+    return 0
+
+
+def pl_experiment_element_count(ex) -> int:
+    return len(ex.elements)
+
+
+def pl_experiment_add_circuit_element(ex, model_id: str, x: float,
+                                      y: float, z: float,
+                                      element_xyz_coords: int,
+                                      is_big_element: int,
+                                      participate_in_layout: int) -> str:
+    el = ex.add_element(model_id, position=(x, y, z))
+    if is_big_element:
+        el.is_big = True
+    if not participate_in_layout:
+        el.statistics["__fixed__"] = 1.0
+    return el.identifier
+
+
+def pl_experiment_connect(ex, src_id: str, src_pin: int, dst_id: str,
+                          dst_pin: int, color_value: int) -> int:
+    from .io import plsav
+    src = ex.find(src_id)
+    dst = ex.find(dst_id)
+    if src is None or dst is None:
+        raise api.PhyEngineError("unknown element identifier")
+    color = plsav.WIRE_COLORS[color_value % len(plsav.WIRE_COLORS)]
+    ex.add_wire(src, src_pin, dst, dst_pin, color)
+    return 0
+
+
+def pl_experiment_clear_wires(ex) -> int:
+    ex.wires.clear()
+    return 0
+
+
+def pl_experiment_set_xyz_precision(ex, decimals: int) -> int:
+    ex.xyz_precision = int(decimals)
+    return 0
+
+
+def pl_experiment_set_element_xyz(ex, enabled: int, ox: float,
+                                  oy: float, oz: float) -> int:
+    ex.element_xyz = {"enabled": bool(enabled),
+                      "origin": (ox, oy, oz)}
+    return 0
+
+
+def pl_experiment_set_camera(ex, vx: float, vy: float, vz: float,
+                             rx: float, ry: float, rz: float) -> int:
+    ex.camera["VisionCenter"] = f"{vx},{vy},{vz}"
+    ex.camera["TargetRotation"] = f"{rx},{ry},{rz}"
+    return 0
+
+
+def _find_el(ex, element_id: str):
+    el = ex.find(element_id)
+    if el is None:
+        raise api.PhyEngineError(f"unknown element {element_id!r}")
+    return el
+
+
+def pl_experiment_set_element_property_number(ex, element_id: str,
+                                              key: str,
+                                              value: float) -> int:
+    _find_el(ex, element_id).properties[key] = float(value)
+    return 0
+
+
+def pl_experiment_set_element_label(ex, element_id: str,
+                                    label: str) -> int:
+    _find_el(ex, element_id).statistics["__label__"] = label
+    return 0
+
+
+def pl_experiment_set_element_position(ex, element_id: str, x: float,
+                                       y: float, z: float,
+                                       element_xyz_coords: int) -> int:
+    del element_xyz_coords
+    _find_el(ex, element_id).position = (x, y, z)
+    return 0
+
+
+def pl_experiment_merge(dst, src, ox: float, oy: float,
+                        oz: float) -> int:
+    for el in src.elements:
+        x, y, z = el.position
+        el.position = (x + ox, y + oy, z + oz)
+    dst.merge(src)
+    return 0
+
+
+def pl_experiment_auto_layout(ex, c0x: float, c0y: float, c0z: float,
+                              c1x: float, c1y: float, c1z: float,
+                              z_fixed: float, backend_value: int,
+                              mode_value: int, step_x: float,
+                              step_y: float, margin_x: float,
+                              margin_y: float):
+    """[grid_w, grid_h, fixed_obstacles, placed, skipped] — the out
+    params of dll_api.h pl_experiment_auto_layout.  backend_value is
+    accepted for signature parity (one backend here)."""
+    del backend_value, z_fixed, margin_x, margin_y
+    from .io import layout
+    origin = (min(c0x, c1x), min(c0y, c1y))
+    spacing = max(step_x, step_y) or 0.16
+    if mode_value >= 1:
+        st = layout.auto_layout_quality(ex, spacing=spacing,
+                                        origin=origin)
+    else:
+        st = layout.auto_layout(ex, spacing=spacing, origin=origin)
+    placed = st.placed
+    return [st.columns, st.rows, 0, placed,
+            max(0, len(ex.elements) - placed)]
+
+
+# -- PhysicsLab -> PE simulation handle (pe_sim.h role) ----------------------
+
+class _PLPeCircuit:
+    """Scene-simulation handle pairing an api.Circuit with the scene
+    it was built from (pl_pe_circuit_* family)."""
+
+    def __init__(self, ex):
+        from .io import plsav
+        self.circuit, self.indices = plsav.experiment_to_circuit(ex)
+        self.experiment = ex
+
+
+def pl_pe_circuit_build(ex):
+    return _PLPeCircuit(ex)
+
+
+def pl_pe_circuit_comp_size(h) -> int:
+    return h.circuit.component_count
+
+
+def pl_pe_circuit_set_analyze_type(h, at: int) -> int:
+    h.circuit.set_analyze_type(at)
+    return 0
+
+
+def pl_pe_circuit_set_tr(h, t_step: float, t_stop: float) -> int:
+    h.circuit.set_tr(t_step, t_stop)
+    return 0
+
+
+def pl_pe_circuit_set_ac_omega(h, omega: float) -> int:
+    h.circuit.set_ac_omega(omega)
+    return 0
+
+
+def pl_pe_circuit_analyze(h) -> int:
+    h.circuit.analyze()
+    return 0
+
+
+def pl_pe_circuit_digital_clk(h) -> int:
+    h.circuit.digital_clk()
+    return 0
+
+
+def pl_pe_circuit_sync_inputs_from_pl(h, ex=None) -> int:
+    from .io import plsav
+    plsav.sync_inputs(ex if ex is not None else h.experiment,
+                      h.circuit)
+    return 0
+
+
+def pl_pe_circuit_write_back_to_pl(h, ex=None) -> int:
+    from .io import plsav
+    plsav.write_back(ex if ex is not None else h.experiment, h.circuit)
+    return 0
+
+
+def pl_pe_circuit_write_back_to_pl_ex(h, ex, lo: float, hi: float,
+                                      x: float, z: float) -> int:
+    from .io import plsav
+    plsav.write_back(ex if ex is not None else h.experiment, h.circuit,
+                     out_l=lo, out_h=hi, out_x=x, out_z=z)
+    return 0
+
+
+def pl_pe_circuit_sample_layout(h):
+    return circuit_sample_layout(h.circuit)
+
+
+def pl_pe_circuit_sample_u8(h):
+    return circuit_sample_u8(h.circuit)
+
+
+# -- PE -> PhysicsLab export (pe_to_pl.h role) -------------------------------
+
+def pe_to_pl_convert(c, fixed_x: float, fixed_y: float, fixed_z: float,
+                     element_xyz_coords: int, keep_pl_macros: int,
+                     include_linear: int, include_ground: int,
+                     generate_wires: int,
+                     keep_unknown_as_placeholders: int,
+                     drop_dangling_logic_inputs: int):
+    """api.Circuit handle -> Experiment handle (pe_to_pl_convert)."""
+    del (fixed_x, fixed_y, fixed_z, element_xyz_coords, keep_pl_macros,
+         keep_unknown_as_placeholders, drop_dangling_logic_inputs)
+    from .io import plsav
+    opt = plsav.ExportOptions(include_linear=bool(include_linear),
+                              include_ground=bool(include_ground))
+    ex = plsav.circuit_to_experiment(c._core.nl, opt)
+    if not generate_wires:
+        ex.wires.clear()
+    return ex

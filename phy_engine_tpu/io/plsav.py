@@ -361,10 +361,15 @@ def sync_inputs(ex: Experiment, circuit: Circuit):
 
 
 def write_back(ex: Experiment, circuit: Circuit, hi: float = 3.0,
-               lo: float = 0.0):
+               lo: float = 0.0, out_l: float = 0.0, out_h: float = 1.0,
+               out_x: float = 0.5, out_z: float = 0.5):
     """Write solved voltages / logic states into the scene
-    (pe_sim.h:568: L/H/X/Z -> float mapping into Statistics)."""
+    (pe_sim.h:568: the out_l/out_h/out_x/out_z floats are the
+    write_back_options L/H/X/Z mapping of dll_api.h
+    pl_pe_circuit_write_back_to_pl_ex)."""
+    del hi, lo
     sample = circuit.sample()
+    state_map = {0: out_l, 1: out_h, 2: out_x, 3: out_z}
     comp = 0
     for el in ex.elements:
         code = PL_TO_CODE.get(el.model_id)
@@ -377,7 +382,7 @@ def write_back(ex: Experiment, circuit: Circuit, hi: float = 3.0,
             el.statistics["电流"] = cs.branch_currents[0]
         if code == ElementCode.DIGITAL_OUTPUT and cs.digital_states:
             st = cs.digital_states[0]
-            el.properties["状态"] = {0: 0.0, 1: 1.0}.get(st, 0.5)
+            el.properties["状态"] = state_map.get(st, out_x)
         comp += 1
 
 

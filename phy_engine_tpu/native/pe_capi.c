@@ -466,3 +466,319 @@ int verilog_runtime_set_port_value(void* rt, size_t i,
                                    unsigned char state) {
     return call_int("verilog_runtime_set_port_value", "(Onb)", (PyObject*)rt, (Py_ssize_t)i, state);
 }
+
+/* -- PhysicsLab experiment handles (dll_api.h:318-443) -------------------- */
+
+static void* call_handle(const char* fn, const char* fmt, ...) {
+    PyGILState_STATE g = PyGILState_Ensure();
+    va_list ap;
+    va_start(ap, fmt);
+    PyObject* args = Py_VaBuildValue(fmt, ap);
+    va_end(ap);
+    PyObject* r = call(fn, args);
+    PyGILState_Release(g);
+    return (void*)r;                      /* strong reference or NULL */
+}
+
+static char* call_strdup(const char* fn, const char* fmt, ...) {
+    PyGILState_STATE g = PyGILState_Ensure();
+    va_list ap;
+    va_start(ap, fmt);
+    PyObject* args = Py_VaBuildValue(fmt, ap);
+    va_end(ap);
+    PyObject* r = call(fn, args);
+    char* out = NULL;
+    if (r != NULL) {
+        const char* s = PyUnicode_AsUTF8(r);
+        if (s != NULL) { out = strdup(s); }
+        Py_DECREF(r);
+    }
+    PyGILState_Release(g);
+    return out;                           /* phy_engine_string_free() */
+}
+
+static void handle_destroy(void* h) {
+    if (h != NULL) {
+        PyGILState_STATE g = PyGILState_Ensure();
+        Py_DECREF((PyObject*)h);
+        PyGILState_Release(g);
+    }
+}
+
+void* pl_experiment_create(int type_value) {
+    return call_handle("pl_experiment_create", "(i)", type_value);
+}
+
+void* pl_experiment_load_from_string(char const* sav_json,
+                                     size_t sav_json_size) {
+    return call_handle("pl_experiment_load_from_string", "(s#)",
+                       sav_json, (Py_ssize_t)sav_json_size);
+}
+
+void* pl_experiment_load_from_file(char const* path,
+                                   size_t path_size) {
+    return call_handle("pl_experiment_load_from_file", "(s#)", path,
+                       (Py_ssize_t)path_size);
+}
+
+void pl_experiment_destroy(void* ex) { handle_destroy(ex); }
+
+char* pl_experiment_dump(void* ex, int indent) {
+    return call_strdup("pl_experiment_dump", "(Oi)", (PyObject*)ex,
+                       indent);
+}
+
+int pl_experiment_save(void* ex, char const* path, size_t path_size,
+                       int indent) {
+    return call_int("pl_experiment_save", "(Os#i)", (PyObject*)ex,
+                    path, (Py_ssize_t)path_size, indent);
+}
+
+char* pl_experiment_add_circuit_element(void* ex, char const* model_id,
+                                        size_t model_id_size, double x,
+                                        double y, double z,
+                                        unsigned char element_xyz,
+                                        unsigned char is_big,
+                                        unsigned char in_layout) {
+    return call_strdup("pl_experiment_add_circuit_element",
+                       "(Os#dddiii)", (PyObject*)ex, model_id,
+                       (Py_ssize_t)model_id_size, x, y, z,
+                       (int)element_xyz, (int)is_big, (int)in_layout);
+}
+
+int pl_experiment_connect(void* ex, char const* src_id,
+                          size_t src_id_size, int src_pin,
+                          char const* dst_id, size_t dst_id_size,
+                          int dst_pin, int color_value) {
+    return call_int("pl_experiment_connect", "(Os#is#ii)",
+                    (PyObject*)ex, src_id, (Py_ssize_t)src_id_size,
+                    src_pin, dst_id, (Py_ssize_t)dst_id_size, dst_pin,
+                    color_value);
+}
+
+int pl_experiment_clear_wires(void* ex) {
+    return call_int("pl_experiment_clear_wires", "(O)", (PyObject*)ex);
+}
+
+size_t pl_experiment_element_count(void* ex) {
+    int n = call_int("pl_experiment_element_count", "(O)",
+                     (PyObject*)ex);
+    return n < 0 ? 0 : (size_t)n;
+}
+
+int pl_experiment_set_xyz_precision(void* ex, int decimals) {
+    return call_int("pl_experiment_set_xyz_precision", "(Oi)",
+                    (PyObject*)ex, decimals);
+}
+
+int pl_experiment_set_element_xyz(void* ex, unsigned char enabled,
+                                  double ox, double oy, double oz) {
+    return call_int("pl_experiment_set_element_xyz", "(Oiddd)",
+                    (PyObject*)ex, (int)enabled, ox, oy, oz);
+}
+
+int pl_experiment_set_camera(void* ex, double vx, double vy, double vz,
+                             double rx, double ry, double rz) {
+    return call_int("pl_experiment_set_camera", "(Odddddd)",
+                    (PyObject*)ex, vx, vy, vz, rx, ry, rz);
+}
+
+int pl_experiment_set_element_property_number(
+    void* ex, char const* element_id, size_t element_id_size,
+    char const* key, size_t key_size, double value) {
+    return call_int("pl_experiment_set_element_property_number",
+                    "(Os#s#d)", (PyObject*)ex, element_id,
+                    (Py_ssize_t)element_id_size, key,
+                    (Py_ssize_t)key_size, value);
+}
+
+int pl_experiment_set_element_label(void* ex, char const* element_id,
+                                    size_t element_id_size,
+                                    char const* label,
+                                    size_t label_size) {
+    return call_int("pl_experiment_set_element_label", "(Os#s#)",
+                    (PyObject*)ex, element_id,
+                    (Py_ssize_t)element_id_size, label,
+                    (Py_ssize_t)label_size);
+}
+
+int pl_experiment_set_element_position(void* ex,
+                                       char const* element_id,
+                                       size_t element_id_size,
+                                       double x, double y, double z,
+                                       unsigned char coords) {
+    return call_int("pl_experiment_set_element_position", "(Os#dddi)",
+                    (PyObject*)ex, element_id,
+                    (Py_ssize_t)element_id_size, x, y, z, (int)coords);
+}
+
+int pl_experiment_merge(void* dst, void* src, double ox, double oy,
+                        double oz) {
+    return call_int("pl_experiment_merge", "(OOddd)", (PyObject*)dst,
+                    (PyObject*)src, ox, oy, oz);
+}
+
+int pl_experiment_auto_layout(void* ex, double c0x, double c0y,
+                              double c0z, double c1x, double c1y,
+                              double c1z, double z_fixed,
+                              int backend_value, int mode_value,
+                              double step_x, double step_y,
+                              double margin_x, double margin_y,
+                              size_t* out_grid_w, size_t* out_grid_h,
+                              size_t* out_fixed_obstacles,
+                              size_t* out_placed,
+                              size_t* out_skipped) {
+    PyGILState_STATE g = PyGILState_Ensure();
+    PyObject* r = call("pl_experiment_auto_layout", Py_BuildValue(
+        "(Odddddddiidddd)", (PyObject*)ex, c0x, c0y, c0z, c1x, c1y,
+        c1z, z_fixed, backend_value, mode_value, step_x, step_y,
+        margin_x, margin_y));
+    int rc = -1;
+    if (r != NULL && PyList_Check(r) && PyList_Size(r) == 5) {
+        size_t* outs[5] = {out_grid_w, out_grid_h,
+                           out_fixed_obstacles, out_placed,
+                           out_skipped};
+        for (int i = 0; i < 5; ++i) {
+            if (outs[i] != NULL) {
+                outs[i][0] = PyLong_AsSize_t(PyList_GET_ITEM(r, i));
+            }
+        }
+        rc = 0;
+    }
+    Py_XDECREF(r);
+    PyGILState_Release(g);
+    return rc;
+}
+
+/* -- PhysicsLab -> PE simulation handle ----------------------------------- */
+
+void* pl_pe_circuit_build(void* ex) {
+    return call_handle("pl_pe_circuit_build", "(O)", (PyObject*)ex);
+}
+
+void pl_pe_circuit_destroy(void* h) { handle_destroy(h); }
+
+size_t pl_pe_circuit_comp_size(void* h) {
+    int n = call_int("pl_pe_circuit_comp_size", "(O)", (PyObject*)h);
+    return n < 0 ? 0 : (size_t)n;
+}
+
+int pl_pe_circuit_set_analyze_type(void* h, unsigned at) {
+    return call_int("pl_pe_circuit_set_analyze_type", "(OI)",
+                    (PyObject*)h, at);
+}
+
+int pl_pe_circuit_set_tr(void* h, double t_step, double t_stop) {
+    return call_int("pl_pe_circuit_set_tr", "(Odd)", (PyObject*)h,
+                    t_step, t_stop);
+}
+
+int pl_pe_circuit_set_ac_omega(void* h, double omega) {
+    return call_int("pl_pe_circuit_set_ac_omega", "(Od)", (PyObject*)h,
+                    omega);
+}
+
+int pl_pe_circuit_analyze(void* h) {
+    return call_int("pl_pe_circuit_analyze", "(O)", (PyObject*)h);
+}
+
+int pl_pe_circuit_digital_clk(void* h) {
+    return call_int("pl_pe_circuit_digital_clk", "(O)", (PyObject*)h);
+}
+
+int pl_pe_circuit_sync_inputs_from_pl(void* h, void* ex) {
+    return call_int("pl_pe_circuit_sync_inputs_from_pl", "(OO)",
+                    (PyObject*)h, (PyObject*)ex);
+}
+
+int pl_pe_circuit_write_back_to_pl(void* h, void* ex) {
+    return call_int("pl_pe_circuit_write_back_to_pl", "(OO)",
+                    (PyObject*)h, (PyObject*)ex);
+}
+
+int pl_pe_circuit_write_back_to_pl_ex(void* h, void* ex, double lo,
+                                      double hi, double x, double z) {
+    return call_int("pl_pe_circuit_write_back_to_pl_ex", "(OOdddd)",
+                    (PyObject*)h, (PyObject*)ex, lo, hi, x, z);
+}
+
+static PyObject* plpe_circuit_attr(void* h) {
+    /* borrowed handle -> new ref to its .circuit for sample reuse */
+    return PyObject_GetAttrString((PyObject*)h, "circuit");
+}
+
+int pl_pe_circuit_sample_layout(void* h, size_t* voltage_ord,
+                                size_t* current_ord,
+                                size_t* digital_ord) {
+    PyGILState_STATE g = PyGILState_Ensure();
+    size_t n = 0;
+    PyObject* c = plpe_circuit_attr(h);
+    int rc = -1;
+    if (c != NULL) {
+        PyObject* cc = PyObject_GetAttrString(c, "component_count");
+        n = cc ? (size_t)PyLong_AsSize_t(cc) : 0;
+        Py_XDECREF(cc);
+        rc = circuit_sample_layout((void*)c, NULL, NULL, n,
+                                   voltage_ord, current_ord,
+                                   digital_ord);
+        Py_DECREF(c);
+    } else { set_err_from_py(); }
+    PyGILState_Release(g);
+    return rc;
+}
+
+static int plpe_sample(void* h, double* voltage, size_t* voltage_ord,
+                       double* current, size_t* current_ord,
+                       unsigned char* digital, size_t* digital_ord,
+                       int four_state) {
+    PyGILState_STATE g = PyGILState_Ensure();
+    PyObject* c = plpe_circuit_attr(h);
+    int rc = -1;
+    if (c != NULL) {
+        rc = four_state
+            ? circuit_sample_digital_state_u8((void*)c, NULL, NULL, 0,
+                                              voltage, voltage_ord,
+                                              current, current_ord,
+                                              digital, digital_ord)
+            : circuit_sample_u8((void*)c, NULL, NULL, 0, voltage,
+                                voltage_ord, current, current_ord,
+                                digital, digital_ord);
+        Py_DECREF(c);
+    } else { set_err_from_py(); }
+    PyGILState_Release(g);
+    return rc;
+}
+
+int pl_pe_circuit_sample_u8(void* h, double* voltage,
+                            size_t* voltage_ord, double* current,
+                            size_t* current_ord, unsigned char* digital,
+                            size_t* digital_ord) {
+    return plpe_sample(h, voltage, voltage_ord, current, current_ord,
+                       digital, digital_ord, 0);
+}
+
+int pl_pe_circuit_sample_digital_state_u8(
+    void* h, double* voltage, size_t* voltage_ord, double* current,
+    size_t* current_ord, unsigned char* digital, size_t* digital_ord) {
+    return plpe_sample(h, voltage, voltage_ord, current, current_ord,
+                       digital, digital_ord, 1);
+}
+
+/* -- PE -> PhysicsLab export ---------------------------------------------- */
+
+void* pe_to_pl_convert(void* circuit, double fixed_x, double fixed_y,
+                       double fixed_z, unsigned char element_xyz,
+                       unsigned char keep_pl_macros,
+                       unsigned char include_linear,
+                       unsigned char include_ground,
+                       unsigned char generate_wires,
+                       unsigned char keep_unknown_placeholders,
+                       unsigned char drop_dangling_logic_inputs) {
+    return call_handle("pe_to_pl_convert", "(Odddiiiiiii)",
+                       (PyObject*)circuit, fixed_x, fixed_y, fixed_z,
+                       (int)element_xyz, (int)keep_pl_macros,
+                       (int)include_linear, (int)include_ground,
+                       (int)generate_wires,
+                       (int)keep_unknown_placeholders,
+                       (int)drop_dangling_logic_inputs);
+}

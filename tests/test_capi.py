@@ -193,3 +193,145 @@ endmodule
     # q after 5 increments
     assert lib.verilog_runtime_get_port_value(rt, names["q"]) == 5
     lib.verilog_runtime_destroy(rt)
+
+
+def _bind_pl(lib):
+    szp = ctypes.POINTER(ctypes.c_size_t)
+    lib.pl_experiment_create.argtypes = [ctypes.c_int]
+    lib.pl_experiment_create.restype = ctypes.c_void_p
+    lib.pl_experiment_load_from_file.argtypes = [ctypes.c_char_p,
+                                                 ctypes.c_size_t]
+    lib.pl_experiment_load_from_file.restype = ctypes.c_void_p
+    lib.pl_experiment_destroy.argtypes = [ctypes.c_void_p]
+    lib.pl_experiment_dump.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pl_experiment_dump.restype = ctypes.POINTER(ctypes.c_char)
+    lib.pl_experiment_save.argtypes = [ctypes.c_void_p,
+                                       ctypes.c_char_p,
+                                       ctypes.c_size_t, ctypes.c_int]
+    lib.pl_experiment_add_circuit_element.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8]
+    lib.pl_experiment_add_circuit_element.restype = \
+        ctypes.POINTER(ctypes.c_char)
+    lib.pl_experiment_connect.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_int]
+    lib.pl_experiment_set_element_property_number.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_double]
+    lib.pl_experiment_element_count.argtypes = [ctypes.c_void_p]
+    lib.pl_experiment_auto_layout.argtypes = (
+        [ctypes.c_void_p] + [ctypes.c_double] * 7 +
+        [ctypes.c_int] * 2 + [ctypes.c_double] * 4 + [szp] * 5)
+    lib.pl_pe_circuit_build.argtypes = [ctypes.c_void_p]
+    lib.pl_pe_circuit_build.restype = ctypes.c_void_p
+    lib.pl_pe_circuit_destroy.argtypes = [ctypes.c_void_p]
+    lib.pl_pe_circuit_comp_size.argtypes = [ctypes.c_void_p]
+    lib.pl_pe_circuit_comp_size.restype = ctypes.c_size_t
+    lib.pl_pe_circuit_digital_clk.argtypes = [ctypes.c_void_p]
+    lib.pl_pe_circuit_sync_inputs_from_pl.argtypes = [ctypes.c_void_p,
+                                                      ctypes.c_void_p]
+    lib.pl_pe_circuit_write_back_to_pl.argtypes = [ctypes.c_void_p,
+                                                   ctypes.c_void_p]
+    lib.pl_pe_circuit_sample_layout.argtypes = [ctypes.c_void_p, szp,
+                                                szp, szp]
+    lib.pe_to_pl_convert.argtypes = (
+        [ctypes.c_void_p] + [ctypes.c_double] * 3 +
+        [ctypes.c_uint8] * 7)
+    lib.pe_to_pl_convert.restype = ctypes.c_void_p
+    lib.phy_engine_string_free.argtypes = [
+        ctypes.POINTER(ctypes.c_char)]
+    return lib
+
+
+def _take_str(lib, p):
+    assert p, lib.phy_engine_last_error()
+    s = ctypes.cast(p, ctypes.c_char_p).value.decode()
+    lib.phy_engine_string_free(p)
+    return s
+
+
+def test_capi_pl_scene_sim_write_back(lib, tmp_path):
+    """Scene build -> PE sim -> write-back through the .so
+    (dll_api.h:318-443 pl_* family)."""
+    import json
+    _bind_pl(lib)
+    ex = lib.pl_experiment_create(0)
+    assert ex, lib.phy_engine_last_error()
+
+    def add(mid):
+        return _take_str(lib, lib.pl_experiment_add_circuit_element(
+            ex, mid, len(mid), 0.0, 0.0, 0.0, 0, 0, 1))
+
+    i_in = add(b"Logic Input")
+    i_yes = add(b"Yes Gate")
+    i_out = add(b"Logic Output")
+    assert lib.pl_experiment_connect(ex, i_in.encode(), len(i_in), 0,
+                                     i_yes.encode(), len(i_yes), 0,
+                                     0) == 0
+    assert lib.pl_experiment_connect(ex, i_yes.encode(), len(i_yes), 1,
+                                     i_out.encode(), len(i_out), 0,
+                                     0) == 0
+    key = "开关".encode()
+    assert lib.pl_experiment_set_element_property_number(
+        ex, i_in.encode(), len(i_in), key, len(key), 1.0) == 0
+
+    h = lib.pl_pe_circuit_build(ex)
+    assert h, lib.phy_engine_last_error()
+    assert lib.pl_pe_circuit_comp_size(h) == 3
+    assert lib.pl_pe_circuit_sync_inputs_from_pl(h, ex) == 0
+    assert lib.pl_pe_circuit_digital_clk(h) == 0, \
+        lib.phy_engine_last_error()
+    assert lib.pl_pe_circuit_digital_clk(h) == 0
+    assert lib.pl_pe_circuit_write_back_to_pl(h, ex) == 0, \
+        lib.phy_engine_last_error()
+
+    doc = json.loads(_take_str(lib, lib.pl_experiment_dump(ex, 0)))
+    status = json.loads(doc["Experiment"]["StatusSave"])
+    out_el = [e for e in status["Elements"]
+              if e["ModelID"] == "Logic Output"][0]
+    assert out_el["Properties"]["状态"] == 1.0
+
+    # layout + save/load round trip
+    outs = [(ctypes.c_size_t * 1)() for _ in range(5)]
+    assert lib.pl_experiment_auto_layout(
+        ex, 0.0, 0.0, 0.0, 2.0, 2.0, 0.0, 0.0, 0, 0,
+        0.16, 0.16, 0.0, 0.0, *outs) == 0
+    assert outs[3][0] == 3              # placed
+    path = str(tmp_path / "scene.sav").encode()
+    assert lib.pl_experiment_save(ex, path, len(path), 0) == 0
+    ex2 = lib.pl_experiment_load_from_file(path, len(path))
+    assert ex2, lib.phy_engine_last_error()
+    assert lib.pl_experiment_element_count(ex2) == 3
+    lib.pl_pe_circuit_destroy(h)
+    lib.pl_experiment_destroy(ex2)
+    lib.pl_experiment_destroy(ex)
+
+
+def test_capi_pe_to_pl_convert(lib):
+    """PE circuit -> PL scene export through the .so."""
+    import json
+    _bind_pl(lib)
+    elements = (ctypes.c_int * 4)(0, 4, 1, 1)
+    props = (ctypes.c_double * 3)(6.0, 1000.0, 2000.0)
+    wires = (ctypes.c_int * 16)(
+        1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 0, 0, 1, 1, 0, 0)
+    szp = ctypes.POINTER(ctypes.c_size_t)
+    vec = szp()
+    chunk = szp()
+    comp = ctypes.c_size_t()
+    h = lib.create_circuit(elements, 4, wires, 16, props,
+                           ctypes.byref(vec), ctypes.byref(chunk),
+                           ctypes.byref(comp))
+    assert h, lib.phy_engine_last_error()
+    ex = lib.pe_to_pl_convert(h, 0.0, 0.0, 0.0, 0, 0, 1, 1, 1, 0, 0)
+    assert ex, lib.phy_engine_last_error()
+    doc = json.loads(_take_str(lib, lib.pl_experiment_dump(ex, 0)))
+    status = json.loads(doc["Experiment"]["StatusSave"])
+    mids = sorted(e["ModelID"] for e in status["Elements"])
+    assert "Battery Source" in mids and mids.count("Resistor") == 2
+    assert status["Wires"]
+    lib.pl_experiment_destroy(ex)
+    lib.destroy_circuit(h, vec, chunk)
