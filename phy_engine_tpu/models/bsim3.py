@@ -35,6 +35,34 @@ implementation differentiates the terminal-current and terminal-charge
 functions with ``jax.jacfwd`` — the Newton stamp is the exact 4x4
 Jacobian of I(v), and the transient companion / AC susceptance is the
 exact 4x4 C(v) = dQ/dv, machine-generated and always consistent.
+
+Status ledger against the reference's own header TODO
+(bsim3v32.h:14-31), item for item:
+
+* Parameter coverage — PARTIAL: ~150 parameters across three waves
+  (compat prefix + geometry/binning + mobility/Rds/GIDL/II/charge/
+  junction + gate leakage/SCE/DIBL/narrow-width/CLM/SCBE/bin grid);
+  the full Berkeley set (several hundred) is not exhaustive.
+* Geometry & binning — DONE to the reference's own depth: linear
+  lw_scale bin grid over vth0/kp/u0/vsat/ua/ub/uc/nch/phi/gamma/k1/
+  k2/eta0/nfactor/voff/keta/rdsw (bsim3v32.h:762-840 set); NF/M
+  multiplicity and WPE remain open in both implementations.
+* Temperature — PARTIAL: Vth (kt1/kt2), mobility (ute + ua1/ub1/uc1),
+  vsat (at), junction Is (xti/eg), Rds (prt), leakage barriers
+  (Tnom/T); junction-potential/cap tempcos open.
+* Charge/C-V — PARTIAL: capMod>=1 intrinsic charges with smooth
+  blend + xpart partition + accumulation/depletion terms; capMod=3
+  full equations open (same stepping-stone level as the reference).
+* Gate leakage — DONE to the reference's subset: igb/igs/igd with
+  a/b/c/e coefficients, igb-fallback, dwc/dlc area, Tnom/T barrier
+  scaling (bsim3v32.h:1069-1131); Berkeley's full Igc partition open.
+* GIDL/GISL — DONE to the reference's subset (wave 2).
+* Junctions — PARTIAL: SPICE-style currents + area/sidewall
+  depletion charges; breakdown and gate-edge components open.
+* NQS — OPEN in both implementations.
+* Noise — OPEN in both implementations (no noise analysis in engine).
+* Validation — 99 micro-tests (waves 1-3) mirroring the
+  test/0004.solver + test/0012.ac per-parameter pattern.
 """
 
 from __future__ import annotations
@@ -79,6 +107,27 @@ _PARAMS = (
     # -- wave 2: junction capacitance --------------------------------------
     "cj", "mj", "pb", "cjsw", "mjsw", "pbsw",
     "ad", "as", "pd", "ps",
+    # -- wave 3: gate leakage (bsim3v32.h:1069-1131) ----------------------
+    "aigb", "bigb", "cigb", "eigb",
+    "aigs", "bigs", "cigs", "eigs",
+    "aigd", "bigd", "cigd", "eigd",
+    "dwc", "dlc",
+    # -- wave 3: short-channel / DIBL / narrow width (bsim3v32.h:820-860) -
+    "dvt0", "dvt1", "dvt2", "xj", "vbi", "dsub", "etab",
+    "k3", "k3b", "w0", "nlx", "voff", "cit", "noff", "delta",
+    # -- wave 3: mobility selector + oxide ref ----------------------------
+    "mobmod", "toxm",
+    # -- wave 3: output resistance (CLM/DIBL/SCBE, bsim3v32.h:930-1006) ---
+    "pclm", "pdiblc1", "pdiblc2", "pdiblcb", "drout", "pvag",
+    "pscbe1", "pscbe2", "vdsatii",
+    # -- wave 3: bin-grid coefficients for the wave-2/3 parameter set -----
+    "lua", "wua", "pua", "lub", "wub", "pub", "luc", "wuc", "puc",
+    "lnch", "wnch", "pnch", "lphi", "wphi", "pphi",
+    "lgamma", "wgamma", "pgamma",
+    "lk1", "wk1", "pk1", "lk2", "wk2", "pk2",
+    "leta0", "weta0", "peta0", "lnfactor", "wnfactor", "pnfactor",
+    "lvoff", "wvoff", "pvoff", "lketa", "wketa", "pketa",
+    "lrdsw", "wrdsw", "prdsw",
 )
 _DEFAULTS = {p: 0.0 for p in _PARAMS}
 _DEFAULTS.update({
@@ -113,11 +162,27 @@ def _geom(P):
         return (base + _p(P, "l" + pre) * dl + _p(P, "w" + pre) * dw +
                 _p(P, "p" + pre) * dl * dw)
 
+    # full bin grid: every wave-2/3 electrical parameter carries l/w/p
+    # coefficients (bsim3v32.h:762-840 applies bsim3v32_lw_scale to the
+    # same set); coefficients default 0 -> binned == base.
     binned = {
         "vth0": scale(_p(P, "Vth0"), "vth0"),
         "kp": scale(_p(P, "Kp"), "kp"),
         "u0": scale(_p(P, "u0"), "u0"),
         "vsat": scale(_p(P, "vsat"), "vsat"),
+        "ua": scale(_p(P, "ua"), "ua"),
+        "ub": scale(_p(P, "ub"), "ub"),
+        "uc": scale(_p(P, "uc"), "uc"),
+        "nch": scale(_p(P, "nch"), "nch"),
+        "phi": scale(_p(P, "phi"), "phi"),
+        "gamma": scale(_p(P, "gamma"), "gamma"),
+        "k1": scale(_p(P, "k1"), "k1"),
+        "k2": scale(_p(P, "k2"), "k2"),
+        "eta0": scale(_p(P, "eta0"), "eta0"),
+        "nfactor": scale(_p(P, "nfactor"), "nfactor"),
+        "voff": scale(_p(P, "voff"), "voff"),
+        "keta": scale(_p(P, "keta"), "keta"),
+        "rdsw": scale(_p(P, "rdsw"), "rdsw"),
     }
     return leff, weff, binned
 
@@ -135,12 +200,26 @@ def _vgsteff(vgst, n, vt):
 def _core(P, vgs, vds, vbs):
     """Channel quantities for vds >= 0 (forward orientation).
 
-    Returns (ids, vgsteff, vdseff, vdsat, vth)."""
+    Returns (ids, vgsteff, vdseff, vdsat, vth).  Wave-3 physics
+    (bsim3v32.h bsim3v32_ids_core, :740-1007): short-channel Vth
+    roll-off (dvt0/dvt1/dvt2 with lt from Xdep and xj), dsub-based
+    DIBL depth with etab body dependence, narrow-width correction
+    (k3/k3b/w0) and lateral-doping nlx term, voff/cit/noff subthreshold
+    shape, mobMod 1/2/3 selector, Abulk(keta), Early-voltage CLM/DIBL
+    output conductance (pclm/pdiblc1/pdiblc2/pdiblcb/drout/pvag) and
+    SCBE (pscbe1/pscbe2).  Every new parameter defaults to 0 = off so
+    the calibrated wave-1/2 behavior is bitwise unchanged."""
     leff, weff, B = _geom(P)
     temp = _p(P, "Temp")
     vt = _K_B * (temp + _T0) / _Q_E
     t_ratio = (temp + _T0) / (_TNOM + _T0)
     dt_c = temp - _TNOM
+
+    # oxide: tox_ratio generalizes k1/k2 to a toxm reference
+    tox = jnp.maximum(_p(P, "tox"), 1e-9)
+    toxm = jnp.where(_p(P, "toxm") > 0.0, _p(P, "toxm"), tox)
+    tox_ratio = tox / toxm
+    cox = _EPS_OX / tox
 
     # temperature scaling (bsim3v32.h temperature section)
     vth0_t = B["vth0"] + (_p(P, "kt1") +
@@ -148,49 +227,132 @@ def _core(P, vgs, vds, vbs):
     vsat = jnp.maximum(B["vsat"] - _p(P, "at") * (t_ratio - 1.0), 1e3)
 
     # body effect; clamp vbs below phi to keep sqrt real (smoothly)
-    phi_s = jnp.maximum(_p(P, "phi"), 0.1)
+    phi_s = jnp.maximum(B["phi"], 0.1)
     vbs_c = phi_s - 0.5 * ((phi_s - vbs) +
                            jnp.sqrt((phi_s - vbs) ** 2 + 4.0 * 0.01))
+    sqrt_phi = jnp.sqrt(phi_s)
     sqrt_pv = jnp.sqrt(jnp.maximum(phi_s - vbs_c, 1e-12))
-    vth = vth0_t + _p(P, "gamma") * (sqrt_pv - jnp.sqrt(phi_s))
-    vth = vth - _p(P, "eta0") * vds          # DIBL
-    vgst = vgs - vth
+    k1 = jnp.where(B["k1"] != 0.0, B["k1"], B["gamma"]) * tox_ratio
+    k2 = B["k2"] * tox_ratio
+    vth = vth0_t + k1 * (sqrt_pv - sqrt_phi) - k2 * vbs_c
 
-    # Vgsteff smoothing (strong inversion <-> subthreshold)
-    n = jnp.maximum(_p(P, "nfactor"), 0.1)
+    # depletion width / characteristic lengths for SCE + DIBL depth
+    nch = jnp.where(B["nch"] > 1.0, B["nch"], 1e23)
+    xdep = jnp.sqrt(2.0 * _EPS_SI *
+                    jnp.maximum(phi_s - vbs_c, 1e-12) / (_Q_E * nch))
+    xdep0 = jnp.sqrt(2.0 * _EPS_SI * phi_s / (_Q_E * nch))
+    xj = jnp.where(_p(P, "xj") > 0.0, _p(P, "xj"), xdep0)
+    lt0 = jnp.sqrt((_EPS_SI / _EPS_OX) * tox * xj)
+    lt = jnp.sqrt((_EPS_SI / _EPS_OX) * tox * xdep)
+    lt = jnp.maximum(lt * (1.0 + _p(P, "dvt2") * vbs_c), 1e-18)
+
+    # short-channel Vth roll-off (dvt0 gates the branch)
+    vbi = jnp.where(_p(P, "vbi") > 0.0, _p(P, "vbi"), phi_s + 0.5)
+    theta_th = _p(P, "dvt0") * (
+        limexp(-_p(P, "dvt1") * leff / (2.0 * lt)) +
+        2.0 * limexp(-_p(P, "dvt1") * leff / lt))
+    vth = vth - theta_th * (vbi - phi_s)
+
+    # DIBL: plain eta0*vds unless dsub sets a length-dependent depth
+    theta_dibl = jnp.where(
+        _p(P, "dsub") > 0.0,
+        limexp(-_p(P, "dsub") * leff / (2.0 * lt0)) +
+        2.0 * limexp(-_p(P, "dsub") * leff / lt0),
+        1.0)
+    vth = vth - theta_dibl * (B["eta0"] + _p(P, "etab") * vbs_c) * vds
+
+    # narrow width + lateral doping (k3/k3b/w0, nlx); the tox/(Weff+W0)
+    # normalization is the BSIM3 manual form (the reference's clean-room
+    # variant drops the tox factor, which blows the term up by ~1e3 at
+    # default k3 — deliberately not mirrored)
+    vth = vth + (_p(P, "k3") + _p(P, "k3b") * vbs_c) * tox_ratio * \
+        (tox / jnp.maximum(weff + _p(P, "w0"), 1e-18)) * phi_s
+    vth = vth + k1 * (jnp.maximum(_p(P, "nlx"), 0.0) / leff) * sqrt_phi
+
+    vgst = vgs - vth - B["voff"]
+
+    # Vgsteff smoothing (strong inversion <-> subthreshold); n picks up
+    # interface states (cit) and the noff multiplier
+    n = jnp.maximum(B["nfactor"], 0.1) * (1.0 + _p(P, "noff"))
+    n = n + _p(P, "cit") / cox
     vgsteff = _vgsteff(vgst, n, vt)
 
-    # mobMod1 mobility: u0 / (1 + (ua + uc*vbs)*E + ub*E^2), with
-    # E = (vgsteff + 2 vth)/tox; the legacy theta term multiplies in
-    tox = jnp.maximum(_p(P, "tox"), 1e-9)
-    ua = _p(P, "ua") + _p(P, "ua1") * dt_c
-    ub = _p(P, "ub") + _p(P, "ub1") * dt_c
-    uc = _p(P, "uc") + _p(P, "uc1") * dt_c
-    e_eff = (vgsteff + 2.0 * vth) / tox
-    denom = 1.0 + (ua + uc * vbs_c) * e_eff + ub * e_eff * e_eff
+    # mobility: mobmod 0 = legacy wave-2 blend (default); 1/2/3 mirror
+    # bsim3v32_ueff_mobmod1/2/3
+    ua = B["ua"] + _p(P, "ua1") * dt_c
+    ub = B["ub"] + _p(P, "ub1") * dt_c
+    uc = B["uc"] + _p(P, "uc1") * dt_c
+    e_leg = (vgsteff + 2.0 * vth) / tox
+    den_leg = 1.0 + (ua + uc * vbs_c) * e_leg + ub * e_leg * e_leg
+    e3 = (vgsteff + 2.0 * vt) / tox
+    den3 = 1.0 + (ua * e3 + ub * e3 * e3) * (1.0 + uc * vbs_c)
+    e2 = vgsteff / tox
+    den2 = 1.0 + (ua * e2 + ub * e2 * e2) * (1.0 + uc * vbs_c)
+    den1 = 1.0 + ua * vgsteff + ub * vgsteff * vgsteff + uc * vbs_c
+    mm = _p(P, "mobmod")
+    denom = jnp.where(mm < 0.5, den_leg,
+                      jnp.where(mm < 1.5, den1,
+                                jnp.where(mm < 2.5, den2, den3)))
     denom = jnp.maximum(denom, 0.1) * (1.0 + _p(P, "theta") * vgsteff)
     u0 = B["u0"] * t_ratio ** _p(P, "ute") / denom
     kp_eff = B["kp"] * (u0 / jnp.maximum(B["u0"], 1e-12))
     beta = kp_eff * weff / leff
     esat_l = 2.0 * vsat * leff / jnp.maximum(u0, 1e-6)
-    vdsat = esat_l * vgsteff / (esat_l + vgsteff)
-    delta = 0.01
+
+    # Abulk (keta hook) enters vdsat and the linear-region charge term
+    abulk = jnp.maximum(1.0 + B["keta"] * vbs_c, 0.1)
+    vdsat = esat_l * vgsteff / (abulk * esat_l + vgsteff)
+    delta = jnp.where(_p(P, "delta") > 0.0, _p(P, "delta"), 0.01)
     t1 = vdsat - vds - delta
     vdseff = vdsat - 0.5 * (t1 + jnp.sqrt(t1 * t1 +
                                           4.0 * delta * vdsat))
 
-    ids0 = beta * vgsteff * (1.0 - vdseff /
-                             (2.0 * (vgsteff + 2.0 * vt))) * vdseff
+    vgst2 = vgsteff + 2.0 * vt
+    ids0 = beta * vgsteff * (1.0 - abulk * vdseff /
+                             (2.0 * vgst2)) * vdseff
     ids0 = ids0 / (1.0 + vdseff / esat_l)
 
     # series resistance fold (bsim3v32.h:985-1000): rdsw [Ohm*um]
-    rdsw = _p(P, "rdsw") * (1.0 + _p(P, "prt") * (t_ratio - 1.0))
+    rdsw = B["rdsw"] * (1.0 + _p(P, "prt") * (t_ratio - 1.0))
     rds = rdsw * (1.0 + _p(P, "prwg") * vgsteff +
-                  _p(P, "prwb") * (sqrt_pv - jnp.sqrt(phi_s)))
+                  _p(P, "prwb") * (sqrt_pv - sqrt_phi))
     rds = jnp.maximum(rds, 0.0) * 1e-6 / weff
     ids0 = ids0 / (1.0 + rds * ids0 / jnp.maximum(vdseff, 1e-6))
 
-    ids = ids0 * (1.0 + _p(P, "lambda") * (vds - vdseff))
+    # output conductance: Early-voltage CLM/DIBL + SCBE when the
+    # advanced params are set, legacy lambda otherwise
+    vdsx = _pos_smooth(vds - vdseff)
+    pclm = _p(P, "pclm")
+    pd1 = _p(P, "pdiblc1")
+    pd2 = _p(P, "pdiblc2")
+    vaclm = (abulk * esat_l + vgsteff) * vdsx / \
+        (jnp.maximum(pclm, 1e-12) * abulk * esat_l / leff *
+         jnp.maximum(lt, 1e-18))
+    theta_rout = pd1 * (limexp(-_p(P, "drout") * leff / (2.0 * lt0)) +
+                        2.0 * limexp(-_p(P, "drout") * leff / lt0)) + \
+        pd2
+    t3 = 1.0 - abulk * vdsat / jnp.maximum(abulk * vdsat + vgst2,
+                                           1e-18)
+    pvag_f = 1.0 + _p(P, "pvag") * u0 * vgsteff / \
+        jnp.maximum(2.0 * vsat * leff, 1e-18)
+    vadiblc = vgst2 / jnp.maximum(
+        theta_rout * (1.0 + _p(P, "pdiblcb") * vbs_c) * t3, 1e-18) * \
+        pvag_f
+    inv_va = jnp.where(pclm > 0.0, 1.0 / jnp.maximum(vaclm, 1e-12),
+                       0.0)
+    inv_va = inv_va + jnp.where(theta_rout != 0.0,
+                                1.0 / jnp.maximum(vadiblc, 1e-12), 0.0)
+    clm_f = 1.0 + vdsx * inv_va
+    inv_vascbe = jnp.where(
+        (_p(P, "pscbe1") > 0.0) & (_p(P, "pscbe2") != 0.0),
+        _p(P, "pscbe2") * limexp(-_p(P, "pscbe1") * lt /
+                                 jnp.maximum(vdsx, 1e-12)) / leff,
+        0.0)
+    scbe_f = 1.0 + vdsx * inv_vascbe
+    legacy = (pclm <= 0.0) & (pd1 == 0.0) & (pd2 == 0.0)
+    ids = jnp.where(legacy,
+                    ids0 * (1.0 + _p(P, "lambda") * (vds - vdseff)),
+                    ids0 * clm_f * scbe_f)
     return ids, vgsteff, vdseff, vdsat, vth
 
 
@@ -229,8 +391,11 @@ def _terminal_currents(P, v4, sign):
     ids = jnp.where(fwd, ids_f, -ids_r)
     vdseff = jnp.where(fwd, vdse_f, vdse_r)
 
-    # impact ionization (bsim3v32.h:1141-1154): drain->bulk
-    vds_ii = _pos_smooth(jnp.abs(vds) - vdseff)
+    # impact ionization (bsim3v32.h:1141-1154): drain->bulk; vdsatii
+    # overrides the saturation-voltage subtraction point when set
+    vds_ii = _pos_smooth(jnp.abs(vds) -
+                         jnp.where(_p(P, "vdsatii") > 0.0,
+                                   _p(P, "vdsatii"), vdseff))
     a0, b0 = _p(P, "alpha0"), _p(P, "beta0")
     iii = jnp.where((a0 > 0.0) & (b0 > 0.0),
                     a0 * jnp.abs(ids) * vds_ii *
@@ -264,10 +429,36 @@ def _terminal_currents(P, v4, sign):
     ibs = is_ * (limexp((vb - vs) / nv) - 1.0)
     ibd = is_ * (limexp((vb - vd) / nv) - 1.0)
 
-    i_d = ids - ibd + iii + ig_d
-    i_s = -ids - ibs + ig_s
-    i_b = ibs + ibd - iii - ig_d - ig_s
-    i_g = jnp.zeros(())
+    # gate leakage (bsim3v32.h:1069-1131 igb/igs/igd subset):
+    # Ig = a * Weff_c * Leff_c * V_eff^2 * exp(-b_T/(V_eff + c)),
+    # V_eff = pos_smooth(V - e); igs/igd fall back to the igb b/c/e.
+    weff_c = jnp.maximum(_p(P, "W") -
+                         2.0 * jnp.maximum(_p(P, "dwc"), 0.0), 1e-18)
+    leff_c = jnp.maximum(_p(P, "L") -
+                         2.0 * jnp.maximum(_p(P, "dlc"), 0.0), 1e-18)
+
+    def _ig(a, b, c, e, dv):
+        b_ = jnp.where(b > 0.0, b, _p(P, "bigb"))
+        c_ = jnp.where(c != 0.0, c, _p(P, "cigb"))
+        e_ = jnp.where(e != 0.0, e, _p(P, "eigb"))
+        v_eff = _pos_smooth(dv - e_)
+        denom = jnp.maximum(v_eff + c_, 1e-12)
+        on = (a > 0.0) & (b_ > 0.0)
+        i = a * weff_c * leff_c * v_eff * v_eff * \
+            limexp(-_barrier_t(P, b_) / denom)
+        return jnp.where(on, i, 0.0)
+
+    igb = _ig(_p(P, "aigb"), _p(P, "bigb"), _p(P, "cigb"),
+              _p(P, "eigb"), vg - vb)
+    igs = _ig(_p(P, "aigs"), _p(P, "bigs"), _p(P, "cigs"),
+              _p(P, "eigs"), vg - vs)
+    igd = _ig(_p(P, "aigd"), _p(P, "bigd"), _p(P, "cigd"),
+              _p(P, "eigd"), vg - vd)
+
+    i_d = ids - ibd + iii + ig_d - igd
+    i_s = -ids - ibs + ig_s - igs
+    i_b = ibs + ibd - iii - ig_d - ig_s - igb
+    i_g = igb + igs + igd
     # un-mirror currents for PMOS
     return sign * jnp.stack([i_d, i_g, i_s, i_b])
 
@@ -299,11 +490,11 @@ def _intrinsic_charges(P, vgs, vds, vbs):
     cox = _EPS_OX / jnp.maximum(_p(P, "tox"), 1e-9)
     coxwl = cox * weff * leff
 
-    phi_s = jnp.maximum(_p(P, "phi"), 0.1)
+    phi_s = jnp.maximum(B["phi"], 0.1)
     vbseff = phi_s - _pos_smooth(phi_s - vbs, 1e-2)
     sqrt_phi = jnp.sqrt(phi_s)
     sqrt_pv = jnp.sqrt(jnp.maximum(phi_s - vbseff, 1e-12))
-    k1 = jnp.where(_p(P, "k1") != 0.0, _p(P, "k1"), _p(P, "gamma"))
+    k1 = jnp.where(B["k1"] != 0.0, B["k1"], B["gamma"])
     qb = coxwl * (k1 * (sqrt_pv - sqrt_phi) - _p(P, "k2") * vbseff)
 
     # CV-effective gate overdrive (voffcv-shifted)
@@ -312,7 +503,7 @@ def _intrinsic_charges(P, vgs, vds, vbs):
     vgst_cv = vgs - vth - _p(P, "voffcv")
     n = jnp.maximum(_p(P, "nfactor"), 0.1)
     vgsteff_cv = _vgsteff(vgst_cv, n, vt)
-    abulk = 1.0 + _p(P, "keta") * vbseff
+    abulk = 1.0 + B["keta"] * vbseff
     vds_pos = _pos_smooth(vds)
 
     # smooth linear/saturation blend around vdsat
@@ -336,7 +527,7 @@ def _intrinsic_charges(P, vgs, vds, vbs):
     qg = -(qinv + qb)
 
     # accumulation / depletion gate-bulk charge (vfbcv observable)
-    nch = jnp.where(_p(P, "nch") > 1.0, _p(P, "nch"), 1e23)
+    nch = jnp.where(B["nch"] > 1.0, B["nch"], 1e23)
     xdep = jnp.sqrt(2.0 * _EPS_SI *
                     jnp.maximum(phi_s - vbseff, 1e-12) / (_Q_E * nch))
     cdep = _EPS_SI / jnp.maximum(xdep, 1e-18)
