@@ -162,8 +162,69 @@ def fp16_lanes_run():
     return n_gates * T * 32 / elapsed, n_gates
 
 
+def turbo_batch_run():
+    """Batched-instances MXU niche: B independent RV32 instances
+    through the vmapped turbo core (digital/turbo.py run_xla_batch) vs
+    the host C++ sweep engine clocking the same B instances
+    sequentially (its only option — it is single-trace).  The claim
+    under test: the turbo core's per-chunk MXU latency amortizes over
+    the instance axis (pe_synth_cuda_u64_cones.cu:671-1860 fan-out
+    role), so there is a crossover batch beyond which the TPU path's
+    aggregate gate-evals/s wins."""
+    import numpy as np
+    c, clk, rst, port_nets, report, expect = build()
+    n = report.gate_count + report.ff_count
+    B = int(os.environ.get("PE_BENCH_DIGITAL_BATCH", "32"))
+    body = []
+    for _ in range(CYCLES):
+        body += [{clk: 1, rst: 1}, {clk: 0, rst: 1}]
+    warm = [{}, {clk: 1}, {clk: 0}, {rst: 1}]
+
+    # native single-trace reference on the same design + schedule
+    os.environ["PE_TPU_DIGITAL"] = "native"
+    c.digital_run(warm)
+    c.digital_run(body)
+    t0 = time.perf_counter()
+    tr = c.digital_run(body)
+    native_rate = n * len(body) / (time.perf_counter() - t0)
+    res = int(tr.bus_values(port_nets["result"])[-1])
+    assert res == expect, (hex(res), hex(expect))
+
+    # batched turbo: B identical instances (RV32 has no data inputs),
+    # aggregate = gates * ticks * B / wall
+    os.environ["PE_TPU_DIGITAL"] = "turbo_xla"
+    c2, clk2, rst2, port_nets2, _rep, _ = build()
+    c2.digital_run(warm := [{}, {clk2: 1}, {clk2: 0}, {rst2: 1}])
+    body2 = []
+    for _ in range(CYCLES):
+        body2 += [{clk2: 1, rst2: 1}, {clk2: 0, rst2: 1}]
+    scheds = [body2] * B
+    watch = port_nets2["result"]
+    codes = c2.digital_run_batch(scheds, watch_nodes=watch)  # compile
+    t0 = time.perf_counter()
+    codes = c2.digital_run_batch(scheds, watch_nodes=watch)
+    elapsed = time.perf_counter() - t0
+    turbo_rate = n * len(body2) * B / elapsed
+    for b in (0, B - 1):
+        got = sum(int(codes[b, -1, i] == 1) << i
+                  for i in range(len(watch)))
+        assert got == expect, (b, hex(got), hex(expect))
+    return turbo_rate, native_rate, n, B
+
+
 def main():
     mode = os.environ.get("PE_BENCH_DIGITAL_MODE", "rv32")
+    if mode == "turbo_batch":
+        turbo, native, n, B = turbo_batch_run()
+        print(json.dumps({
+            "metric": "turbo_batch_gate_evals_per_sec",
+            "value": round(turbo, 1),
+            "unit": "gate-evals/s",
+            "vs_baseline": round(turbo / native, 2),
+            "batch": B,
+            "native_single_trace": round(native, 1),
+        }))
+        return
     if mode == "fp16_lanes":
         tpu, n = fp16_lanes_run()
         cpu = max(cpu_baseline(n) for _ in range(2))

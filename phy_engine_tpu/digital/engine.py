@@ -873,6 +873,32 @@ class DigitalEngine:
             raise ValueError("run_ticks_batched: VERILOG_MODULE devices "
                              "need per-tick host interaction")
         import numpy as _np
+
+        # batched-instance backend policy: the vmapped turbo core
+        # amortizes per-chunk MXU latency across instances
+        from . import turbo
+        mode = turbo.backend()
+        if mode in ("auto", "native"):
+            mode = turbo.pick_auto_batch(self.ir,
+                                         int(_np.shape(FV)[0]))
+        if mode in ("turbo", "turbo_xla") and turbo.eligible(self.ir) \
+                and watch is not None:
+            fs_np = _np.asarray(forced_sig, _np.int32)
+            key = (fs_np.tobytes(),)
+            plans = getattr(self, "_turbo_plans", None)
+            if plans is None:
+                plans = self._turbo_plans = {}
+            plan = plans.get(key)
+            if plan is None:
+                plan = plans[key] = turbo.TurboPlan(self.ir, fs_np)
+            state0 = plan.pack_state(_np.asarray(self.sv),
+                                     _np.asarray(self.su),
+                                     self.seq_state)
+            return turbo.run_xla_batch(
+                plan, state0, _np.asarray(FV, _np.uint32),
+                _np.asarray(FU, _np.uint32), watch, mesh=mesh,
+                axis=axis)
+
         fs = jnp.asarray(_np.asarray(forced_sig, _np.int32))
         FV = jnp.asarray(_np.asarray(FV, _np.uint32))
         FU = jnp.asarray(_np.asarray(FU, _np.uint32))

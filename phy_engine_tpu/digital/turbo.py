@@ -579,6 +579,77 @@ def run_xla(plan: TurboPlan, state0: np.ndarray, FV: np.ndarray,
     return np.asarray(hv), np.asarray(hu)
 
 
+def run_xla_batch(plan: TurboPlan, state0: np.ndarray, FV: np.ndarray,
+                  FU: np.ndarray, watch, mesh=None,
+                  axis: str = "batch"):
+    """Vmapped-instance run of the turbo tick core — the batched
+    niche of the MXU program (the reference's closest analogue is the
+    multi-cone fan-out of pe_synth_cuda_u64_cones.cu:671-1860): the
+    per-chunk one-hot gather/scatter matmuls batch over instances, so
+    the MXU amortizes the per-chunk latency that makes single traces
+    dispatch-bound.
+
+    ``FV``/``FU``: uint32 (B, T, nf) per-instance schedules over the
+    plan's forced-signal list; ``state0``: (Khi, 512) start slab
+    (replicated per instance); ``watch``: int32 signal indices whose
+    32-lane words are recorded per tick.  Optionally shards the
+    instance axis over ``mesh``.  Returns (hv, hu) uint32 (B, T, W).
+    """
+    B, T, _nf = FV.shape
+    fvp = np.zeros((B, T, plan.nf_pad), np.int32)
+    fup = np.zeros_like(fvp)
+    fvp[:, :, :plan.nf] = FV.view(np.int32)
+    fup[:, :, :plan.nf] = FU.view(np.int32)
+    cone = jnp.asarray(plan.cone_tab)
+    full = jnp.asarray(plan.full_tab)
+    fftab = jnp.asarray(plan.ff_tab)
+    f_hi = jnp.asarray(plan.f_hi)
+    f_lo = jnp.asarray(plan.f_lo)
+    w = np.asarray(watch, np.int32)
+    wr = jnp.asarray(w // 128)
+    wc = jnp.asarray(w % 128)
+
+    def fetch_comb(which, li):
+        tab = cone if which == 0 else full
+        blk = jax.lax.dynamic_slice(
+            tab, (jnp.int32(0), li * jnp.int32(CHUNK)),
+            (_N_ROWS, CHUNK))
+        return [blk[r:r + 1] for r in range(_N_ROWS)]
+
+    def fetch_ff(li):
+        blk = jax.lax.dynamic_slice(
+            fftab, (jnp.int32(0), li * jnp.int32(CHUNK)), (12, CHUNK))
+        return [blk[r:r + 1] for r in range(12)]
+
+    def one(state0, FVj, FUj):
+        def step(state, xs):
+            fv, fu = xs
+
+            def fetch_forced(c0):
+                return (f_hi[:, c0:c0 + CHUNK],
+                        f_lo[:, c0:c0 + CHUNK],
+                        fv[None, c0:c0 + CHUNK],
+                        fu[None, c0:c0 + CHUNK])
+            state = _tick_core(plan, state, fetch_forced, fetch_comb,
+                               fetch_ff)
+            hv, hu = _hist_planes(plan, state)
+            return state, (hv[wr, wc], hu[wr, wc])
+        _state, (hv, hu) = jax.lax.scan(step, state0, (FVj, FUj))
+        return hv, hu
+
+    runb = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+    fvj = jnp.asarray(fvp)
+    fuj = jnp.asarray(fup)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(axis))
+        fvj = jax.device_put(fvj, sh)
+        fuj = jax.device_put(fuj, sh)
+    hv, hu = runb(jnp.asarray(state0), fvj, fuj)
+    return (np.asarray(hv).view(np.uint32),
+            np.asarray(hu).view(np.uint32))
+
+
 def run_pallas(plan: TurboPlan, state0: np.ndarray, FV: np.ndarray,
                FU: np.ndarray, interpret: bool = False):
     """Pallas kernel: grid over ticks, state slab in VMEM scratch."""
@@ -686,6 +757,22 @@ def backend() -> str:
     if mode in ("native", "turbo", "turbo_xla", "levels"):
         return mode
     return "auto"
+
+
+def pick_auto_batch(ir, batch: int) -> str:
+    """auto policy for the batched-instances axis: the vmapped turbo
+    core batches its one-hot gather/scatter matmuls over instances,
+    which amortizes the per-chunk MXU latency that loses on single
+    traces — route to it on TPU at modest batch counts (crossover
+    measured by bench_digital.py's turbo_batch mode); the levelled
+    vmap engine covers everything else."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    if plat == "tpu" and batch >= 8 and eligible(ir):
+        return "turbo_xla"
+    return "levels"
 
 
 def pick_auto(ir) -> str:

@@ -255,3 +255,65 @@ def test_tp_padded_assembly_100k_instances():
         assert np.isclose(a_sharded[k2], val, rtol=1e-12), k2
     np.testing.assert_allclose(np.asarray(Z), np.asarray(z0),
                                rtol=1e-12)
+
+
+def test_digital_batch_turbo_matches_levels(monkeypatch):
+    """The vmapped turbo core (batched-instances MXU niche) must agree
+    bit-for-bit with the levelled vmap engine on the same schedules."""
+    import numpy as np
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+
+    src = """
+module counter(input clk, input rst_n, input en, output reg [3:0] q);
+  always @(posedge clk or negedge rst_n)
+    if (!rst_n) q <= 4'd0; else if (en) q <= q + 4'd1;
+endmodule
+"""
+
+    def build():
+        mods = compile_source(src)
+        design = build_design(mods)
+        topm = find_module(design, "counter")
+        inst = elaborate(design, topm)
+        c = pe.Circuit()
+        nl = c.nl
+        pn = {p: [netops.create_node(nl)
+                  for _ in range(inst.signals[p].width)]
+              for p in topm.ports}
+        ms = {}
+        for name in ("clk", "rst_n", "en"):
+            m = netops.add_model(nl, INPUT, {"boolean": 0.0})
+            netops.add_to_node(nl, m, 0, pn[name][0])
+            ms[name] = m
+        synthesize_to_netlist(nl, design, inst, pn,
+                              SynthOptions(opt_level=1))
+        return c, ms, pn
+
+    rng = np.random.default_rng(11)
+    B, CYC = 4, 8
+    enables = rng.integers(0, 2, (B, CYC))
+
+    def sched_for(ms, b):
+        s = [{}, {ms["clk"]: 1}, {ms["clk"]: 0}, {ms["rst_n"]: 1}]
+        for k in range(CYC):
+            e = int(enables[b, k])
+            s += [{ms["clk"]: 1, ms["rst_n"]: 1, ms["en"]: e},
+                  {ms["clk"]: 0, ms["rst_n"]: 1, ms["en"]: e}]
+        return s
+
+    monkeypatch.setenv("PE_TPU_DIGITAL", "levels")
+    c1, ms1, pn1 = build()
+    lv = c1.digital_run_batch([sched_for(ms1, b) for b in range(B)],
+                              watch_nodes=pn1["q"])
+    monkeypatch.setenv("PE_TPU_DIGITAL", "turbo_xla")
+    c2, ms2, pn2 = build()
+    tb = c2.digital_run_batch([sched_for(ms2, b) for b in range(B)],
+                              watch_nodes=pn2["q"])
+    assert lv.shape == tb.shape
+    assert np.array_equal(lv, tb)
