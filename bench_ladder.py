@@ -1,0 +1,145 @@
+"""10^6-resistor ladder DC benchmark (reference
+benchmark/0001.models/1000000xR.cpp role).
+
+Builds the reference's series-chain topology at N resistors (default
+10^6): VDC across a uniform R chain, DC operating point.  The MNA is
+tridiagonal plus one voltage-source border row/col; the TPU-native
+algorithm is parallel cyclic reduction (ops/tridiag.py) with the
+border eliminated by a 2-solve Schur complement — O(N log N)
+elementwise work, no factorization.
+
+Reports assembly wall (netlist -> COO via the jitted sparse
+assembler) and solves/s for the repeated re-analyze the reference
+times (1000000xR.cpp:55-60 re-runs analyze on the built netlist).
+Verification: the chain voltage profile is an exact linear ramp.
+
+Prints one JSON line.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+N = int(os.environ.get("PE_BENCH_LADDER_N", "1000000"))
+R = 30.0
+V = 3.0
+
+
+def build_ir():
+    from phy_engine_tpu import Netlist, netops
+    from phy_engine_tpu.models import RESISTANCE, VDC
+    from phy_engine_tpu.engine.lower import lower_analog
+
+    nl = Netlist()
+    v = netops.add_model(nl, VDC, {"V": V})
+    top = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, top)
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    prev = top
+    for _ in range(N - 1):
+        r = netops.add_model(nl, RESISTANCE, {"r": R})
+        nxt = netops.create_node(nl)
+        netops.add_to_node(nl, r, 0, prev)
+        netops.add_to_node(nl, r, 1, nxt)
+        prev = nxt
+    r = netops.add_model(nl, RESISTANCE, {"r": R})
+    netops.add_to_node(nl, r, 0, prev)
+    netops.add_to_node(nl, r, 1, nl.ground_node)
+    return lower_analog(nl)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.models.base import StampCtx
+    from phy_engine_tpu import Environment
+    from phy_engine_tpu.ops.tridiag import border_solve
+
+    t0 = time.perf_counter()
+    ir = build_ir()
+    build_s = time.perf_counter() - t0
+
+    env = analog.env_scalars(Environment())
+    params = {f.mdef.id_name: f.P for f in ir.families}
+    states = {f.mdef.id_name: f.state0 for f in ir.families}
+    n = ir.n_unknowns                      # N nodes + 1 branch
+
+    ctx = StampCtx(mode="op", t=jnp.zeros(()), dt=jnp.zeros(()),
+                   env=env)
+    asm = jax.jit(lambda p, x, s: analog.assemble_sparse(
+        ir, p, x, s, ctx, None)[:4])
+    x0 = analog.initial_x(ir)
+    rows, cols, vals, Z = asm(params, x0, states)
+    np.asarray(vals)                       # force
+    t0 = time.perf_counter()
+    rows, cols, vals, Z = asm(params, x0, states)
+    rows_h = np.asarray(rows)
+    cols_h = np.asarray(cols)
+    vals_h = np.asarray(vals)
+    Z_h = np.asarray(Z)
+    asm_s = time.perf_counter() - t0
+
+    # host symbolic phase (once, pattern-stable): COO -> tridiag+border
+    nn = n - 1                             # node unknowns
+    keep = (rows_h < n) & (cols_h < n)
+    r_, c_, v_ = rows_h[keep], cols_h[keep], vals_h[keep]
+    node = (r_ < nn) & (c_ < nn)
+    d = np.zeros(nn)
+    dl = np.zeros(nn)
+    du = np.zeros(nn)
+    np.add.at(d, r_[node & (r_ == c_)], v_[node & (r_ == c_)])
+    sub = node & (r_ == c_ + 1)
+    np.add.at(dl, r_[sub], v_[sub])
+    sup = node & (c_ == r_ + 1)
+    np.add.at(du, r_[sup], v_[sup])
+    e = np.zeros(nn)
+    brow = (r_ == nn) & (c_ < nn)
+    np.add.at(e, c_[brow], v_[brow])
+    rhs_b = float(Z_h[nn])
+    z = np.asarray(Z_h[:nn])
+
+    dl_j = jnp.asarray(dl)
+    d_j = jnp.asarray(d)
+    du_j = jnp.asarray(du)
+    e_j = jnp.asarray(e)
+
+    solve = jax.jit(lambda z, rb: border_solve(dl_j, d_j, du_j, z,
+                                               e_j, rb))
+    vsol, i_src = solve(jnp.asarray(z), jnp.asarray(rhs_b))
+    float(i_src)                           # compile + fetch
+    ts = []
+    for k in range(5):
+        zk = jnp.asarray(z + 0.0 * k)      # vary to defeat memoization
+        rbk = jnp.asarray(rhs_b * (1.0 + 1e-9 * k))
+        t0 = time.perf_counter()
+        vsol, i_src = solve(zk, rbk)
+        float(i_src)
+        ts.append(time.perf_counter() - t0)
+    solve_s = min(ts)
+
+    # exact check: uniform chain -> linear ramp, I = V/(N*R)
+    v_np = np.asarray(vsol)
+    i_exp = V / (N * R)
+    ramp = V - np.arange(0, nn) * (V / N)   # node 0 = source node
+    err = float(np.max(np.abs(v_np - ramp)))
+    assert err < 1e-6 * V, err
+    assert abs(float(i_src) + i_exp) < 1e-9 + 1e-6 * i_exp, \
+        (float(i_src), i_exp)
+
+    print(json.dumps({
+        "metric": "ladder_dc_solves_per_sec",
+        "value": round(1.0 / solve_s, 2),
+        "unit": "solves/s",
+        "n_resistors": N,
+        "build_s": round(build_s, 2),
+        "assemble_s": round(asm_s, 3),
+        "solve_ms": round(solve_s * 1e3, 2),
+        "max_ramp_err": err,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,48 @@ def sharded_batched_transient(ir: AnalogIR, mesh: Mesh, params_b, x_b,
     return fn(params_b, x_b, states_b)
 
 
+def sharded_batched_transient_shmap(ir: AnalogIR, mesh: Mesh, params_b,
+                                    x_b, states_b, env, t0, dt,
+                                    num_steps, dtype=jnp.float64,
+                                    solver: str = "hybrid"):
+    """Batch-sharded transient under ``shard_map``: every device runs
+    the full delta-Newton pipeline — sparse residual assembly AND the
+    batched Gauss-Jordan factorization — on ONLY its batch shard.  No
+    array (A-slabs included) ever holds the full batch on one device,
+    unlike the GSPMD path where a custom kernel boundary can force an
+    all-gather.  Per-shard Newton loops run independently (different
+    iteration counts per device are fine under SPMD); the only
+    collective is the final psum that makes the convergence flag
+    global.
+
+    Returns (x_final, states, ok_global) with x/states sharded over
+    ('batch','sweep') and ok_global replicated."""
+    axes = tuple(mesh.axis_names)
+    batch_sharding = NamedSharding(mesh, P(axes))
+    n_dev = mesh.devices.size
+
+    params_b = jax.device_put(params_b, batch_sharding)
+    x_b = jax.device_put(x_b, batch_sharding)
+    states_b = jax.device_put(states_b, batch_sharding)
+
+    def local(params, x, st):
+        x2, st2, ok, _last = analog.transient_batched(
+            ir, params, x, st, env, t0, dt, num_steps, None, dtype,
+            solver=solver)
+        ok_all = jnp.all(ok).astype(jnp.int32)
+        ok_global = jax.lax.psum(ok_all, axes) == n_dev
+        return x2, st2, ok_global
+
+    # check_rep off: the GJ kernel builds fresh per-shard arrays
+    # (iota/full) whose varying-axes tags differ from the sharded
+    # carries; the computation is purely shard-local either way.
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(axes), P(axes), P(axes)),
+                       out_specs=(P(axes), P(axes), P()),
+                       check_vma=False)
+    return jax.jit(fn)(params_b, x_b, states_b)
+
+
 def tp_solve_op(ir: AnalogIR, mesh: Mesh, params, x0, states0, env,
                 mode: str = "op", dtype=jnp.float64):
     """Tensor-parallel operating point for ONE huge circuit: device

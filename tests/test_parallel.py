@@ -317,3 +317,80 @@ endmodule
                               watch_nodes=pn2["q"])
     assert lv.shape == tb.shape
     assert np.array_equal(lv, tb)
+
+
+def test_shard_map_batched_transient_no_full_batch():
+    """shard_map transient: the GJ/delta pipeline runs per-shard, and
+    no device holds more than B/n_dev lanes of any batch array."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.parallel.batch import (batch_params,
+                                               batch_state, batch_x)
+    from phy_engine_tpu.parallel.mesh import (
+        make_mesh, sharded_batched_transient_shmap)
+
+    ir = g._build_rectifier()
+    env = g._env()
+    mesh = make_mesh(devices=jax.devices()[:8])
+    B = 16
+    params_b = batch_params(ir, B, jitter={"R": {"r": 0.05}})
+    x_b = batch_x(ir, B)
+    st_b = batch_state(ir, B)
+    t0 = jnp.asarray(0.0, jnp.float64)
+    dt = jnp.asarray(1e-6, jnp.float64)
+
+    x2, st2, ok = sharded_batched_transient_shmap(
+        ir, mesh, params_b, x_b, st_b, env, t0, dt, num_steps=2)
+    assert bool(ok)
+    shard_rows = [s.data.shape[0] for s in x2.addressable_shards]
+    assert max(shard_rows) == B // mesh.devices.size
+
+    # numerical agreement with the unsharded batched path
+    xr, _str, okr, _ = analog.transient_batched(
+        ir, params_b, x_b, st_b, env, t0, dt, 2)
+    assert bool(jnp.all(okr))
+    assert np.allclose(np.asarray(x2), np.asarray(xr), atol=1e-9)
+
+
+def test_tridiag_pcr_matches_dense():
+    import numpy as np
+    import jax.numpy as jnp
+    from phy_engine_tpu.ops.tridiag import tridiag_solve, border_solve
+
+    rng = np.random.default_rng(2)
+    n = 257
+    dl = rng.uniform(-1, 0, n)
+    du = rng.uniform(-1, 0, n)
+    d = np.abs(dl) + np.abs(du) + rng.uniform(0.5, 1.5, n)
+    b = rng.standard_normal(n)
+    A = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+    x_ref = np.linalg.solve(A, b)
+    x = tridiag_solve(jnp.asarray(dl), jnp.asarray(d),
+                      jnp.asarray(du), jnp.asarray(b))
+    assert np.allclose(np.asarray(x), x_ref, rtol=1e-9, atol=1e-9)
+
+    # bordered ladder MNA: N-node chain + one VDC branch
+    N, g_ = 64, 1.0 / 30.0
+    dl2 = np.full(N, -g_)
+    du2 = np.full(N, -g_)
+    dd = np.full(N, 2 * g_)
+    dd[-1] = g_                      # end node: single resistor
+    e = np.zeros(N)
+    e[0] = 1.0                       # VDC drives node 0 (gnd mid-rail)
+    z = np.zeros(N)
+    v, i = border_solve(jnp.asarray(dl2), jnp.asarray(dd),
+                        jnp.asarray(du2), jnp.asarray(z),
+                        jnp.asarray(e), jnp.asarray(3.0))
+    M = np.zeros((N + 1, N + 1))
+    M[:N, :N] = (np.diag(dd) + np.diag(dl2[1:], -1) +
+                 np.diag(du2[:-1], 1))
+    M[:N, N] = e
+    M[N, :N] = e
+    rhs = np.zeros(N + 1)
+    rhs[N] = 3.0
+    ref = np.linalg.solve(M, rhs)
+    assert np.allclose(np.asarray(v), ref[:N], rtol=1e-8, atol=1e-9)
+    assert np.isclose(float(i), ref[N], rtol=1e-8)
