@@ -560,6 +560,7 @@ class DigitalEngine:
         self.su = None
         self.seq_state = None
         self._n_analog = 0
+        self._us_code = None     # Tsu/Th unsteady-state automata
 
     def bind(self, n_analog_nodes: int):
         """Resolve analog node indices; must follow analog lowering."""
@@ -613,6 +614,108 @@ class DigitalEngine:
                               "lc_v": jnp.zeros(k, U32),
                               "lc_u": jnp.full(k, jnp.uint32(FULL))}
         self.seq_state = st
+
+    # -- Tsu/Th unsteady-state automata (and.h:161-363) ----------------------
+
+    def has_unsteady(self) -> bool:
+        ir = self.ir
+        return (ir is not None and ir.samp_sig.size > 0 and
+                ir.samp_tsu is not None and
+                bool(np.any((ir.samp_tsu > 0) | (ir.samp_th > 0))))
+
+    def observe_analog(self, analog_v, t: float) -> None:
+        """Advance the setup/hold unsteady-state automata for
+        threshold-sampled nets at time ``t`` (and.h:161-363: a crossing
+        puts the input in X with the target latched in USR; the target
+        commits only after it has held for Tsu/Th of *transient* time,
+        and reverts if the voltage falls back).  Called at every
+        digital tick and — the per-TR-substep upgrade over the
+        reference's per-tick sampling — at every accepted transient
+        substep, so short X windows and early commits follow the
+        analog trajectory rather than tick endpoints."""
+        if not self.has_unsteady():
+            return
+        ir = self.ir
+        if self._us_code is None:
+            k = ir.samp_sig.size
+            self._us_code = np.full(k, 2, np.int8)   # starts X
+            self._us_usr = np.full(k, 2, np.int8)
+            self._us_mark = np.zeros(k, np.float64)
+        av = np.asarray(analog_v)
+        for i in range(ir.samp_sig.size):
+            tsu = float(ir.samp_tsu[i])
+            th = float(ir.samp_th[i])
+            if tsu <= 0.0 and th <= 0.0:
+                continue                 # plain thresholding (in-jit)
+            nidx = int(ir.samp_node[i])
+            v = float(av[nidx]) if 0 <= nidx < len(av) else 0.0
+            hl = float(ir.samp_hl[i])
+            ll = float(ir.samp_ll[i])
+            if t <= 0.0:
+                # no transient time axis yet (OP interleave): setup/
+                # hold windows are transient-time phenomena, so track
+                # the raw threshold; the automaton takes over from this
+                # settled state once TR advances the clock
+                self._us_code[i] = 1 if v >= hl else (
+                    0 if v <= ll else 2)
+                self._us_usr[i] = 2
+                self._us_mark[i] = 0.0
+                continue
+            code = int(self._us_code[i])
+            usr = int(self._us_usr[i])
+            mark = float(self._us_mark[i])
+            if code == 0:                              # L
+                if v >= hl:
+                    if tsu > 0.0:
+                        code, usr, mark = 2, 1, t
+                    else:
+                        code = 1
+            elif code == 1:                            # H
+                if v <= ll:
+                    if th > 0.0:
+                        code, usr, mark = 2, 0, t
+                    else:
+                        code = 0
+            else:                                      # X
+                if usr == 0:                           # pending L
+                    if v <= ll:
+                        if t - mark >= tsu:
+                            code = 0
+                    else:
+                        code = 1                       # revert
+                elif usr == 1:                         # pending H
+                    if v >= hl:
+                        if t - mark >= th:
+                            code = 1
+                    else:
+                        code = 0                       # revert
+                else:                                  # initial X
+                    if v >= hl:
+                        if t - mark >= th:
+                            code = 1
+                    elif v <= ll:
+                        if t - mark >= tsu:
+                            code = 0
+                    else:
+                        mark = t
+            self._us_code[i] = code
+            self._us_usr[i] = usr
+            self._us_mark[i] = mark
+
+    def _unsteady_forced(self):
+        """(sigs, v, u) overriding the in-jit raw thresholding with the
+        automaton codes for Tsu/Th-active sampled nets."""
+        if self._us_code is None:
+            return None
+        ir = self.ir
+        act = (ir.samp_tsu > 0) | (ir.samp_th > 0)
+        if not act.any():
+            return None
+        code = self._us_code[act]
+        v = np.where(code == 1, np.uint32(FULL), np.uint32(0))
+        u = np.where(code == 2, np.uint32(FULL), np.uint32(0))
+        return (ir.samp_sig[act].astype(np.int32),
+                v.astype(np.uint32), u.astype(np.uint32))
 
     def _forced_arrays(self):
         """Pack INPUT/INPUT8 attribute values into forced-signal arrays."""
@@ -700,6 +803,13 @@ class DigitalEngine:
                                    np.asarray(fu)[None])
             return None
         fs, fv, fu = self._forced_arrays()
+        us = self._unsteady_forced()
+        if us is not None:
+            # the automaton's 4-state codes supersede the jitted raw
+            # thresholding for Tsu/Th-active sampled nets
+            fs = jnp.concatenate([fs, jnp.asarray(us[0])])
+            fv = jnp.concatenate([fv, jnp.asarray(us[1])])
+            fu = jnp.concatenate([fu, jnp.asarray(us[2])])
         if self.ir.vmods:
             vsig, vv, vu = self._run_vmods(np.asarray(analog_v),
                                            (fs, fv, fu))

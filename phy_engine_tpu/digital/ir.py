@@ -79,6 +79,10 @@ class DigitalIR:
     drv_hl: np.ndarray
     node_sig: Dict[int, int]             # id(Node) -> signal
     cyclic_budget: int = 64
+    # setup/hold unsteady-state times per sampled net (and.h:22-23
+    # Tsu/Th); 0 disables the automaton for that net
+    samp_tsu: np.ndarray = None
+    samp_th: np.ndarray = None
     # VERILOG_MODULE host devices: (inst, in_ports, in_sigs, out_ports,
     # out_sigs)
     vmods: List[Tuple] = field(default_factory=list)
@@ -124,7 +128,9 @@ def lower_digital(nl: Netlist) -> Optional[DigitalIR]:
                 s = sig_for_node(None)
                 ll = float(inst.params.get("Ll", 0.0))
                 hl = float(inst.params.get("Hl", 5.0))
-                samp[key] = (s, ll, hl, node)
+                tsu = float(inst.params.get("Tsu", 0.0))
+                th = float(inst.params.get("Th", 0.0))
+                samp[key] = (s, ll, hl, node, tsu, th)
             return samp[key][0]
         return sig_for_node(node)
 
@@ -277,10 +283,12 @@ def lower_digital(nl: Netlist) -> Optional[DigitalIR]:
     # ---- mixed-signal arrays ------------------------------------------------
     samp_list = list(samp.values())
     ns = len(samp_list)
-    samp_sig = np.array([s for s, _, _, _ in samp_list], np.int32)
-    samp_ll = np.array([ll for _, ll, _, _ in samp_list], np.float64)
-    samp_hl = np.array([hl for _, _, hl, _ in samp_list], np.float64)
-    samp_nodes = [n for _, _, _, n in samp_list]
+    samp_sig = np.array([r[0] for r in samp_list], np.int32)
+    samp_ll = np.array([r[1] for r in samp_list], np.float64)
+    samp_hl = np.array([r[2] for r in samp_list], np.float64)
+    samp_nodes = [r[3] for r in samp_list]
+    samp_tsu = np.array([r[4] for r in samp_list], np.float64)
+    samp_th = np.array([r[5] for r in samp_list], np.float64)
 
     nd = len(drives)
     drv_sig = np.array([s for s, _, _, _ in drives], np.int32)
@@ -294,6 +302,7 @@ def lower_digital(nl: Netlist) -> Optional[DigitalIR]:
         vmods=vmods,
         samp_sig=samp_sig, samp_node=np.zeros(ns, np.int32),
         samp_ll=samp_ll, samp_hl=samp_hl,
+        samp_tsu=samp_tsu, samp_th=samp_th,
         drv_sig=drv_sig, drv_node=np.zeros(nd, np.int32),
         drv_ll=drv_ll, drv_hl=drv_hl,
         node_sig=node_sig,

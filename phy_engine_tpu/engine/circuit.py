@@ -266,6 +266,7 @@ class Circuit:
             self.tr_times = self.tr_duration + dt * np.arange(1, num_steps + 1)
             self.tr_duration += num_steps * dt
             self._writeback(np.asarray(x))
+            self._observe_tr_substeps()
         return ok
 
     def _analyze_tr_adaptive(self) -> bool:
@@ -292,6 +293,7 @@ class Circuit:
             self.tr_times = np.asarray(ts)[keep]
             self.tr_duration += self.tr.t_stop
             self._writeback(np.asarray(x))
+            self._observe_tr_substeps()
         return ok
 
     def _omega_grid(self) -> np.ndarray:
@@ -325,9 +327,27 @@ class Circuit:
         if self._digital is None:
             return True
         analog_v = self._node_voltages()
+        # advance the Tsu/Th unsteady-state automata at tick time (TR
+        # substeps between ticks feed them too — _analyze_tr)
+        self._digital.observe_analog(analog_v, self.tr_duration)
         drives = self._digital.tick(analog_v)
         self._drives = drives
         return True
+
+    def _observe_tr_substeps(self):
+        """Feed every accepted TR substep's solution into the digital
+        Tsu/Th automata so setup/hold X windows follow the analog
+        trajectory between ticks (the per-TR-substep upgrade over the
+        reference's per-tick sampling, and.h:161-363)."""
+        eng = self._digital
+        if eng is None or not eng.has_unsteady():
+            return
+        if self.tr_history is None or self.tr_times is None:
+            return
+        n = self._ir.n_nodes
+        for t, row in zip(np.asarray(self.tr_times),
+                          np.asarray(self.tr_history)):
+            eng.observe_analog(row[:n], float(t))
 
     def digital_inputs(self) -> Dict[str, Any]:
         """Named runtime-settable INPUT devices (synth constants are
