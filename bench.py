@@ -198,19 +198,41 @@ def cpu_baseline_sparse():
     return CPU_STEPS / (time.perf_counter() - t_start)
 
 
+def digital_metric():
+    """Digital gate-evals/s record (BASELINE.md north-star metric b),
+    folded into the same JSON line so the driver captures both.  Runs
+    on the HOST (native sweep engine) — no TPU time is consumed."""
+    try:
+        import bench_digital as bd
+        c, clk, rst, port_nets, report, expect = bd.build()
+        n = report.gate_count + report.ff_count
+        cpu = bd.cpu_baseline(n)
+        rate = bd.tpu_run(c, clk, rst, port_nets, n, expect)
+        return {
+            "digital_gate_evals_per_sec": round(rate, 1),
+            "digital_vs_baseline": round(rate / cpu, 2),
+            "digital_workload": "rv32 core, bit-exact program result",
+        }
+    except Exception as e:  # noqa: BLE001 — never sink the analog record
+        return {"digital_error": f"{type(e).__name__}: {e}"}
+
+
 def main():
+    digital = digital_metric()
     # best-of-3: the scalar baseline is sensitive to host contention
     cps_dense = max(cpu_baseline_dense() for _ in range(3))
     cps_sparse = max(cpu_baseline_sparse() for _ in range(3))
     cps_tpu = tpu_run()
-    print(json.dumps({
+    rec = {
         "metric": "transient_newton_circuit_steps_per_sec",
         "value": round(cps_tpu, 1),
         "unit": "circuit-steps/s",
         "vs_baseline": round(cps_tpu / cps_dense, 2),
         "vs_scipy_sparse_lu": round(cps_tpu / cps_sparse, 2),
         "workload": "255-node nonlinear random-link mesh, 256 unknowns",
-    }))
+    }
+    rec.update(digital)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -250,9 +250,14 @@ def _gj_xla(A32, b32):
 
 
 def _pick_tile(B: int, n: int) -> int:
-    """Batch tile so the VMEM slab stays ~<= 4 MB."""
+    """Batch tile so the VMEM slab stays under the cap (default 16 MB;
+    tune with PE_TPU_GJ_VMEM_MB).  Bigger tiles amortize the serial
+    per-column pivot latency over more lanes, which is the dominant
+    cost at n<=512 — the slab just has to fit VMEM alongside the
+    working micro-panels."""
+    cap_mb = int(os.environ.get("PE_TPU_GJ_VMEM_MB", "16"))
     slab_bytes = n * (n + _RHS_PAD) * 4
-    bt = max(1, (4 << 20) // max(slab_bytes, 1))
+    bt = max(1, (cap_mb << 20) // max(slab_bytes, 1))
     bt = 1 << (bt.bit_length() - 1)          # power of two
     while B % bt:
         bt //= 2
