@@ -182,6 +182,34 @@ class Netlist:
     def node_count(self) -> int:
         return len(self.nodes)
 
+    # -- in-place state snapshot/rollback ------------------------------
+    # Identity-preserving undo for optimization tiers: unlike copy(),
+    # outside references to surviving models/nodes (port nets, INPUT /
+    # OUTPUT devices held by the synthesizer) stay valid across a
+    # restore.  Models/nodes created after the snapshot simply drop out
+    # of the lists and are garbage-collected.
+    def state_save(self):
+        mstate = [(m, m.enabled, dict(m.params),
+                   [p.node for p in m.pins])
+                  for m in self.models if m is not None]
+        nstate = [(n, list(n.pins), n.num_of_analog_node)
+                  for n in self.all_nodes()]
+        return (list(self.models), list(self.nodes), mstate, nstate)
+
+    def state_restore(self, snap) -> None:
+        models, nodes, mstate, nstate = snap
+        self.models[:] = models
+        self.nodes[:] = nodes
+        for m, enabled, params, pnodes in mstate:
+            m.enabled = enabled
+            m.params = params
+            for p, nd in zip(m.pins, pnodes):
+                p.node = nd
+        for n, pins, naa in nstate:
+            n.pins[:] = pins
+            n.num_of_analog_node = naa
+        self.touch()
+
     # -- deep copy (reference: netlist copy ctor w/ node remap,
     #    netlist.h:351-536) ---------------------------------------------
     def copy(self) -> "Netlist":

@@ -42,6 +42,65 @@ NB = 128          # panel width = MXU tile
 _RHS_PAD = 128    # the b column rides in a 128-wide lane block
 
 
+def panel_factor(panel, krow, pivd, k0: int):
+    """One-hot-pivot elimination of one (B, n, nb) column panel.
+
+    Eliminates the panel's nb columns in sequence; each eliminated lane
+    slot is overwritten with its factor column so the returned panel is
+    the accumulated transform G (M = I - G·Oᵀ).  ``krow``/``pivd`` are
+    the (B, n) pivot bookkeeping arrays shared across panels.  ``k0``
+    may be a Python int or a traced int32 (the distributed caller
+    passes a traced global column offset).
+
+    Shared by the single-device cores below and the mesh-distributed
+    solver (parallel/dist_gj.py), which broadcasts the factored panel
+    instead of the raw one.
+    """
+    B, n, nb = panel.shape
+    dt = panel.dtype
+    f32 = jnp.float32
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+    k0 = jnp.asarray(k0, jnp.int32)
+
+    def step(j, carry):
+        panel, krow, pivd = carry
+        mask_j = lane_iota == j
+        col = jnp.sum(jnp.where(mask_j, panel, f32(0)), axis=2,
+                      dtype=f32)
+        avail = krow < 0
+        m = jnp.where(avail, jnp.abs(col), f32(-3e38))
+        mmax = jnp.max(m, axis=1, keepdims=True)
+        cand = jnp.where(m == mmax, rows_iota, jnp.int32(2**30))
+        r = jnp.min(cand, axis=1, keepdims=True)
+        onehot = (rows_iota == r).astype(dt)
+        pivval = jnp.sum(onehot * col, axis=1, dtype=f32)
+        pivrow = jnp.sum(onehot[:, :, None] * panel, axis=1, dtype=f32)
+        f = col / pivval[:, None] * (f32(1) - onehot)
+        panel = panel - f[:, :, None] * pivrow[:, None, :]
+        panel = jnp.where(mask_j, f[:, :, None], panel)
+        krow = jnp.where(onehot > f32(0.5), k0 + j, krow)
+        pivd = pivd + onehot * (pivval[:, None] - f32(1))
+        return panel, krow, pivd
+
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), step,
+                             (panel, krow, pivd))
+
+
+def trailing_update(O, G, T):
+    """MXU rank-nb update  T -= G · (Oᵀ · T)  for one trailing block.
+
+    O: (B, n, nb) one-hot pivot selectors, G: (B, n, nb) factor panel,
+    T: (B, n, m) trailing column block (or RHS block)."""
+    R = jax.lax.dot_general(O, T, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    upd = jax.lax.dot_general(G, R, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    return T - upd.astype(T.dtype)
+
+
 def _gj_core(blocks, n: int, nb: int = NB):
     """Blocked one-hot-pivot Gauss-Jordan over a list of column blocks.
 

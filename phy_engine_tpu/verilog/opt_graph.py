@@ -824,6 +824,11 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
         return new_map
 
     checkpoint(out_map)                  # normalize + re-selection only
+    # factor FIRST: with tt_passes this puts the plain-O2 result into
+    # the best-checkpoint candidate set, so O3 can never lose to O2
+    # when the TT-rewritten graph happens to factor worse than the raw
+    # one (QoR-table monotonicity)
+    out_map = staged("factor", factor_rounds, out_map)
     if tt_passes and binary_ok:
         from .opt_map import cut_rewrite, resub
         out_map = staged("tt_sweep",
@@ -845,7 +850,7 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
         out_map = staged("rewrite2",
                          lambda om: cut_rewrite(bld, om, stats,
                                                 rounds=1), out_map)
-    out_map = staged("factor", factor_rounds, out_map)
+        out_map = staged("factor2", factor_rounds, out_map)
 
     best_g = macro_extract(best_g, stats)
     after = instance_count(best_g)

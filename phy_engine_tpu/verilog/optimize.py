@@ -61,6 +61,8 @@ class OptStats:
         self.omax_summary = ""      # one-line Omax report
         self.passes = []            # (pass, before, after, elapsed_us)
                                     # — pe_synth_report.passes parity
+        self.rounds_rolled_back = 0  # graph-tier rounds undone because
+                                     # the netlist netted out worse
 
     def total(self):
         return (self.removed_gates + self.merged_nets +
@@ -376,19 +378,48 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
     if level >= 2:
         from .opt_graph import optimize_o2
         tt = level >= 3 and binary_ok
-        if level >= 4:
-            from .opt_graph import optimize_omax
-            optimize_omax(nl, protected, stats, binary_ok,
-                          **(omax or {}))
+
+        # The graph tier decides improvement on its *extracted
+        # subgraph* metric, which can diverge from the real netlist
+        # model count (emit loses cross-region sharing that only the
+        # following O1 fixpoint partially recovers), and a round that
+        # inflates the netlist can still unlock a better final state
+        # one round later.  So: let every round run, snapshot the
+        # best-seen netlist (identity-preserving, so the caller's
+        # port/model references survive a restore), and restore the
+        # best at the end — QoR is then monotone in level.
+        def gate_count():
+            return sum(1 for m in nl.live_models()
+                       if m.mdef.digital_op not in ("INPUT", "OUTPUT"))
+
+        best_count = gate_count()
+        best_snap = nl.state_save()
+
+        def consider() -> None:
+            nonlocal best_count, best_snap
+            c = gate_count()
+            if c < best_count:
+                best_count, best_snap = c, nl.state_save()
+
+        # two rounds at every tier: the emit + O1-fixpoint between
+        # graph rounds unlocks reductions a single pass misses
+        # (observed 2431 -> 2224 on the atomic-vector-assign case)
+        for _ in range(2):
+            if not optimize_o2(nl, protected, stats, binary_ok,
+                               tt_passes=tt):
+                break
             o1_fixpoint()
-        else:
-            from .opt_graph import optimize_o2
-            # level 2: iterate the cheap algebraic tier; level >=3: one
-            # round of the heavier TT tier (the sweep converges in one
-            # pass; re-extraction of a 20k netlist is the dominant cost)
-            for _ in range(1 if tt else 2):
-                if not optimize_o2(nl, protected, stats, binary_ok,
-                                   tt_passes=tt):
-                    break
+            consider()
+        if level >= 4:
+            # the multi-start search runs after (and competes against)
+            # the O3 result: omax re-extracts the current netlist as
+            # its base cost and emits only strict improvements
+            from .opt_graph import optimize_omax
+            if optimize_omax(nl, protected, stats, binary_ok,
+                             **(omax or {})):
                 o1_fixpoint()
+                consider()
+        if gate_count() > best_count:
+            nl.state_restore(best_snap)
+            stats.rounds_rolled_back += 1
     return stats
