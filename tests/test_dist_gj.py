@@ -1,0 +1,98 @@
+"""Cooperative column-sharded GJ solve over the mesh (dist_gj).
+
+The single-system scale axis: ONE dense system factored cooperatively,
+columns block-cyclic over the devices — no device ever holds the full
+matrix.  Reference analogue: none (its largest solves are single-host,
+`benchmark/0001.models/1000000xR.cpp`); SURVEY §2.5 calls for the
+ICI-sharded solve this provides.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from phy_engine_tpu.ops.gj import NB
+from phy_engine_tpu.parallel.dist_gj import dist_solve, _block_cyclic_perm
+
+
+def _mesh(d=8):
+    devs = np.array(jax.devices()[:d])
+    return Mesh(devs, ("d",))
+
+
+def _rand_system(B, n, seed=0, cond_boost=0.0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((B, n, n))
+    A += (np.sqrt(n) * 4) * np.eye(n)
+    if cond_boost:
+        # wildly varying row/col scales to exercise equilibration
+        A *= np.exp(rng.uniform(-cond_boost, cond_boost, (B, n, 1)))
+        A *= np.exp(rng.uniform(-cond_boost, cond_boost, (B, 1, n)))
+    b = rng.standard_normal((B, n))
+    return A, b
+
+
+def _relerr(x, A, b):
+    xref = np.linalg.solve(A, b[..., None])[..., 0]
+    return np.max(np.abs(np.asarray(x) - xref) / (1 + np.abs(xref)))
+
+
+def test_block_cyclic_perm_is_permutation():
+    for D in (1, 2, 4, 8):
+        p = _block_cyclic_perm(8 * NB, D)
+        assert sorted(p.tolist()) == list(range(8 * NB))
+
+
+def test_dist_solve_batched():
+    mesh = _mesh()
+    A, b = _rand_system(4, 8 * NB, seed=1)
+    x = dist_solve(mesh, A, b, refine=2)
+    assert _relerr(x, A, b) < 1e-10
+
+
+def test_dist_solve_single_system():
+    mesh = _mesh()
+    A, b = _rand_system(1, 8 * NB, seed=2)
+    x = dist_solve(mesh, A[0], b[0], refine=2)
+    assert x.shape == (8 * NB,)
+    assert _relerr(x[None], A, b) < 1e-10
+
+
+def test_dist_solve_badly_scaled():
+    """Power-of-two equilibration keeps wild row/col scales solvable."""
+    mesh = _mesh()
+    A, b = _rand_system(2, 8 * NB, seed=3, cond_boost=12.0)
+    x = dist_solve(mesh, A, b, refine=3)
+    assert _relerr(x, A, b) < 1e-8
+
+
+def test_dist_solve_matches_smaller_mesh():
+    """Same answer on a 2-device sub-mesh (different panel ownership)."""
+    devs = np.array(jax.devices()[:2])
+    mesh2 = Mesh(devs, ("d",))
+    A, b = _rand_system(2, 2 * NB, seed=4)
+    x2 = dist_solve(mesh2, A, b, refine=2)
+    assert _relerr(x2, A, b) < 1e-10
+
+
+def test_dist_solve_sharding_is_real():
+    """Each device holds an (B, n, n/D) column shard, never full A."""
+    mesh = _mesh()
+    n, D = 8 * NB, 8
+    A, b = _rand_system(1, n, seed=5)
+
+    A_bc = jnp.take(jnp.asarray(A), jnp.asarray(_block_cyclic_perm(n, D)),
+                    axis=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    A_bc = jax.device_put(A_bc, NamedSharding(mesh, P(None, None, "d")))
+    for s in A_bc.addressable_shards:
+        assert s.data.shape == (1, n, n // D)
+
+
+def test_dist_solve_rejects_bad_n():
+    mesh = _mesh()
+    A = np.eye(100)[None]
+    with pytest.raises(ValueError):
+        dist_solve(mesh, A, np.ones((1, 100)))
