@@ -139,6 +139,72 @@ def _dist_local(Aloc, b, axis: str, D: int, refine: int):
     return x
 
 
+_DELTA_CACHE = {}
+
+
+def make_dist_delta_solver(mesh: Mesh, n: int, npad: int, axis=None,
+                           refine: int = 2):
+    """Jitted cooperative COO solver: (rows, cols, vals, b) -> x.
+
+    The COO system (replicated, pre-equilibrated, ground dummy at index
+    >= n) is scattered column-sharded: each device keeps ONLY the
+    entries whose block-cyclic column panel it owns and builds an
+    (npad, npad/D) local panel in the work dtype — no device ever
+    materializes the full dense matrix.  The factorization runs in f32
+    on the MXU exactly as in ``dist_solve``; ``refine`` distributed
+    iterative-refinement passes against the work-dtype panels recover
+    full precision (ops/gj solve_batched's f32-factor + f64-residual
+    recipe, distributed).
+
+    Cached per (mesh, axes, n, npad, refine); Newton callers hit the
+    same compiled executable every iteration.
+    """
+    axes = tuple(mesh.axis_names) if axis is None else (
+        (axis,) if isinstance(axis, str) else tuple(axis))
+    key = (mesh, axes, n, npad, refine)
+    if key in _DELTA_CACHE:
+        return _DELTA_CACHE[key]
+    D = int(np.prod([mesh.shape[a] for a in axes]))
+    if npad % (NB * D):
+        raise ValueError(f"npad={npad} must be a multiple of {NB * D}")
+    nloc = npad // D
+    perm = _block_cyclic_perm(npad, D).astype(np.int32)
+    invperm = np.argsort(perm).astype(np.int32)
+    aname = axes[0] if len(axes) == 1 else axes
+
+    def local(rows, cols, vals, b):
+        work = vals.dtype
+        d = jax.lax.axis_index(aname)
+        pos = jnp.take(jnp.asarray(invperm),
+                       jnp.clip(cols, 0, npad - 1).astype(jnp.int32))
+        pan = pos // NB
+        owner = pan % jnp.int32(D)
+        loc = (pan // jnp.int32(D)) * NB + (pos % NB)
+        mine = (rows < n) & (cols < n) & (owner == d)
+        lr = jnp.where(mine, rows.astype(jnp.int32), jnp.int32(npad))
+        lc = jnp.where(mine, loc, jnp.int32(0))
+        Aloc = jnp.zeros((1, npad, nloc), work)
+        Aloc = Aloc.at[0, lr, lc].add(
+            jnp.where(mine, vals, jnp.zeros((), work)), mode="drop")
+        # identity on the padding diagonal (original cols n..npad),
+        # restricted to the columns this device owns
+        lpos = jnp.arange(nloc, dtype=jnp.int32)
+        gpos = (lpos // NB * jnp.int32(D) + d) * NB + (lpos % NB)
+        gcol = jnp.take(jnp.asarray(perm), gpos)
+        prow = jnp.where(gcol >= n, gcol, jnp.int32(npad))
+        Aloc = Aloc.at[0, prow, lpos].add(
+            jnp.where(gcol >= n, 1.0, 0.0).astype(work), mode="drop")
+        x = _dist_local(Aloc, b[None].astype(work),
+                        axis=aname, D=D, refine=refine)
+        return x[0]
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(), P()),
+        out_specs=P(), check_vma=False))
+    _DELTA_CACHE[key] = fn
+    return fn
+
+
 def dist_solve(mesh: Mesh, A, b, axis=None, refine: int = 2):
     """Solve A x = b with A's columns sharded over ``mesh``.
 

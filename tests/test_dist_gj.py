@@ -91,6 +91,54 @@ def test_dist_solve_sharding_is_real():
         assert s.data.shape == (1, n, n // D)
 
 
+def test_newton_solve_dist_matches_engine():
+    """Distributed Newton (instance-sharded stamping + cooperative
+    column-sharded factorization) reproduces the engine's own OP on a
+    nonlinear diode-loaded ladder."""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import RESISTANCE, VDC, PN_JUNCTION
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.parallel.dist_newton import newton_solve_dist
+
+    rng = np.random.default_rng(11)
+    c = pe.Circuit()
+    c.set_analyze_type(pe.AnalyzeType.OP)
+    nl = c.nl
+    N = 300
+    nds = [netops.create_node(nl) for _ in range(N)]
+    gnd = nl.ground_node
+    v = netops.add_model(nl, VDC, {"V": 3.0})
+    netops.add_to_node(nl, v, 0, nds[0])
+    netops.add_to_node(nl, v, 1, gnd)
+    for i in range(N - 1):
+        r = netops.add_model(nl, RESISTANCE,
+                             {"r": float(rng.uniform(20, 200))})
+        netops.add_to_node(nl, r, 0, nds[i])
+        netops.add_to_node(nl, r, 1, nds[i + 1])
+    for i in range(0, N, 23):   # diodes to ground through series Rs
+        d = netops.add_model(nl, PN_JUNCTION, {})
+        rs_ = netops.add_model(nl, RESISTANCE, {"r": 220.0})
+        mid = netops.create_node(nl)
+        netops.add_to_node(nl, rs_, 0, nds[i])
+        netops.add_to_node(nl, rs_, 1, mid)
+        netops.add_to_node(nl, d, 0, mid)
+        netops.add_to_node(nl, d, 1, gnd)
+    assert c.analyze()
+    v_engine = np.array([c.node_voltage(nd).real for nd in nds])
+
+    ir = c.prepare()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    x0 = analog.initial_x(ir, jnp.float64)
+    st0 = analog.initial_state(ir, jnp.float64)
+    x, st, ok = newton_solve_dist(ir, mesh, c._params(), x0, st0,
+                                  c._env_scalars())
+    assert ok
+    idx = {id(nd): i for i, nd in enumerate(ir.node_list)}
+    v_dist = np.array([np.asarray(x)[idx[id(nd)]] for nd in nds])
+    assert np.max(np.abs(v_dist - v_engine)) < 1e-6
+
+
 def test_dist_solve_rejects_bad_n():
     mesh = _mesh()
     A = np.eye(100)[None]
