@@ -39,17 +39,23 @@ exact 4x4 C(v) = dQ/dv, machine-generated and always consistent.
 Status ledger against the reference's own header TODO
 (bsim3v32.h:14-31), item for item:
 
-* Parameter coverage — PARTIAL: ~150 parameters across three waves
+* Parameter coverage — PARTIAL: ~220 parameters across five waves
   (compat prefix + geometry/binning + mobility/Rds/GIDL/II/charge/
-  junction + gate leakage/SCE/DIBL/narrow-width/CLM/SCBE/bin grid);
-  the full Berkeley set (several hundred) is not exhaustive.
+  junction + gate leakage/SCE/DIBL/narrow-width/CLM/SCBE/bin grid +
+  multiplicity/overlap-density/per-junction/recombination/diffusion);
+  still open vs the reference's ~340-name surface: Rd/Rs/Rg/Rb
+  terminal parasitics (need internal-node support in the lowering;
+  rdsMod/rgateMod/rbodyMod selectors), per-junction cap overrides
+  (cjd/cjs/mjd/.../fcd/fcs), and lowercase attribute aliases.
 * Geometry & binning — DONE to the reference's own depth: linear
   lw_scale bin grid over vth0/kp/u0/vsat/ua/ub/uc/nch/phi/gamma/k1/
-  k2/eta0/nfactor/voff/keta/rdsw (bsim3v32.h:762-840 set); NF/M
-  multiplicity and WPE remain open in both implementations.
-* Temperature — PARTIAL: Vth (kt1/kt2), mobility (ute + ua1/ub1/uc1),
-  vsat (at), junction Is (xti/eg), Rds (prt), leakage barriers
-  (Tnom/T); junction-potential/cap tempcos open.
+  k2/eta0/nfactor/voff/keta/rdsw (bsim3v32.h:762-840 set) plus m*nf
+  multiplicity scaling of currents and charges (wave 5,
+  bsim3v32.h:3229,3388); WPE remains open in both implementations.
+* Temperature — DONE to the reference's depth: Vth (kt1/kt2),
+  mobility (ute + ua1/ub1/uc1), vsat (at), junction Is (xti/eg), Rds
+  (prt), leakage barriers (Tnom/T), junction potential/cap tempcos
+  (tcj/tcjsw/tcjswg/tpb/tpbsw/tpbswg, bsim3v32.h:2018-2027).
 * Charge/C-V — PARTIAL: capMod>=1 intrinsic charges with smooth
   blend + xpart partition + accumulation/depletion terms; capMod=3
   full equations open (same stepping-stone level as the reference).
@@ -57,11 +63,20 @@ Status ledger against the reference's own header TODO
   a/b/c/e coefficients, igb-fallback, dwc/dlc area, Tnom/T barrier
   scaling (bsim3v32.h:1069-1131); Berkeley's full Igc partition open.
 * GIDL/GISL — DONE to the reference's subset (wave 2).
-* Junctions — PARTIAL: SPICE-style currents + area/sidewall
-  depletion charges; breakdown and gate-edge components open.
+* Junctions — DONE to the reference's depth: SPICE-style currents
+  with js/jsw/jswg geometry density scaling + per-junction overrides
+  (jsd/jss/jswd/jsws/jswgd/jswgs, isd/iss, nd/ns —
+  bsim3v32.h:1953-1966,3225-3245), recombination currents (isr/nr +
+  jsr/jsrw/jsrwg densities), transit-time diffusion charge
+  (tt/ttd/tts, bsim3v32.h:3248-3263), breakdown forwarded per
+  junction (bvd/ibvd/bvs/ibvs, bsim3v32.h:1921-1926,3340-3347), area
+  + sidewall + gate-edge sidewall depletion charges with tempcos and
+  the fc forward-bias coefficient, dtemp device-temperature delta,
+  cgso/cgdo/cgbo overlap densities gated by acm; charge-conserving
+  full Berkeley junction equations open in both implementations.
 * NQS — OPEN in both implementations.
 * Noise — OPEN in both implementations (no noise analysis in engine).
-* Validation — 99 micro-tests (waves 1-3) mirroring the
+* Validation — 138 micro-tests (waves 1-5) mirroring the
   test/0004.solver + test/0012.ac per-parameter pattern.
 """
 
@@ -128,6 +143,22 @@ _PARAMS = (
     "leta0", "weta0", "peta0", "lnfactor", "wnfactor", "pnfactor",
     "lvoff", "wvoff", "pvoff", "lketa", "wketa", "pketa",
     "lrdsw", "wrdsw", "prdsw",
+    # -- wave 4: junction geometry currents, breakdown, tempcos
+    #    (bsim3v32.h:1921-2027) -----------------------------------------
+    "js", "jsw", "jswg",
+    "bvd", "ibvd", "bvs", "ibvs",
+    "cjswg", "mjswg", "pbswg",
+    "tcj", "tcjsw", "tpb", "tpbsw", "tcjswg", "tpbswg",
+    # -- wave 5: multiplicity, device dtemp, overlap densities,
+    #    per-junction overrides, recombination, diffusion charge
+    #    (bsim3v32.h:1426-1470,1953-2016,3225-3270,3388) --------------
+    "m", "nf", "dtemp",
+    "cgso", "cgdo", "cgbo", "acm", "fc",
+    "tt", "ttd", "tts",
+    "isd", "iss", "nd", "ns",
+    "isr", "nr", "isrd", "isrs", "nrd", "nrs",
+    "jsd", "jss", "jswd", "jsws", "jswgd", "jswgs",
+    "jsr", "jsrw", "jsrwg",
 )
 _DEFAULTS = {p: 0.0 for p in _PARAMS}
 _DEFAULTS.update({
@@ -139,6 +170,14 @@ _DEFAULTS.update({
     "xti": 3.0, "eg": 1.12,
     "tox": 1e-8, "xpart": 0.0,
     "mj": 0.5, "pb": 1.0, "mjsw": 0.33, "pbsw": 1.0,
+    # breakdown enabled at the reference defaults (bvd/bvs 40 V,
+    # ibvd/ibvs 1 mA; <=0 disables — bsim3v32.h:1921-1926)
+    "bvd": 40.0, "ibvd": 1e-3, "bvs": 40.0, "ibvs": 1e-3,
+    # wave 5: m/nf multiplicity default 1; negative per-junction
+    # overrides mean "inherit the base parameter"
+    "m": 1.0, "nf": 1.0, "fc": 0.5, "nr": 2.0,
+    "ttd": -1.0, "tts": -1.0,
+    "isd": -1.0, "iss": -1.0, "isrd": -1.0, "isrs": -1.0,
 })
 _TNOM = 27.0
 _IX = {p: i for i, p in enumerate(_PARAMS)}
@@ -374,11 +413,88 @@ def _gidl(P, weff, a, b, c, e, vg, vx, vb):
     return jnp.where(on, i, 0.0)
 
 
+def _with_dtemp(P):
+    """Fold the per-device temperature delta into the Temp slot
+    (bsim3v32.h:2131 Temp = base + dtemp)."""
+    return P.at[_IX["Temp"]].add(_p(P, "dtemp"))
+
+
+def _mnf_scale(P):
+    """m*nf multiplicity (bsim3v32.h:3229,3388); nonpositive -> 1."""
+    m = jnp.where(_p(P, "m") > 0.0, _p(P, "m"), 1.0)
+    nf = jnp.where(_p(P, "nf") > 0.0, _p(P, "nf"), 1.0)
+    return m * nf
+
+
+def _junction_params(P, weff):
+    """Per-junction saturation/recombination currents + emission
+    slopes (bsim3v32.h:3225-3270 fallback chains + 1953-1966 geometry
+    densities).  Returns (is_d, is_s, nv_d, nv_s, isr_d, isr_s,
+    nvr_d, nvr_s) with temperature scaling applied."""
+    vt = _K_B * (_p(P, "Temp") + _T0) / _Q_E
+    vtnom = _K_B * (_TNOM + _T0) / _Q_E
+    t_ratio = (_p(P, "Temp") + _T0) / (_TNOM + _T0)
+
+    def tfac(n):
+        return t_ratio ** (_p(P, "xti") / n) * \
+            limexp((_p(P, "eg") / n) * (1.0 / vtnom - 1.0 / vt))
+
+    # emission coefficients with per-junction overrides (nd/ns > 0)
+    nj = jnp.maximum(_p(P, "diode_N"), 0.1)
+    nj_d = jnp.where(_p(P, "nd") > 0.0, _p(P, "nd"), nj)
+    nj_s = jnp.where(_p(P, "ns") > 0.0, _p(P, "ns"), nj)
+    nr = jnp.maximum(_p(P, "nr"), 0.1)
+    nr_d = jnp.where(_p(P, "nrd") > 0.0, _p(P, "nrd"), nr)
+    nr_s = jnp.where(_p(P, "nrs") > 0.0, _p(P, "nrs"), nr)
+
+    # saturation currents: density geometry > per-junction Is > Is
+    js_, jsw_, jswg_ = _p(P, "js"), _p(P, "jsw"), _p(P, "jswg")
+    jsd_ = jnp.where(_p(P, "jsd") > 0.0, _p(P, "jsd"), js_)
+    jss_ = jnp.where(_p(P, "jss") > 0.0, _p(P, "jss"), js_)
+    jswd_ = jnp.where(_p(P, "jswd") > 0.0, _p(P, "jswd"), jsw_)
+    jsws_ = jnp.where(_p(P, "jsws") > 0.0, _p(P, "jsws"), jsw_)
+    jswgd_ = jnp.where(_p(P, "jswgd") > 0.0, _p(P, "jswgd"), jswg_)
+    jswgs_ = jnp.where(_p(P, "jswgs") > 0.0, _p(P, "jswgs"), jswg_)
+    use_dens = (jsd_ > 0.0) | (jss_ > 0.0) | (jswd_ > 0.0) | \
+        (jsws_ > 0.0) | (jswgd_ > 0.0) | (jswgs_ > 0.0)
+    is0 = _p(P, "diode_Is")
+    is0_d = jnp.where(_p(P, "isd") >= 0.0, _p(P, "isd"), is0)
+    is0_s = jnp.where(_p(P, "iss") >= 0.0, _p(P, "iss"), is0)
+    is_d = jnp.where(
+        use_dens,
+        jnp.maximum(jsd_ * _p(P, "ad") + jswd_ * _p(P, "pd") +
+                    jswgd_ * weff, 1e-30), is0_d) * tfac(nj_d)
+    is_s = jnp.where(
+        use_dens,
+        jnp.maximum(jss_ * _p(P, "as") + jsws_ * _p(P, "ps") +
+                    jswgs_ * weff, 1e-30), is0_s) * tfac(nj_s)
+
+    # recombination currents (jsr densities > per-junction > isr)
+    jsr_, jsrw_, jsrwg_ = (_p(P, "jsr"), _p(P, "jsrw"),
+                           _p(P, "jsrwg"))
+    use_jsr = (jsr_ > 0.0) | (jsrw_ > 0.0) | (jsrwg_ > 0.0)
+    isr0 = _p(P, "isr")
+    isr0_d = jnp.where(_p(P, "isrd") >= 0.0, _p(P, "isrd"), isr0)
+    isr0_s = jnp.where(_p(P, "isrs") >= 0.0, _p(P, "isrs"), isr0)
+    isr_d = jnp.where(
+        use_jsr,
+        jsr_ * _p(P, "ad") + jsrw_ * _p(P, "pd") + jsrwg_ * weff,
+        isr0_d) * tfac(nr_d)
+    isr_s = jnp.where(
+        use_jsr,
+        jsr_ * _p(P, "as") + jsrw_ * _p(P, "ps") + jsrwg_ * weff,
+        isr0_s) * tfac(nr_s)
+
+    return (is_d, is_s, nj_d * vt, nj_s * vt,
+            isr_d, isr_s, nr_d * vt, nr_s * vt)
+
+
 def _terminal_currents(P, v4, sign):
     """I(d,g,s,b) with symmetric source/drain swap for reverse vds.
 
     ``sign``: +1 NMOS, -1 PMOS (PMOS evaluated in mirrored voltages).
     """
+    P = _with_dtemp(P)
     vd, vg, vs, vb = (sign * v4[0], sign * v4[1],
                       sign * v4[2], sign * v4[3])
     vds = vd - vs
@@ -417,17 +533,31 @@ def _terminal_currents(P, v4, sign):
                     _p(P, "egidl"))
     ig_s = _gidl(P, weff, ag, bg, cg, eg_, vg, vs, vb)
 
-    # bulk junctions (SPICE-style, limexp-clamped) with Is(T) scaling:
-    # Is(T) = Is * (T/Tnom)^(XTI/N) * exp(Eg/N * (1/Vtnom - 1/Vt))
-    nj = jnp.maximum(_p(P, "diode_N"), 0.1)
-    vt = _K_B * (_p(P, "Temp") + _T0) / _Q_E
-    vtnom = _K_B * (_TNOM + _T0) / _Q_E
-    t_ratio = (_p(P, "Temp") + _T0) / (_TNOM + _T0)
-    is_ = _p(P, "diode_Is") * t_ratio ** (_p(P, "xti") / nj) * \
-        limexp((_p(P, "eg") / nj) * (1.0 / vtnom - 1.0 / vt))
-    nv = nj * vt
-    ibs = is_ * (limexp((vb - vs) / nv) - 1.0)
-    ibd = is_ * (limexp((vb - vd) / nv) - 1.0)
+    # bulk junctions (SPICE-style, limexp-clamped): geometry-scaled /
+    # per-junction saturation + recombination currents with Is(T) =
+    # Is * (T/Tnom)^(XTI/N) * exp(Eg/N * (1/Vtnom - 1/Vt)) scaling
+    (is_d, is_s, nv_d, nv_s,
+     isr_d, isr_s, nvr_d, nvr_s) = _junction_params(P, weff)
+    ibs = is_s * (limexp((vb - vs) / nv_s) - 1.0) + \
+        isr_s * (limexp((vb - vs) / nvr_s) - 1.0)
+    ibd = is_d * (limexp((vb - vd) / nv_d) - 1.0) + \
+        isr_d * (limexp((vb - vd) / nvr_d) - 1.0)
+
+    # junction breakdown (bsim3v32.h:1921-1926,3340-3347): forwarded
+    # PN_junction breakdown with Bv_eff = Bv - nv*ln(Ibv/Is) so the
+    # knee sits at Ibv; Bv<=0 or Ibv<=0 disables.
+    def _jbk(v, is_eff, nv, bv, ibv):
+        on = (bv > 0.0) & (ibv > 0.0)
+        is_safe = jnp.maximum(is_eff, 1e-30)
+        bv_eff = bv - nv * jnp.log(jnp.maximum(ibv / is_safe, 1.0))
+        bk = on & (v < -bv_eff)
+        return jnp.where(bk,
+                         -is_eff * limexp(-(bv_eff + v) / nv), 0.0)
+
+    ibd = ibd + _jbk(vb - vd, is_d, nv_d, _p(P, "bvd"),
+                     _p(P, "ibvd"))
+    ibs = ibs + _jbk(vb - vs, is_s, nv_s, _p(P, "bvs"),
+                     _p(P, "ibvs"))
 
     # gate leakage (bsim3v32.h:1069-1131 igb/igs/igd subset):
     # Ig = a * Weff_c * Leff_c * V_eff^2 * exp(-b_T/(V_eff + c)),
@@ -459,20 +589,21 @@ def _terminal_currents(P, v4, sign):
     i_s = -ids - ibs + ig_s - igs
     i_b = ibs + ibd - iii - ig_d - ig_s - igb
     i_g = igb + igs + igd
-    # un-mirror currents for PMOS
-    return sign * jnp.stack([i_d, i_g, i_s, i_b])
+    # m*nf multiplicity, then un-mirror currents for PMOS
+    return (sign * _mnf_scale(P)) * jnp.stack([i_d, i_g, i_s, i_b])
 
 
 # ---------------------------------------------------------------------------
 # charge model: one Q(v) covering overlaps, intrinsic C-V, junctions
 # ---------------------------------------------------------------------------
 
-def _qj(v, cj0, mjq, pbq):
+def _qj(v, cj0, mjq, pbq, fcq=0.5):
     """Depletion charge of a junction cap (SPICE grading), linearized
-    above pb/2 to stay finite in forward bias."""
+    above fc*pb (forward-bias coefficient, default 0.5) to stay finite
+    in forward bias."""
     pbq = jnp.maximum(pbq, 0.1)
     mjq = jnp.clip(mjq, 0.05, 0.95)
-    fc = 0.5 * pbq
+    fc = jnp.clip(fcq, 0.0, 0.95) * pbq
     q_rev = cj0 * pbq / (1.0 - mjq) * \
         (1.0 - jnp.maximum(1.0 - jnp.minimum(v, fc) / pbq,
                            1e-3) ** (1.0 - mjq))
@@ -550,29 +681,76 @@ def _intrinsic_charges(P, vgs, vds, vbs):
 
 def _charges(P, v4, sign):
     """Terminal charges Q(d,g,s,b): overlap + intrinsic + junction."""
+    P = _with_dtemp(P)
     vd, vg, vs, vb = (sign * v4[0], sign * v4[1],
                       sign * v4[2], sign * v4[3])
-    # linear overlap caps (wave-1 surface)
-    qg = (_p(P, "Cgs") * (vg - vs) + _p(P, "Cgd") * (vg - vd) +
-          _p(P, "Cgb") * (vg - vb))
-    qd = _p(P, "Cgd") * (vd - vg)
-    qs = _p(P, "Cgs") * (vs - vg)
-    qb = _p(P, "Cgb") * (vb - vg)
+    # overlap caps: fixed wave-1 surface plus per-width densities
+    # (bsim3v32.h:1426-1470: cgs_ovl = cgso*Weff, cgd_ovl = cgdo*Weff,
+    # cgb_ovl = cgbo*Leff; acm != 0 selects the charge-based overlap
+    # path instead, zeroing the densities)
+    leff_c = jnp.maximum(_p(P, "L") -
+                         2.0 * jnp.maximum(_p(P, "dlc"), 0.0), 1e-18)
+    weff_c = jnp.maximum(_p(P, "W") -
+                         2.0 * jnp.maximum(_p(P, "dwc"), 0.0), 1e-18)
+    dens_on = (_p(P, "acm") == 0.0)
+    cgs_e = _p(P, "Cgs") + jnp.where(dens_on,
+                                     _p(P, "cgso") * weff_c, 0.0)
+    cgd_e = _p(P, "Cgd") + jnp.where(dens_on,
+                                     _p(P, "cgdo") * weff_c, 0.0)
+    cgb_e = _p(P, "Cgb") + jnp.where(dens_on,
+                                     _p(P, "cgbo") * leff_c, 0.0)
+    qg = (cgs_e * (vg - vs) + cgd_e * (vg - vd) + cgb_e * (vg - vb))
+    qd = cgd_e * (vd - vg)
+    qs = cgs_e * (vs - vg)
+    qb = cgb_e * (vb - vg)
     # legacy fixed junction caps
     qb = qb + _p(P, "cjs") * (vb - vs) + _p(P, "cjd") * (vb - vd)
     qs = qs + _p(P, "cjs") * (vs - vb)
     qd = qd + _p(P, "cjd") * (vd - vb)
 
-    # voltage-dependent junction depletion charges (area + sidewall)
-    cj_s = (_p(P, "cj") * _p(P, "as") +
-            0.0)
-    cj_d = _p(P, "cj") * _p(P, "ad")
-    cjsw_s = _p(P, "cjsw") * _p(P, "ps")
-    cjsw_d = _p(P, "cjsw") * _p(P, "pd")
-    qbs = _qj(vb - vs, cj_s, _p(P, "mj"), _p(P, "pb")) + \
-        _qj(vb - vs, cjsw_s, _p(P, "mjsw"), _p(P, "pbsw"))
-    qbd = _qj(vb - vd, cj_d, _p(P, "mj"), _p(P, "pb")) + \
-        _qj(vb - vd, cjsw_d, _p(P, "mjsw"), _p(P, "pbsw"))
+    # voltage-dependent junction depletion charges (area + sidewall +
+    # gate-edge sidewall) with linear tempcos (bsim3v32.h:2018-2027:
+    # cj(T)=cj*(1+tcj*dT), pb(T)=pb*(1+tpb*dT), per component)
+    dT = _p(P, "Temp") - _TNOM
+    cj_t = _p(P, "cj") * (1.0 + _p(P, "tcj") * dT)
+    cjsw_t = _p(P, "cjsw") * (1.0 + _p(P, "tcjsw") * dT)
+    cjswg_t = _p(P, "cjswg") * (1.0 + _p(P, "tcjswg") * dT)
+    pb_t = _p(P, "pb") * (1.0 + _p(P, "tpb") * dT)
+    pbsw_t = _p(P, "pbsw") * (1.0 + _p(P, "tpbsw") * dT)
+    # pbswg <= 0 inherits pbsw (bsim3v32.h:2012-2015 fallback chain)
+    pbswg_0 = jnp.where(_p(P, "pbswg") > 0.0, _p(P, "pbswg"),
+                        _p(P, "pbsw"))
+    pbswg_t = pbswg_0 * (1.0 + _p(P, "tpbswg") * dT)
+    mjswg = jnp.where(_p(P, "mjswg") > 0.0, _p(P, "mjswg"),
+                      _p(P, "mjsw"))
+    weff_cv = jnp.maximum(_p(P, "W") -
+                          2.0 * jnp.maximum(_p(P, "dwc"), 0.0), 1e-18)
+    fc_ = _p(P, "fc")
+    cj_s = cj_t * _p(P, "as")
+    cj_d = cj_t * _p(P, "ad")
+    cjsw_s = cjsw_t * _p(P, "ps")
+    cjsw_d = cjsw_t * _p(P, "pd")
+    cjswg_e = cjswg_t * weff_cv          # gate-edge perimeter = Weff
+    qbs = _qj(vb - vs, cj_s, _p(P, "mj"), pb_t, fc_) + \
+        _qj(vb - vs, cjsw_s, _p(P, "mjsw"), pbsw_t, fc_) + \
+        _qj(vb - vs, cjswg_e, mjswg, pbswg_t, fc_)
+    qbd = _qj(vb - vd, cj_d, _p(P, "mj"), pb_t, fc_) + \
+        _qj(vb - vd, cjsw_d, _p(P, "mjsw"), pbsw_t, fc_) + \
+        _qj(vb - vd, cjswg_e, mjswg, pbswg_t, fc_)
+
+    # diffusion (transit-time) charge q = tt * I_junction(v)
+    # (bsim3v32.h:3248-3263: ttd/tts >= 0 override tt; forwarded to
+    # the internal diodes in the reference)
+    tt_d = jnp.where(_p(P, "ttd") >= 0.0, _p(P, "ttd"), _p(P, "tt"))
+    tt_s = jnp.where(_p(P, "tts") >= 0.0, _p(P, "tts"), _p(P, "tt"))
+    leff_w, weff_w, _Bw = _geom(P)
+    (is_d, is_s, nv_d, nv_s,
+     isr_d, isr_s, nvr_d, nvr_s) = _junction_params(P, weff_w)
+    qbs = qbs + jnp.maximum(tt_s, 0.0) * (
+        is_s * (limexp((vb - vs) / nv_s) - 1.0))
+    qbd = qbd + jnp.maximum(tt_d, 0.0) * (
+        is_d * (limexp((vb - vd) / nv_d) - 1.0))
+
     qb = qb + qbs + qbd
     qs = qs - qbs
     qd = qd - qbd
@@ -589,7 +767,8 @@ def _charges(P, v4, sign):
     qg = qg + jnp.where(on, jnp.where(fwd, qg_f, qg_r), 0.0)
     qs = qs + jnp.where(on, jnp.where(fwd, qs_f, qs_r), 0.0)
     qb = qb + jnp.where(on, jnp.where(fwd, qb_f, qb_r), 0.0)
-    return sign * jnp.stack([qd, qg, qs, qb])
+    # m*nf multiplicity, then un-mirror for PMOS
+    return (sign * _mnf_scale(P)) * jnp.stack([qd, qg, qs, qb])
 
 
 # ---------------------------------------------------------------------------
