@@ -767,6 +767,7 @@ class BitSynth:
         saved_brk = env.get("__brk__")
         saved_cont = env.get("__cont__")
         env["__brk__"] = [C0]
+        truncated = False
         for k in range(limit):
             env["__cont__"] = [C0]
             if do_first and k == 0:
@@ -787,6 +788,25 @@ class BitSynth:
                 act2 = self.ctx.g_and(act, self.ctx.g_not(
                     self.ctx.g_or(brk2, ret2)))
                 self._exec_guarded(act2, step, env, nba)
+        else:
+            # all `limit` copies emitted: check whether the guard is
+            # provably false after the last one
+            c = self.reduce_or(self.lower(cond, env))
+            brk = env["__brk__"][0]
+            ret = env.get("__ret__", [C0])[0]
+            if self.ctx.g_and(c, self.ctx.g_not(
+                    self.ctx.g_or(brk, ret))) is not C0:
+                truncated = True
+        if truncated:
+            # the guard was still (possibly) active after the last
+            # unrolled copy: runtime trips beyond the bound would be
+            # silently dropped, so surface it (the reference's dynamic
+            # loops share exactly this truncation semantics)
+            self.ctx.report.warnings.append(
+                f"dynamic loop unrolled {limit}x and the exit "
+                "condition is not provably reached; raise "
+                "dyn_loop_unroll if the runtime trip count can exceed "
+                "the bound")
         if saved_brk is None:
             env.pop("__brk__", None)
         else:

@@ -323,3 +323,41 @@ endmodule
     codes = read_codes()
     # 0xA vs 0x5 differ in every bit -> all X
     assert all(code == 2 for code in codes), codes
+
+
+def test_dynamic_loop_truncation_warns():
+    """A data-bounded while beyond dyn_loop_unroll surfaces a warning
+    (trips past the bound would be silently dropped otherwise)."""
+    src = """
+module dynloop(input [7:0] a, output reg [7:0] y);
+  reg [7:0] t; integer i;
+  always @* begin
+    t = 0; i = 0;
+    while (i < a) begin t = t + 1; i = i + 1; end
+    y = t;
+  end
+endmodule
+"""
+    _c, _i, _o, _rt, report = synth_harness(src, "dynloop")
+    assert any("dynamic loop" in w for w in report.warnings), \
+        report.warnings
+
+
+def test_static_loop_does_not_warn():
+    """A constant-bounded while folds completely: no warning."""
+    src = """
+module statloop(input [7:0] a, output reg [7:0] y);
+  reg [7:0] t; integer i;
+  always @* begin
+    t = a; i = 0;
+    while (i < 5) begin t = t + 1; i = i + 1; end
+    y = t;
+  end
+endmodule
+"""
+    c, ins, outs, _rt, report = synth_harness(src, "statloop")
+    assert not any("dynamic loop" in w for w in report.warnings), \
+        report.warnings
+    set_input(c, ins, "a", 7)
+    c.digital_clk()
+    assert read_output(c, outs, "y") == 12
