@@ -760,18 +760,26 @@ def backend() -> str:
 
 
 def pick_auto_batch(ir, batch: int) -> str:
-    """auto policy for the batched-instances axis: the vmapped turbo
-    core batches its one-hot gather/scatter matmuls over instances,
-    which amortizes the per-chunk MXU latency that loses on single
-    traces — route to it on TPU at modest batch counts (crossover
-    measured by bench_digital.py's turbo_batch mode); the levelled
-    vmap engine covers everything else."""
+    """auto policy for the batched-instances axis, from the measured
+    crossover (bench_digital.py turbo_batch, BASELINE round 3): on
+    DEEP designs (RV32-class) the vmapped turbo core's aggregate is
+    flat in batch (~8M gate-evals/s at B=32 and B=64 — the sequential
+    per-tick chunk chain dominates), while the native host engine
+    looped over instances sustains 27-35M — so deep designs route to
+    'native' (engine.run_ticks_batched loops it), shallow designs at
+    modest batch route to the turbo core, and the levelled vmap engine
+    covers everything else."""
     try:
         plat = jax.devices()[0].platform
     except Exception:
         plat = "cpu"
-    if plat == "tpu" and batch >= 8 and eligible(ir):
-        return "turbo_xla"
+    if plat == "tpu" and eligible(ir):
+        deep = ir is not None and (len(ir.levels) >= 48 or
+                                   ir.n_signals >= 4096)
+        if deep:
+            return "native"
+        if batch >= 8:
+            return "turbo_xla"
     return "levels"
 
 
