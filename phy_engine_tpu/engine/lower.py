@@ -83,6 +83,24 @@ def lower_analog(nl: Netlist, max_drive_slots: Optional[int] = None) -> AnalogIR
         node_index[id(node)] = node.node_index
         node_list.append(node)
     nl.ground_node.node_index = -1
+
+    # ---- internal nodes (can_generate_internal_node_view role) --------
+    # Models with n_internal > 0 get fresh per-instance nodes appended
+    # to the node region (so gmin conditioning and writeback treat them
+    # exactly like real nets, as in the reference where internal nodes
+    # are ordinary netlist nodes created during prepare()).
+    internal_idx: Dict[int, List[int]] = {}
+    for inst in nl.live_models():
+        if inst.mdef.is_analog and inst.mdef.n_internal:
+            idxs = []
+            for k in range(inst.mdef.n_internal):
+                nd = Node(name=f"{inst.mdef.id_name}.int{k}")
+                nd.num_of_analog_node = 1
+                nd.node_index = len(node_list)
+                node_index[id(nd)] = nd.node_index
+                node_list.append(nd)
+                idxs.append(nd.node_index)
+            internal_idx[id(inst)] = idxs
     n_nodes = len(node_list)
 
     # ---- branch assignment --------------------------------------------
@@ -113,9 +131,11 @@ def lower_analog(nl: Netlist, max_drive_slots: Optional[int] = None) -> AnalogIR
             nonlinear = True
         n = len(instances)
         npins = len(instances[0].pins)
+        nint = mdef.n_internal
         nbr = len(instances[0].branches)
         P = np.zeros((n, max(1, len(mdef.param_order))), dtype=np.float64)
-        pin_nodes = np.full((n, max(1, npins)), -1, dtype=np.int32)
+        pin_nodes = np.full((n, max(1, npins + nint)), -1,
+                            dtype=np.int32)
         br_idx = np.zeros((n, max(1, nbr)), dtype=np.int32)
         a_rows_l, a_cols_l, z_rows_l = [], [], []
         state0: Dict[str, List[float]] = {s: [] for s, _ in mdef.state_vars}
@@ -128,6 +148,9 @@ def lower_analog(nl: Netlist, max_drive_slots: Optional[int] = None) -> AnalogIR
                 if pin.node is not None and not pin.node.is_ground:
                     gi = node_index.get(id(pin.node), -1)
                 pin_nodes[i, j] = gi
+                pidx.append(gi)
+            for k, gi in enumerate(internal_idx.get(id(inst), ())):
+                pin_nodes[i, npins + k] = gi
                 pidx.append(gi)
             bidx = [br.index for br in inst.branches]
             for j, b in enumerate(bidx):

@@ -15,7 +15,8 @@ from .digital_gates import (AND, OR, NOT, YES, XOR, XNOR, NAND, NOR, IMP,
                             FULL_SUBTRACTOR, MUL2, COUNTER4,
                             RANDOM_GENERATOR4)
 from .verilog_module import VERILOG_MODULE, make_verilog_module
-from .bsim3 import BSIM3V32_NMOS, BSIM3V32_PMOS
+from .bsim3 import (BSIM3V32_NMOS, BSIM3V32_PMOS, BSIM3V32_NMOS_RC,
+                    BSIM3V32_PMOS_RC)
 
 __all__ = [n for n in dir() if n.isupper()] + [
     "ModelDef", "DeviceClass", "UpdatePhase", "register",

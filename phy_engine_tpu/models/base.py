@@ -93,6 +93,13 @@ class ModelDef:
     # junction limiting is still active.
     check_conv: Optional[Callable] = None
     nonlinear: bool = False
+    # internal unknowns per instance (the reference's
+    # can_generate_internal_node_view role, model_refs/concept.h):
+    # the lowering allocates n_internal fresh nodes per instance and
+    # appends their indices to the pin vector, so ``stamp`` sees
+    # v = [external pins..., internal nodes...] and ``pattern``
+    # receives the extended pin index list.
+    n_internal: int = 0
 
     # ---- digital metadata ----
     digital_op: Optional[str] = None       # opcode key into digital engine
@@ -105,6 +112,10 @@ class ModelDef:
     # attribute schema: list of externally visible attribute names in
     # reference order (for the index-based set/get_attribute API).
     attrs: Tuple[str, ...] = ()
+    # alternate attribute spellings -> canonical param name (the
+    # reference exposes e.g. both "W" and "w", "diode_Is" and "is";
+    # set/get_attribute resolve through this map).
+    attr_aliases: Dict[str, str] = field(default_factory=dict)
     # devices with variable pin counts (e.g. Verilog modules)
     dynamic_params: bool = False
     pin_names_fn: Optional[Callable] = None

@@ -43,9 +43,11 @@ Status ledger against the reference's own header TODO
   (compat prefix + geometry/binning + mobility/Rds/GIDL/II/charge/
   junction + gate leakage/SCE/DIBL/narrow-width/CLM/SCBE/bin grid +
   multiplicity/overlap-density/per-junction/recombination/diffusion);
-  still open vs the reference's ~340-name surface: Rd/Rs/Rg/Rb
-  terminal parasitics (need internal-node support in the lowering;
-  rdsMod/rgateMod/rbodyMod selectors), per-junction cap overrides
+  Rd/Rs/Rg/Rb terminal parasitics covered by the *_RC internal-node
+  variant (BSIM3_NMOS_RC/BSIM3_PMOS_RC below; the reference gates the
+  same topology per-parameter at prepare(), bsim3v32.h:3380-3400);
+  still open vs the reference's ~340-name surface:
+  rdsMod/rgateMod/rbodyMod selectors, per-junction cap overrides
   (cjd/cjs/mjd/.../fcd/fcs), and lowercase attribute aliases.
 * Geometry & binning — DONE to the reference's own depth: linear
   lw_scale bin grid over vth0/kp/u0/vsat/ua/ub/uc/nch/phi/gamma/k1/
@@ -159,6 +161,9 @@ _PARAMS = (
     "isr", "nr", "isrd", "isrs", "nrd", "nrs",
     "jsd", "jss", "jswd", "jsws", "jswgd", "jswgs",
     "jsr", "jsrw", "jsrwg",
+    # -- terminal parasitics (used by the *_RC internal-node variant;
+    #    bsim3v32.h:3388-3400 rd/rs/rg/rb + rsh*nrd/nrs sheet terms) --
+    "rd", "rs", "rg", "rb", "rsh", "nrd", "nrs",
 )
 _DEFAULTS = {p: 0.0 for p in _PARAMS}
 _DEFAULTS.update({
@@ -851,6 +856,25 @@ _STATE = tuple([("vd", 0.0), ("vg", 0.0), ("vs", 0.0), ("vb", 0.0)] +
                [(f"ch{k}", 0.0) for k in range(4)])
 
 
+# alternate attribute spellings (the reference's get_attribute_name
+# table exposes both cases and long/short junction names,
+# bsim3v32.h:2865+); resolved by ModelInstance.set/get_attribute.
+_ALIASES = {
+    "w": "W", "l": "L", "kp": "Kp", "vth0": "Vth0", "temp": "Temp",
+    "cgs": "Cgs", "cgd": "Cgd", "cgb": "Cgb",
+    "mobMod": "mobmod", "capMod": "capmod",
+    "is": "diode_Is", "n": "diode_N",
+    "diode_Isr": "isr", "diode_Nr": "nr",
+    "diode_Isd": "isd", "diode_Iss": "iss",
+    "diode_Nd": "nd", "diode_Ns": "ns",
+    "diode_Isrd": "isrd", "diode_Isrs": "isrs",
+    "diode_Nrd": "nrd", "diode_Nrs": "nrs",
+    "Rd": "rd", "Rs": "rs", "Rb": "rb",
+    "drainArea": "ad", "sourceArea": "as",
+    "drainPerimeter": "pd", "sourcePerimeter": "ps",
+}
+
+
 def _mk(name, id_name, sign):
     return register(ModelDef(
         name=name, id_name=id_name, device_class=DeviceClass.NONLINEAR,
@@ -860,9 +884,139 @@ def _mk(name, id_name, sign):
         pattern=_pattern, rhs_pattern=_rhs,
         stamp=_make_stamp(sign), ac_stamp=_make_ac_stamp(sign),
         step_update=_make_step_update(sign), nonlinear=True,
-        attrs=_PARAMS,
+        attrs=_PARAMS, attr_aliases=_ALIASES,
     ))
 
 
 BSIM3V32_NMOS = _mk("BSIM3v32 NMOS", "BSIM3_NMOS", +1.0)
 BSIM3V32_PMOS = _mk("BSIM3v32 PMOS", "BSIM3_PMOS", -1.0)
+
+
+# ---------------------------------------------------------------------------
+# parasitic-terminal variant: D/G/S/B series resistances via internal
+# nodes (bsim3v32.h:3388-3400: rd_total = Rd + rsh*nrd etc., stamped as
+# linear resistors between each external terminal and the intrinsic
+# device node; the reference creates the internal nodes conditionally
+# at prepare() — here they are a static model choice, with the
+# resistances floored at 1 uOhm so an unused terminal degenerates to a
+# numerically safe short).
+# ---------------------------------------------------------------------------
+
+_R_FLOOR = 1e-6
+
+
+def _rc_conductances(P):
+    """Per-terminal series conductances g = scale / max(R_eff, floor)
+    in pin order (d, g, s, b)."""
+    scale = _mnf_scale(P)
+    rsh = jnp.maximum(_p(P, "rsh"), 0.0)
+    rd = jnp.maximum(_p(P, "rd"), 0.0) + rsh * \
+        jnp.maximum(_p(P, "nrd"), 0.0)
+    rs = jnp.maximum(_p(P, "rs"), 0.0) + rsh * \
+        jnp.maximum(_p(P, "nrs"), 0.0)
+    rg = jnp.maximum(_p(P, "rg"), 0.0)
+    rb = jnp.maximum(_p(P, "rb"), 0.0)
+    rr = jnp.stack([rd, rg, rs, rb])
+    return scale / jnp.maximum(rr, _R_FLOOR)
+
+
+def _rc_currents(P, v8, sign):
+    """Total currents of the 8-terminal device:
+    v8 = [vd, vg, vs, vb, vd', vg', vs', vb'] (ext then internal);
+    intrinsic BSIM3 evaluated at the internal nodes, series resistors
+    between ext and internal."""
+    g = _rc_conductances(P)
+    i_ser = g * (v8[:4] - v8[4:])               # into ext pins
+    i_int = _terminal_currents(P, v8[4:], sign)
+    return jnp.concatenate([i_ser, i_int - i_ser])
+
+
+def _rc_charges(P, v8, sign):
+    """Terminal charges: intrinsic Q at the internal nodes only."""
+    q_int = _charges(P, v8[4:], sign)
+    return jnp.concatenate([jnp.zeros(4, q_int.dtype), q_int])
+
+
+def _make_rc_stamp(sign):
+    def stamp(P, v, ib, state, ctx):
+        f = lambda v8: _rc_currents(P, v8, sign)
+        i_now = f(v)
+        J = jax.jacfwd(f)(v)
+        ieq = i_now - J @ v
+        a_vals = J.reshape(-1)
+        z_vals = -ieq
+        new_state = dict(state)
+        for k in range(8):
+            new_state[f"v{k}"] = v[k]
+        if ctx.mode == "tr":
+            G = jnp.stack([state[f"cg{k}"] for k in range(64)])
+            h = jnp.stack([state[f"ch{k}"] for k in range(8)])
+            a_vals = a_vals + G
+            z_vals = z_vals - h
+        return a_vals, z_vals, new_state
+    return stamp
+
+
+def _make_rc_step_update(sign):
+    def _step_update(P, v, ib, state, dt, t):
+        out = dict(state)
+        C = jax.jacfwd(lambda v8: _rc_charges(P, v8, sign))(v)
+        G_prev = jnp.stack([state[f"cg{k}"]
+                            for k in range(64)]).reshape(8, 8)
+        h_prev = jnp.stack([state[f"ch{k}"] for k in range(8)])
+        ic_now = G_prev @ v + h_prev
+        G_new = 2.0 * C / dt
+        h_new = -(G_new @ v) - ic_now
+        for k in range(64):
+            out[f"cg{k}"] = G_new.reshape(-1)[k]
+        for k in range(8):
+            out[f"ch{k}"] = h_new[k]
+        return out
+    return _step_update
+
+
+def _make_rc_ac_stamp(sign):
+    def _ac_stamp(P, state, omega):
+        v = jnp.stack([state[f"v{k}"] for k in range(8)])
+        J = jax.jacfwd(lambda v8: _rc_currents(P, v8, sign))(v)
+        C = jax.jacfwd(lambda v8: _rc_charges(P, v8, sign))(v)
+        return (J.reshape(-1), omega * C.reshape(-1),
+                jnp.zeros(8), jnp.zeros(8))
+    return _ac_stamp
+
+
+def _rc_pattern(pins, brs):
+    rows, cols = [], []
+    for r in pins:
+        for c in pins:
+            rows.append(r)
+            cols.append(c)
+    return rows, cols
+
+
+def _rc_rhs(pins, brs):
+    return list(pins)
+
+
+_RC_STATE = tuple([(f"v{k}", 0.0) for k in range(8)] +
+                  [(f"cg{k}", 0.0) for k in range(64)] +
+                  [(f"ch{k}", 0.0) for k in range(8)])
+
+
+def _mk_rc(name, id_name, sign):
+    return register(ModelDef(
+        name=name, id_name=id_name, device_class=DeviceClass.NONLINEAR,
+        pins=("D", "G", "S", "B"), defaults=dict(_DEFAULTS),
+        param_order=_PARAMS,
+        state_vars=_RC_STATE,
+        pattern=_rc_pattern, rhs_pattern=_rc_rhs,
+        stamp=_make_rc_stamp(sign), ac_stamp=_make_rc_ac_stamp(sign),
+        step_update=_make_rc_step_update(sign), nonlinear=True,
+        attrs=_PARAMS, attr_aliases=_ALIASES, n_internal=4,
+    ))
+
+
+BSIM3V32_NMOS_RC = _mk_rc("BSIM3v32 NMOS (terminal parasitics)",
+                          "BSIM3_NMOS_RC", +1.0)
+BSIM3V32_PMOS_RC = _mk_rc("BSIM3v32 PMOS (terminal parasitics)",
+                          "BSIM3_PMOS_RC", -1.0)

@@ -132,6 +132,7 @@ class ModelInstance:
             if not (0 <= key < len(names)):
                 return False
             key = names[key]
+        key = self.mdef.attr_aliases.get(key, key)
         if key not in self.params and not self.mdef.dynamic_params:
             return False
         self.params[key] = value
@@ -143,6 +144,7 @@ class ModelInstance:
             if not (0 <= key < len(names)):
                 return None
             key = names[key]
+        key = self.mdef.attr_aliases.get(key, key)
         return self.params.get(key)
 
     def __repr__(self):  # pragma: no cover
