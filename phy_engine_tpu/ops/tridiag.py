@@ -81,6 +81,449 @@ def tridiag_matvec(dl, d, du, x):
             c * _shift_up(x, 1, zero))
 
 
+def _linrec_scan(coef, add, reverse=False):
+    """First-order linear recurrence  y_i = add_i + coef_i * y_{i-1}
+    (or the reversed orientation) over axis -1 via associative scan:
+    elements (a, b) composing as (a1*a2, b1*a2 + b2).  Log-depth,
+    fully parallel on the VPU; for the same-sign coefficient chains
+    tridiagonal M-matrices produce there is no cancellation, so it
+    keeps sequential Thomas's componentwise stability."""
+    a, b = jax.lax.associative_scan(
+        lambda p, q: (p[0] * q[0], p[1] * q[0] + q[1]),
+        (coef, add), axis=coef.ndim - 1, reverse=reverse)
+    return b
+
+
+class ThomasChunks:
+    """Batched tridiagonal LU (Thomas) over a (C, M) chunk layout.
+
+    The nonlinear pivot recurrence d'_i = d_i - w_i * du_{i-1} is
+    inherently sequential, so it runs ONCE on the host, vectorized
+    across the C chunks (M numpy steps over C-wide rows).  The
+    per-solve forward/backward substitutions are first-order linear
+    recurrences executed on device with ``lax.associative_scan``.
+
+    Unlike PCR, Thomas on diagonally-dominant M-matrices is
+    componentwise stable — the property that lets SPIKE survive
+    global condition numbers ~N^2 (ladder Laplacians at N=1e8 reach
+    cond ~1e16, where any normwise-stable method's tips are pure
+    noise; reference benchmark/0001.models/100000000xR.cpp leans on
+    Eigen SparseLU's equivalent stability)."""
+
+    def __init__(self, dlc, dc, duc, dp=None):
+        if dp is not None:
+            # precision escape hatch: the pivot recurrence is only
+            # marginally stable for ladder Laplacians (d' has a
+            # degenerate fixed point, so per-step error accumulates
+            # ~linearly in M) and TPU's emulated f64 carries
+            # eps~1.6e-15 per step — at M~2e5 the drift reaches the
+            # spike tips and the reduced system blows it up.  A
+            # caller holding host-side coefficients can run the
+            # sequential recurrence in true host f64 and pass dp in;
+            # w and t derive elementwise (no accumulation) on device.
+            dp = jnp.asarray(dp)
+            self.w, self.dpinv, self.t = _thomas_from_dp(
+                jnp.asarray(dlc), jnp.asarray(duc), dp)
+        else:
+            self.w, self.dpinv, self.t = _thomas_factor(
+                jnp.asarray(dlc), jnp.asarray(dc), jnp.asarray(duc))
+        self._solve = jax.jit(_thomas_apply)
+
+    def solve(self, b):
+        """Solve the (batched) chunk systems for b of shape (C, M)."""
+        return self._solve(self.w, self.dpinv, self.t, b)
+
+
+@jax.jit
+def _thomas_from_dp(dlc, duc, dp):
+    """Derive (w, 1/d', t) elementwise from a precomputed pivot
+    diagonal d' (see ThomasChunks.__init__)."""
+    dpinv = 1.0 / dp
+    w = dlc * _shift_down(dpinv, 1, 0.0)   # w_0 = 0 via dlc[:, 0]=0
+    t = duc * dpinv
+    return w, dpinv, t
+
+
+def thomas_pivots_host(dlc, dc, duc):
+    """Sequential pivot recurrence in host f64, vectorized across the
+    chunk axis: d'_i = d_i - (dl_i / d'_{i-1}) du_{i-1}."""
+    import numpy as np
+
+    dlc = np.asarray(dlc)
+    dc = np.asarray(dc)
+    duc = np.asarray(duc)
+    c, m = dc.shape
+    dp = np.empty((c, m))
+    dp[:, 0] = dc[:, 0]
+    for i in range(1, m):
+        dp[:, i] = dc[:, i] - (dlc[:, i] / dp[:, i - 1]) * duc[:, i - 1]
+    return dp
+
+
+@jax.jit
+def _thomas_factor(dlc, dc, duc):
+    """Pivot recurrence d'_i = d_i - w_i du_{i-1} on DEVICE: a
+    lax.scan over the M axis with a C-wide carry (sequential in M,
+    vectorized across chunks).  Keeping this on device means a
+    SpikeFactor built from engine-produced device arrays never
+    round-trips N-sized data over the host link."""
+    du_prev = _shift_down(duc, 1, 0.0)
+
+    def step(dprev, xs):
+        dl_i, d_i, dup_i, du_i = xs
+        w_i = dl_i / dprev
+        dp_i = d_i - w_i * dup_i
+        return dp_i, (w_i, 1.0 / dp_i, du_i / dp_i)
+
+    # scan over M: transpose (C, M) -> (M, C)
+    xs = (dlc.T, dc.T, du_prev.T, duc.T)
+    dp0 = dc[:, 0]
+    w0 = jnp.zeros_like(dp0)
+    _, (wT, dpinvT, tT) = jax.lax.scan(
+        step, dp0, jax.tree_util.tree_map(lambda a: a[1:], xs))
+    w = jnp.concatenate([w0[None], wT], 0).T
+    dpinv = jnp.concatenate([(1.0 / dp0)[None], dpinvT], 0).T
+    t = jnp.concatenate([(duc[:, 0] / dp0)[None], tT], 0).T
+    return w, dpinv, t
+
+
+@jax.jit
+def _thomas_apply(w, dpinv, t, b):
+    y = _linrec_scan(-w, b)                    # forward elimination
+    g = y * dpinv
+    x = _linrec_scan(-t, g, reverse=True)      # back substitution
+    return x
+
+
+class SpikeFactor:
+    """Chunked tridiagonal 'factorization' (SPIKE / block elimination)
+    for huge-N systems where one monolithic PCR would (a) hold too
+    many log2(N)-round temporaries in HBM and (b) accumulate rounding
+    at the global condition number (~N^2 for ladder Laplacians).
+
+    Setup splits the N rows into C chunks of M, precomputes the two
+    coupling spikes V = T_c^{-1} e_0 * a_c and W = T_c^{-1} e_{M-1} *
+    c_c per chunk with batched PCR, and densely inverts the 2C x 2C
+    reduced interface system once on the host.  Each subsequent
+    ``solve(b)`` is one batched-chunk PCR + a 2C matvec + an
+    elementwise combine — O(N log M) work, O(N) live memory.
+
+    Role parity: the reference factors its 10^8-resistor benchmark
+    (benchmark/0001.models/100000000xR.cpp) once with Eigen SparseLU
+    and re-solves; this is the TPU-resident equivalent.
+    """
+
+    def __init__(self, dl, d, du, chunks: int = 2048,
+                 nbatch: int = 1, inner: str = "thomas",
+                 factor_host: bool = False):
+        import numpy as np
+
+        n = int(d.shape[-1])
+        c = int(chunks)
+        assert c % nbatch == 0, (c, nbatch)
+        m = -(-n // c)
+        pad = c * m - n
+        dp_host = None
+        if factor_host and inner == "thomas":
+            # run the precision-critical sequential pivot recurrence
+            # in true host f64 (see ThomasChunks) — callers at
+            # extreme N with host-resident coefficients only
+            def chunked(a, fill):
+                a = np.concatenate(
+                    [np.asarray(a), np.full(pad, fill, np.float64)])
+                return a.reshape(c, m)
+            dlc_h = chunked(dl, 0.0)
+            dlc_h[:, 0] = 0.0
+            duc_h = chunked(du, 0.0)
+            duc_h[:, -1] = 0.0
+            dp_host = thomas_pivots_host(dlc_h, chunked(d, 1.0),
+                                         duc_h)
+            del dlc_h, duc_h
+        # chunk prep is all DEVICE-side jnp: when the coefficient
+        # arrays come from the jitted assembler they never round-trip
+        # the host link (and a host-built bench uploads them once)
+        dl = jnp.asarray(dl)
+        du = jnp.asarray(du)
+        d = jnp.asarray(d)
+        f64 = d.dtype
+        self.n, self.c, self.m, self.pad = n, c, m, pad
+        self.nbatch = nbatch
+        self.inner = inner
+        self.dtype = f64
+        dlc, dc_, duc, a_tip, c_tip = _spike_prep(dl, d, du, pad=pad,
+                                                  c=c, m=m)
+        del dl, du, d
+        self.a_tip = a_tip
+        self.c_tip = c_tip
+        if inner == "thomas":
+            # componentwise-stable inner solver: the spike TIPS set
+            # the entries of the reduced system, whose conditioning
+            # (~C^2 for ladders) amplifies tip error; PCR-grade tips
+            # (~cond_chunk*eps) make the total ~N^2*eps — divergent
+            # at N=1e8 — while Thomas-grade tips keep it ~N^2*eps/M.
+            # The raw dlc/dc/duc are NOT kept on device: the factor
+            # (w, 1/d', t) reproduces T = L*U exactly (to eps) for
+            # the refinement matvec, halving HBM residency at 1e8.
+            self._thomas = ThomasChunks(dlc, dc_, duc, dp=dp_host)
+            self.dlc = self.duc = self.dc = None
+            del dlc, dc_, duc, dp_host
+        else:
+            self._thomas = None
+            self.dlc = dlc
+            self.duc = duc
+            self.dc = dc_
+        e0 = jnp.zeros((c, m), f64).at[:, 0].set(a_tip)
+        self.V = self._chunks_solve(e0)
+        del e0
+        em = jnp.zeros((c, m), f64).at[:, -1].set(c_tip)
+        self.W = self._chunks_solve(em)
+        del em
+        jax.block_until_ready(self.W)
+        # reduced system over [f_0, l_0, f_1, l_1, ...] (size 2C):
+        #   f_c + V_c[0]  l_{c-1} + W_c[0]  f_{c+1} = Y_c[0]
+        #   l_c + V_c[-1] l_{c-1} + W_c[-1] f_{c+1} = Y_c[-1]
+        # Pentadiagonal (bandwidth 2) in this interleaving — LU-factor
+        # it ONCE on the host with LAPACK gbtrf (O(C) work, true f64).
+        # A dense inverse would cap C at a few thousand, and large
+        # chunks are exactly what amplifies per-chunk PCR tip error
+        # into refinement divergence at huge N.
+        V0 = np.asarray(self.V[:, 0])
+        Vm = np.asarray(self.V[:, -1])
+        W0 = np.asarray(self.W[:, 0])
+        Wm = np.asarray(self.W[:, -1])
+        n2 = 2 * c
+        kl = ku = 2
+        ab = np.zeros((2 * kl + ku + 1, n2))   # gbtrf layout
+        def put(i, j, v):
+            ab[kl + ku + i - j, j] = v
+        for k in range(c):
+            put(2 * k, 2 * k, 1.0)
+            put(2 * k + 1, 2 * k + 1, 1.0)
+            if k > 0:
+                put(2 * k, 2 * k - 1, V0[k])
+                put(2 * k + 1, 2 * k - 1, Vm[k])
+            if k + 1 < c:
+                put(2 * k, 2 * k + 2, W0[k])
+                put(2 * k + 1, 2 * k + 2, Wm[k])
+        from scipy.linalg import lapack as _lapack
+        lu, piv, info = _lapack.dgbtrf(ab, kl, ku)
+        assert info == 0, info
+        self._red_lu = (lu, piv, kl, ku)
+        # the big arrays are jit ARGUMENTS, not closures — closures
+        # would be inlined into the HLO as constants (GBs at 1e8)
+        self._stage2 = functools.partial(_spike_stage2, n=self.n)
+        self._matvec = functools.partial(_spike_matvec, pad=self.pad,
+                                         n=self.n)
+
+    def _chunks_solve(self, bchunks):
+        """Solve the decoupled per-chunk systems for (C, M) rhs."""
+        if self._thomas is not None:
+            th = self._thomas
+            if self.nbatch == 1:
+                return _thomas_apply(th.w, th.dpinv, th.t, bchunks)
+            return _thomas_apply_mapped(th.w, th.dpinv, th.t,
+                                        bchunks, nbatch=self.nbatch)
+        return _chunk_solve(self.dlc, self.dc, self.duc, bchunks,
+                            nbatch=self.nbatch)
+
+    def _reduced_solve(self, r):
+        from scipy.linalg import lapack as _lapack
+        import numpy as np
+        lu, piv, kl, ku = self._red_lu
+        u, info = _lapack.dgbtrs(lu, kl, ku, np.asarray(r), piv)
+        assert info == 0, info
+        return u
+
+    def solve(self, b):
+        """Solve T x = b (1-D b of length n).  Three stages: batched
+        per-chunk solves on device, the tiny reduced banded solve on
+        the host (O(C) work, ~128 KB round-trip), elementwise combine
+        on device."""
+        bb = jnp.concatenate(
+            [b, jnp.zeros(self.pad, self.dtype)]).reshape(
+                self.c, self.m)
+        Y = self._chunks_solve(bb)
+        r = _spike_tips(Y)
+        u = self._reduced_solve(r)
+        return self._stage2(Y, self.V, self.W, jnp.asarray(u))
+
+    def matvec(self, x):
+        """y = T x against the chunked representation (for residual
+        refinement without keeping global dl/d/du resident)."""
+        if self._thomas is not None:
+            th = self._thomas
+            return _spike_matvec_lu(th.w, th.dpinv, th.t, self.a_tip,
+                                    self.c_tip, x, pad=self.pad,
+                                    n=self.n)
+        return self._matvec(self.dlc, self.dc, self.duc, self.a_tip,
+                            self.c_tip, x)
+
+
+@functools.partial(jax.jit, static_argnames=("nbatch",))
+def _chunk_solve(dlc, dc, duc, b, *, nbatch=1):
+    """Batched per-chunk tridiagonal solve; with nbatch > 1 the chunk
+    batch is processed in nbatch sequential sub-batches (lax.map) so
+    PCR's log2(M) rounds of temporaries only ever cover C/nbatch
+    chunks of HBM at once."""
+    if nbatch == 1:
+        return tridiag_solve(dlc, dc, duc, b)
+    c, m = dc.shape
+    g = c // nbatch
+    stack = (dlc.reshape(nbatch, g, m), dc.reshape(nbatch, g, m),
+             duc.reshape(nbatch, g, m), b.reshape(nbatch, g, m))
+    out = jax.lax.map(lambda t: tridiag_solve(*t), stack)
+    return out.reshape(c, m)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "c", "m"))
+def _spike_prep(dl, d, du, *, pad, c, m):
+    """Pad to C*M (identity rows), reshape to chunks, zero the
+    inter-chunk coupling entries and return them separately."""
+    f64 = d.dtype
+    dl = jnp.concatenate([dl, jnp.zeros(pad, f64)]).reshape(c, m)
+    du = jnp.concatenate([du, jnp.zeros(pad, f64)]).reshape(c, m)
+    d = jnp.concatenate([d, jnp.ones(pad, f64)]).reshape(c, m)
+    a_tip = dl[:, 0]
+    c_tip = du[:, -1]
+    return (dl.at[:, 0].set(0.0), d, du.at[:, -1].set(0.0),
+            a_tip, c_tip)
+
+
+@functools.partial(jax.jit, static_argnames=("nbatch",))
+def _thomas_apply_mapped(w, dpinv, t, b, *, nbatch):
+    """lax.map over nbatch sub-batches of chunks so the associative-
+    scan temporaries only cover C/nbatch chunks of HBM at once."""
+    c, m = b.shape
+    g = c // nbatch
+    stack = (w.reshape(nbatch, g, m), dpinv.reshape(nbatch, g, m),
+             t.reshape(nbatch, g, m), b.reshape(nbatch, g, m))
+    out = jax.lax.map(lambda a: _thomas_apply(*a), stack)
+    return out.reshape(c, m)
+
+
+@jax.jit
+def _spike_tips(Y):
+    c = Y.shape[0]
+    return jnp.stack([Y[:, 0], Y[:, -1]], axis=-1).reshape(2 * c)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _spike_stage2(Y, V, W, u, *, n):
+    c, m = Y.shape
+    f64 = Y.dtype
+    f = u[0::2]
+    l = u[1::2]
+    l_prev = jnp.concatenate([jnp.zeros(1, f64), l[:-1]])
+    f_next = jnp.concatenate([f[1:], jnp.zeros(1, f64)])
+    x = Y - V * l_prev[:, None] - W * f_next[:, None]
+    return x.reshape(c * m)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "n"))
+def _spike_matvec_lu(w, dpinv, t, a_tip, c_tip, x, *, pad, n):
+    """y = T x reconstructed from the Thomas factor: T = L U with
+    unit-lower-bidiagonal L (subdiag w) and upper-bidiagonal U
+    (diag d' = 1/dpinv, superdiag du = t d')."""
+    c, m = w.shape
+    f64 = w.dtype
+    xx = jnp.concatenate([x, jnp.zeros(pad, f64)]).reshape(c, m)
+    dp = 1.0 / dpinv
+    u = dp * xx + (t * dp) * _shift_up(xx, 1, 0.0)
+    y = u + w * _shift_down(u, 1, 0.0)
+    zero = jnp.zeros(1, f64)
+    x_last_prev = jnp.concatenate([zero, xx[:-1, -1]])
+    x_first_next = jnp.concatenate([xx[1:, 0], zero])
+    y = y.at[:, 0].add(a_tip * x_last_prev)
+    y = y.at[:, -1].add(c_tip * x_first_next)
+    return y.reshape(c * m)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "n"))
+def _spike_matvec(dlc, dc, duc, a_tip, c_tip, x, *, pad, n):
+    c, m = dc.shape
+    f64 = dc.dtype
+    xx = jnp.concatenate([x, jnp.zeros(pad, f64)]).reshape(c, m)
+    y = tridiag_matvec(dlc, dc, duc, xx)
+    zero = jnp.zeros(1, f64)
+    x_last_prev = jnp.concatenate([zero, xx[:-1, -1]])
+    x_first_next = jnp.concatenate([xx[1:, 0], zero])
+    y = y.at[:, 0].add(a_tip * x_last_prev)
+    y = y.at[:, -1].add(c_tip * x_first_next)
+    return y.reshape(c * m)[:n]
+
+
+def spike_border_solve_factor(dl, d, du, e, chunks: int = 2048,
+                              nbatch: int = 1,
+                              factor_host: bool = False):
+    """Precompute for repeated bordered solves at huge N: a
+    SpikeFactor for T plus the Schur pieces for one voltage-source
+    border column e.  Returns (factor, t_e, ete)."""
+    fac = SpikeFactor(dl, d, du, chunks=chunks, nbatch=nbatch,
+                      factor_host=factor_host)
+    e = jax.device_put(e)
+    t_e = fac.solve(e)
+    ete = jnp.sum(e * t_e, axis=-1)
+    return fac, t_e, ete
+
+
+def spike_border_solve_unit_factor(dl, d, du, idx: int = 0,
+                                   chunks: int = 2048,
+                                   nbatch: int = 1,
+                                   inner: str = "thomas",
+                                   factor_host: bool = False):
+    """Like spike_border_solve_factor for the common MNA case where
+    the voltage-source border column is a unit vector at ``idx`` —
+    avoids keeping an N-length e resident (matters at N=1e8)."""
+    fac = SpikeFactor(dl, d, du, chunks=chunks, nbatch=nbatch,
+                      inner=inner, factor_host=factor_host)
+    e = jnp.zeros(fac.n, fac.dtype).at[idx].set(1.0)
+    t_e = fac.solve(e)
+    del e
+    ete = t_e[idx]
+    return fac, t_e, ete
+
+
+def spike_border_solve_unit(fac, t_e, ete, z, rhs_b, idx: int = 0,
+                            refine: int = 2):
+    """Bordered solve with e = unit vector at ``idx`` (see
+    spike_border_solve for the general-e form)."""
+
+    def base(zz, rb):
+        t_z = fac.solve(zz)
+        ii = (t_z[idx] - rb) / ete
+        return t_z - t_e * ii, ii
+
+    v, i = base(z, rhs_b)
+    for _ in range(refine):
+        r1 = (z - fac.matvec(v)).at[idx].add(-i)
+        r2 = rhs_b - v[idx]
+        dv, di = base(r1, r2)
+        v = v + dv
+        i = i + di
+    return v, i
+
+
+def spike_border_solve(fac, t_e, ete, z, e, rhs_b, refine: int = 2):
+    """Bordered solve via a prebuilt SpikeFactor (same semantics as
+    ``border_solve``); the ``refine`` global-residual passes use the
+    factor's chunked matvec so the caller never needs the global
+    dl/d/du resident on device."""
+
+    def base(zz, rb):
+        t_z = fac.solve(zz)
+        ii = (jnp.sum(e * t_z, axis=-1) - rb) / ete
+        return t_z - t_e * ii[..., None], ii
+
+    v, i = base(z, rhs_b)
+    for _ in range(refine):
+        r1 = z - fac.matvec(v) - e * i[..., None]
+        r2 = rhs_b - jnp.sum(e * v, axis=-1)
+        dv, di = base(r1, r2)
+        v = v + dv
+        i = i + di
+    return v, i
+
+
 def border_solve(dl, d, du, z, e, rhs_b, refine: int = 2):
     """Solve the bordered system  [T e; e^T 0] [v; i] = [z; rhs_b]
     (one voltage-source branch over a tridiagonal MNA core) via the

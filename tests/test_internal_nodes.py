@@ -139,3 +139,58 @@ def test_attribute_aliases():
     assert m.set_attribute("capMod", 1.0)
     assert m.get_attribute("capmod") == 1.0
     assert not m.set_attribute("no_such_param", 1.0)
+
+
+def test_rc_ac_small_signal():
+    """AC through the 8-terminal parasitic stamp: a common-source
+    stage has finite low-frequency gain and Cgd Miller roll-off at
+    high frequency (validates J + jwC of the *_RC ac_stamp)."""
+    from phy_engine_tpu.models import VAC
+    from phy_engine_tpu.engine.circuit import AnalyzeType, ACSweepType
+
+    def build():
+        c = pe.Circuit()
+        nl = c.nl
+        vdd_n = netops.create_node(nl)
+        d_n = netops.create_node(nl)
+        g_n = netops.create_node(nl)
+        gb_n = netops.create_node(nl)
+        gnd = nl.ground_node
+        vdd = netops.add_model(nl, VDC, {"V": 3.0})
+        netops.add_to_node(nl, vdd, 0, vdd_n)
+        netops.add_to_node(nl, vdd, 1, gnd)
+        vb = netops.add_model(nl, VDC, {"V": 1.0})
+        netops.add_to_node(nl, vb, 0, gb_n)
+        netops.add_to_node(nl, vb, 1, gnd)
+        vac = netops.add_model(nl, VAC, {"Vp": 1.0})
+        netops.add_to_node(nl, vac, 0, g_n)
+        netops.add_to_node(nl, vac, 1, gb_n)
+        rl = netops.add_model(nl, RESISTANCE, {"r": 10e3})
+        netops.add_to_node(nl, rl, 0, vdd_n)
+        netops.add_to_node(nl, rl, 1, d_n)
+        m = netops.add_model(nl, BSIM3V32_NMOS_RC,
+                             {"W": 10e-6, "L": 1e-6, "Kp": 2e-4,
+                              "Vth0": 0.7, "rd": 200.0,
+                              "Cgd": 5e-12})
+        netops.add_to_node(nl, m, 0, d_n)
+        netops.add_to_node(nl, m, 1, g_n)
+        netops.add_to_node(nl, m, 2, gnd)
+        netops.add_to_node(nl, m, 3, gnd)
+        return c, d_n
+
+    def gain(w):
+        c, d_n = build()
+        c.set_analyze_type(AnalyzeType.AC)
+        c.ac.sweep = ACSweepType.SINGLE
+        c.ac.omega = w
+        assert c.analyze()
+        return abs(c.node_voltage(d_n))
+
+    h_lo = gain(1e3)
+    assert np.isfinite(h_lo) and h_lo > 1.0   # real gain at low freq
+    # past the output pole 1/(RL*Cgd) = 2e7 rad/s -> roll-off bites
+    h_mid = gain(8e7)
+    assert h_mid < 0.7 * h_lo
+    # w -> inf: Cgd feeds the gate signal straight through, |H| -> 1
+    h_hi = gain(1e10)
+    assert 0.5 < h_hi < 2.0

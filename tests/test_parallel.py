@@ -463,3 +463,58 @@ endmodule
     got = c2.digital_run_batch([sched_for(ms2, b) for b in range(B)],
                                watch_nodes=pn2["q"])
     assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_spike_factor_matches_dense():
+    """SPIKE chunked tridiagonal factorization (ops/tridiag.py
+    SpikeFactor) matches a dense solve, including the bordered
+    voltage-source form used by the 1e8-resistor ladder benchmark
+    (reference benchmark/0001.models/100000000xR.cpp role)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from phy_engine_tpu.ops.tridiag import (
+        SpikeFactor, spike_border_solve, spike_border_solve_factor)
+
+    rng = np.random.default_rng(7)
+    n = 1003                                # non-multiple of chunks
+    dl = rng.uniform(-1, 0, n)
+    du = rng.uniform(-1, 0, n)
+    d = np.abs(dl) + np.abs(du) + rng.uniform(0.5, 1.5, n)
+    b = rng.standard_normal(n)
+    A = np.diag(d) + np.diag(dl[1:], -1) + np.diag(du[:-1], 1)
+    x_ref = np.linalg.solve(A, b)
+    fac = SpikeFactor(jnp.asarray(dl), jnp.asarray(d),
+                      jnp.asarray(du), chunks=8)
+    x = fac.solve(jnp.asarray(b))
+    assert np.allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-9)
+
+    # bordered ladder MNA through the SPIKE path
+    N, g_ = 400, 1.0 / 30.0
+    dl2 = np.full(N, -g_)
+    du2 = np.full(N, -g_)
+    dd = np.full(N, 2 * g_)
+    dd[0] = g_
+    e = np.zeros(N)
+    e[0] = 1.0
+    z = np.zeros(N)
+    fac2, t_e, ete = spike_border_solve_factor(
+        jnp.asarray(dl2), jnp.asarray(dd), jnp.asarray(du2),
+        jnp.asarray(e), chunks=16, nbatch=4)
+    v, i = spike_border_solve(fac2, t_e, ete, jnp.asarray(z),
+                              jnp.asarray(e), jnp.asarray(3.0))
+    # chunked matvec agrees with the dense operator
+    xprobe = rng.standard_normal(N)
+    yref = (np.diag(dd) + np.diag(dl2[1:], -1) +
+            np.diag(du2[:-1], 1)) @ xprobe
+    ygot = np.asarray(fac2.matvec(jnp.asarray(xprobe)))
+    assert np.allclose(ygot, yref, rtol=1e-10, atol=1e-12)
+    M = np.zeros((N + 1, N + 1))
+    M[:N, :N] = (np.diag(dd) + np.diag(dl2[1:], -1) +
+                 np.diag(du2[:-1], 1))
+    M[:N, N] = e
+    M[N, :N] = e
+    rhs = np.zeros(N + 1)
+    rhs[N] = 3.0
+    ref = np.linalg.solve(M, rhs)
+    assert np.allclose(np.asarray(v), ref[:N], rtol=1e-8, atol=1e-9)
+    assert np.isclose(float(i), ref[N], rtol=1e-8)
