@@ -851,7 +851,8 @@ class DigitalEngine:
             mode = turbo.pick_auto(self.ir)
         if mode in ("native", "turbo", "turbo_xla"):
             ok = turbo.eligible(self.ir)
-            if ok and mode == "native":
+            if mode == "native" and \
+                    turbo.eligible(self.ir, allow_cyclic=True):
                 from . import native_run
                 if native_run.available():
                     return self._run_ticks_native(forced_sig, forced_v,
@@ -907,7 +908,7 @@ class DigitalEngine:
             mode = turbo.pick_auto(self.ir)
         if mode == "native" and not self.ir.vmods and \
                 not self.ir.samp_sig.size and not self.ir.drv_sig.size \
-                and turbo.eligible(self.ir):
+                and turbo.eligible(self.ir, allow_cyclic=True):
             from . import native_run
             ok = native_run.available()
         self._native_tick_flag = ok
@@ -995,7 +996,7 @@ class DigitalEngine:
             mode = turbo.pick_auto_batch(self.ir,
                                          int(_np.shape(FV)[0]))
         if mode == "native" and mesh is None and not self.ir.vmods \
-                and turbo.eligible(self.ir):
+                and turbo.eligible(self.ir, allow_cyclic=True):
             from . import native_run
             if native_run.available():
                 plan = getattr(self, "_native_plan", None)

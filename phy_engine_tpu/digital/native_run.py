@@ -96,8 +96,41 @@ class NativePlan:
             self._next[0] += 1
             return t
 
-        self.cone = _flat_gates(_input_cone_levels(ir), alloc_temp)
-        self.full = _flat_gates(ir.levels, alloc_temp)
+        # cyclic (gate-level latch) segments: flat per-segment tables
+        # evaluated gather-then-write (Jacobi) and iterated to fixpoint
+        # with the levels engine's budget — see pe_digital.cpp
+        self.fix_budget = int(ir.cyclic_budget) if ir.cyclic else 0
+        cy_ops, cy_a, cy_b, cy_o, cy_seg = [], [], [], [], [0]
+        if ir.cyclic:
+            from .turbo import _GEN2_ENC
+            for seg in ir.cyclic:
+                two = seg.inputs.shape[1] > 1 and \
+                    seg.op not in ("NOT", "YES", "IS_UNKNOWN")
+                ia, ib, io, core = _GEN2_ENC[seg.op]
+                enc = core | ia << 3 | ib << 4 | io << 5
+                for g in range(len(seg.outputs)):
+                    a = int(seg.inputs[g][0])
+                    b = int(seg.inputs[g][1]) if two else a
+                    cy_ops.append(enc)
+                    cy_a.append(a)
+                    cy_b.append(b)
+                    cy_o.append(int(seg.outputs[g][0]))
+                cy_seg.append(len(cy_ops))
+        self.cyc = (np.array(cy_ops, np.int32), np.array(cy_a, np.int32),
+                    np.array(cy_b, np.int32), np.array(cy_o, np.int32))
+        self.cyc_seg = np.array(cy_seg, np.int32)
+        self.max_cyc_seg = int(max((b - a for a, b in
+                                    zip(cy_seg, cy_seg[1:])), default=0))
+
+        # with feedback the pre-sequential settle is the FULL program
+        # (engine.py: pre_fused = fused when has_fixpoint), so the
+        # cone/narrow tables alias the full table
+        if ir.cyclic:
+            self.full = _flat_gates(ir.levels, alloc_temp)
+            self.cone = self.full
+        else:
+            self.cone = _flat_gates(_input_cone_levels(ir), alloc_temp)
+            self.full = _flat_gates(ir.levels, alloc_temp)
         self.K = self._next[0]
         self._narrow_cache: Dict[bytes, tuple] = {}
 
@@ -182,9 +215,13 @@ class NativePlan:
         FV = np.ascontiguousarray(FV, np.uint32)
         FU = np.ascontiguousarray(FU, np.uint32)
         fsig = np.ascontiguousarray(fsig, np.int32)
-        varies = ((FV != FV[0]).any(axis=0) |
-                  (FU != FU[0]).any(axis=0))
-        narrow = self._narrow(fsig[varies])
+        if self.fix_budget:
+            # feedback: every tick's pre-settle is the full program
+            narrow = self.full
+        else:
+            varies = ((FV != FV[0]).any(axis=0) |
+                      (FU != FU[0]).any(axis=0))
+            narrow = self._narrow(fsig[varies])
         HV = np.zeros((T, self.S), np.uint32)
         HU = np.zeros((T, self.S), np.uint32)
         _native(self, st, narrow, fsig, FV, FU, HV, HU)

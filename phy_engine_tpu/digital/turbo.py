@@ -89,9 +89,21 @@ _N_ROWS = _R_CORE0 + (_N_CORES - 1)
  _F_LHI, _F_LLO, _F_VALID, _F_RSTEN) = range(12)
 
 
-def eligible(ir: DigitalIR) -> bool:
-    if ir.vmods or ir.cyclic or ir.tick_delays is not None:
+def eligible(ir: DigitalIR, allow_cyclic: bool = False) -> bool:
+    """``allow_cyclic``: the native sweep engine (native_run.py)
+    iterates comb-feedback segments to fixpoint (gate-level latches,
+    matching the levels engine's while_loop), so it may accept cyclic
+    IRs; the Pallas/XLA turbo programs are strictly feed-forward."""
+    if ir.vmods or ir.tick_delays is not None:
         return False
+    if ir.cyclic:
+        if not allow_cyclic:
+            return False
+        for seg in ir.cyclic:
+            # no block macros inside the fixpoint: each cyclic segment
+            # must be a plain 2-input gate row for Jacobi evaluation
+            if seg.op not in _GEN2_ENC:
+                return False
     if ir.samp_sig.size:
         return False
     for seg in ir.seq:

@@ -111,10 +111,12 @@ def get_digital_lib():
                 i32p, i32p, i32p, i32p, ctypes.c_int32,
                 i32p, i32p, i32p, i32p, ctypes.c_int32,
                 i32p, i32p, i32p, i32p, ctypes.c_int32,
+                i32p, i32p, i32p, i32p, i32p, ctypes.c_int32,
+                ctypes.c_int32,
                 i32p, i32p, i32p, i32p, i32p, i32p,
                 i32p, ctypes.c_int32,
                 i32p, ctypes.c_int32, u32p, u32p,
-                u32p, u32p, u64p,
+                u32p, u32p, u64p, u64p, u64p,
             ]
             lib.pe_digital_run.restype = None
             _dlib = lib
@@ -147,17 +149,25 @@ def digital_run(plan, st, narrow, fsig, FV, FU, HV, HU) -> None:
     c_op, c_a, c_b, c_o = plan.cone
     n_op, n_a, n_b, n_o = narrow
     f_op, f_a, f_b, f_o = plan.full
+    cy_op, cy_a, cy_b, cy_o = plan.cyc
+    fix = int(getattr(plan, "fix_budget", 0))
+    snap = np.zeros(plan.K if fix else 1, np.uint64)
+    cy_tmp = np.zeros(max(1, plan.max_cyc_seg), np.uint64)
     lib.pe_digital_run(
         np.int32(plan.K), np.int32(plan.S), np.int32(FV.shape[0]),
         st.ctypes.data_as(u64p),
         ip(c_op), ip(c_a), ip(c_b), ip(c_o), np.int32(len(c_op)),
         ip(n_op), ip(n_a), ip(n_b), ip(n_o), np.int32(len(n_op)),
         ip(f_op), ip(f_a), ip(f_b), ip(f_o), np.int32(len(f_op)),
+        ip(cy_op), ip(cy_a), ip(cy_b), ip(cy_o),
+        ip(plan.cyc_seg), np.int32(len(plan.cyc_seg) - 1),
+        np.int32(fix),
         ip(plan.ff_d), ip(plan.ff_c), ip(plan.ff_r), ip(plan.ff_q),
         ip(plan.ff_lc), ip(plan.ff_ren),
         ip(plan.seg), np.int32(len(plan.seg) - 1),
         ip(fsig), np.int32(FV.shape[1]), up(FV), up(FU),
-        up(HV), up(HU), scratch.ctypes.data_as(u64p))
+        up(HV), up(HU), scratch.ctypes.data_as(u64p),
+        snap.ctypes.data_as(u64p), cy_tmp.ctypes.data_as(u64p))
 
 
 _CSRC = os.path.join(_DIR, "pe_capi.c")

@@ -135,6 +135,27 @@ inline void sweep(const int32_t* op, const int32_t* a, const int32_t* b,
     }
 }
 
+// Comb-feedback (gate-level latch) segments, evaluated with the
+// levels engine's exact semantics: per segment, all gates read the
+// PRE-segment state (Jacobi gather-then-write); segments apply
+// sequentially; the whole pass (levels sweep + cyclic segments)
+// repeats until the state stops changing or fix_budget passes ran —
+// mirroring engine.py's lax.while_loop over comb_pass.
+inline void jacobi_segments(const int32_t* cy_op, const int32_t* cy_a,
+                            const int32_t* cy_b, const int32_t* cy_o,
+                            const int32_t* cy_seg, int32_t n_cy_seg,
+                            uint64_t* st, uint64_t* tmp) {
+    for (int32_t s = 0; s < n_cy_seg; ++s) {
+        const int32_t i0 = cy_seg[s], i1 = cy_seg[s + 1];
+        for (int32_t i = i0; i < i1; ++i) {
+            tmp[i - i0] = gate_eval(cy_op[i], st[cy_a[i]], st[cy_b[i]]);
+        }
+        for (int32_t i = i0; i < i1; ++i) {
+            st[cy_o[i]] = tmp[i - i0];
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -143,7 +164,11 @@ extern "C" {
 // HV/HU (T x S, uint32) record the post-tick planes of the first S
 // signals.  The wide cone runs on tick 0 only; the narrow cone on
 // ticks 1..T-1.  FF segment i covers rows [seg[i], seg[i+1]); scratch
-// holds 6 * max_seg_len uint64.
+// holds 6 * max_seg_len uint64.  Cyclic (gate-latch) segments: cy_*
+// flat tables with cy_seg boundaries; fix_budget > 0 bounds the
+// settle-to-fixpoint passes (0 = pure feed-forward, single sweep);
+// snap is a K-word buffer for change detection and cy_tmp holds
+// max-cyclic-segment words for the Jacobi gather.
 void pe_digital_run(
     int32_t K, int32_t S, int32_t T, uint64_t* st,
     const int32_t* wc_op, const int32_t* wc_a, const int32_t* wc_b,
@@ -152,11 +177,15 @@ void pe_digital_run(
     const int32_t* nc_o, int32_t n_narrow,
     const int32_t* full_op, const int32_t* full_a, const int32_t* full_b,
     const int32_t* full_o, int32_t n_full,
+    const int32_t* cy_op, const int32_t* cy_a, const int32_t* cy_b,
+    const int32_t* cy_o, const int32_t* cy_seg, int32_t n_cy_seg,
+    int32_t fix_budget,
     const int32_t* ff_d, const int32_t* ff_c, const int32_t* ff_r,
     const int32_t* ff_q, const int32_t* ff_lc, const int32_t* ff_ren,
     const int32_t* seg, int32_t n_seg,
     const int32_t* fsig, int32_t nf, const uint32_t* FV, const uint32_t* FU,
-    uint32_t* HV, uint32_t* HU, uint64_t* scratch) {
+    uint32_t* HV, uint32_t* HU, uint64_t* scratch,
+    uint64_t* snap, uint64_t* cy_tmp) {
     (void)K;
     for (int32_t t = 0; t < T; ++t) {
         // 1. forced INPUT planes for this tick
@@ -165,11 +194,17 @@ void pe_digital_run(
         for (int32_t i = 0; i < nf; ++i) {
             st[fsig[i]] = (uint64_t)fv[i] | ((uint64_t)fu[i] << 32);
         }
-        // 2. pre-sequential settle of the input cone
+        // 2. pre-sequential settle of the input cone (with feedback
+        // present the cone IS the full program, and the cyclic
+        // segments run once — engine.py's pre_fused single comb_pass)
         if (t == 0) {
             sweep(wc_op, wc_a, wc_b, wc_o, n_wide, st);
         } else {
             sweep(nc_op, nc_a, nc_b, nc_o, n_narrow, st);
+        }
+        if (n_cy_seg) {
+            jacobi_segments(cy_op, cy_a, cy_b, cy_o, cy_seg, n_cy_seg,
+                            st, cy_tmp);
         }
         // 3. flip-flops: per segment, snapshot reads then write
         for (int32_t s = 0; s < n_seg; ++s) {
@@ -215,8 +250,23 @@ void pe_digital_run(
                 st[ff_lc[i]] = (uint64_t)lv2 | ((uint64_t)lu2 << 32);
             }
         }
-        // 4. full combinational settle
+        // 4. full combinational settle; with feedback, repeat the
+        // whole pass until nothing changes or the budget is spent
         sweep(full_op, full_a, full_b, full_o, n_full, st);
+        if (n_cy_seg) {
+            jacobi_segments(cy_op, cy_a, cy_b, cy_o, cy_seg, n_cy_seg,
+                            st, cy_tmp);
+            for (int32_t it = 1; it < fix_budget; ++it) {
+                std::memcpy(snap, st, (size_t)K * sizeof(uint64_t));
+                sweep(full_op, full_a, full_b, full_o, n_full, st);
+                jacobi_segments(cy_op, cy_a, cy_b, cy_o, cy_seg,
+                                n_cy_seg, st, cy_tmp);
+                if (std::memcmp(snap, st,
+                                (size_t)K * sizeof(uint64_t)) == 0) {
+                    break;
+                }
+            }
+        }
         // 5. record history planes
         uint32_t* hv = HV + (size_t)t * S;
         uint32_t* hu = HU + (size_t)t * S;

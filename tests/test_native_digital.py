@@ -41,6 +41,95 @@ def test_native_state_carries_across_runs():
     np.testing.assert_array_equal(joined_u, ref.su)
 
 
+def _build_gate_latch():
+    """4-bit transparent latch from raw gate feedback
+    (q = en·d + ~en·q) + a rotate-ish XOR stage downstream — the
+    comb-loop (ir.cyclic) shape that fp16-class reference units
+    synthesize into via incomplete always@* assignment."""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT, AND, OR, NOT, XOR
+
+    c = pe.Circuit()
+    nl = c.nl
+
+    def wire(*pins):
+        n = netops.create_node(nl)
+        for inst, pi in pins:
+            netops.add_to_node(nl, inst, pi, n)
+        return n
+
+    en = netops.add_model(nl, INPUT, {"boolean": 0.0})
+    n_en = wire((en, 0))
+    inv = netops.add_model(nl, NOT)
+    netops.add_to_node(nl, inv, 0, n_en)
+    n_nen = wire((inv, 1))
+    ins = {"en": [en], "d": []}
+    q_nodes = []
+    for i in range(4):
+        d = netops.add_model(nl, INPUT, {"boolean": 0.0})
+        ins["d"].append(d)
+        n_d = wire((d, 0))
+        g_set = netops.add_model(nl, AND)
+        netops.add_to_node(nl, g_set, 0, n_en)
+        netops.add_to_node(nl, g_set, 1, n_d)
+        n_set = wire((g_set, 2))
+        g_hold = netops.add_model(nl, AND)
+        g_q = netops.add_model(nl, OR)
+        netops.add_to_node(nl, g_q, 0, n_set)
+        n_hold = wire((g_hold, 2), (g_q, 1))
+        n_q = wire((g_q, 2), (g_hold, 1))       # feedback: q -> hold
+        netops.add_to_node(nl, g_hold, 0, n_nen)
+        q_nodes.append(n_q)
+    # downstream comb so the loop output feeds levelled gates too
+    for i in range(3):
+        x = netops.add_model(nl, XOR)
+        netops.add_to_node(nl, x, 0, q_nodes[i])
+        netops.add_to_node(nl, x, 1, q_nodes[i + 1])
+        wire((x, 2))
+    return c, ins, None
+
+
+def _latch_schedule(ins, cycles=10):
+    rng = np.random.default_rng(9)
+    sched = [{}]                     # tick 0: everything X but inputs
+    for _ in range(cycles):
+        d = int(rng.integers(0, 16))
+        base = {ins["d"][i]: (d >> i) & 1 for i in range(4)}
+        opaque = dict(base)
+        opaque[ins["en"][0]] = 0
+        transp = dict(base)
+        transp[ins["en"][0]] = 1
+        sched.append(transp)
+        sched.append(opaque)
+        # change d while opaque: q must hold
+        d2 = int(rng.integers(0, 16))
+        hold = {ins["d"][i]: (d2 >> i) & 1 for i in range(4)}
+        hold[ins["en"][0]] = 0
+        sched.append(hold)
+    return sched
+
+
+def test_native_cyclic_latch_matches_levels():
+    """Gate-feedback latches (ir.cyclic) through the native engine's
+    Jacobi fixpoint match the levels engine bit-exactly, including the
+    initial all-X state."""
+    from phy_engine_tpu.digital import turbo
+
+    c, ins, _pn = _build_gate_latch()
+    c.prepare()
+    ir = c._digital.ir
+    assert ir.cyclic, "test circuit must have comb feedback"
+    assert not turbo.eligible(ir)
+    assert turbo.eligible(ir, allow_cyclic=True)
+
+    a = _run_mode("levels", _build_gate_latch, _latch_schedule)
+    b = _run_mode("native", _build_gate_latch, _latch_schedule)
+    assert a.sv.shape == b.sv.shape
+    np.testing.assert_array_equal(a.sv, b.sv)
+    np.testing.assert_array_equal(a.su, b.su)
+
+
 def test_native_lane_planes():
     """32 independent stimulus lanes through the native engine."""
     from test_turbo import test_turbo_lane_planes_comb as _  # noqa: F401
