@@ -160,6 +160,39 @@ def thomas_pivots_host(dlc, dc, duc):
     return dp
 
 
+def spike_host_pivots(dl, d, du, chunks: int):
+    """Chunked Thomas pivot diagonal d' in TRUE host f64 for
+    ``SpikeFactor(..., dp=...)``.
+
+    Why this exists: on TPU, f64 is software-emulated (eps ~1.6e-15 vs
+    1.1e-16) and the pivot recurrence for ladder Laplacians has a
+    degenerate fixed point — per-step drift is amplified by the chunk
+    condition (~M^2), so device-scan pivots destroy the componentwise
+    accuracy the SPIKE reduced system needs and residual refinement
+    then *diverges* (error ratio > 1; measured r3 at N=1e8).  Inputs
+    are HOST arrays; only the (C, M) pivot table (N*8 bytes) ever
+    crosses the host->device link."""
+    import numpy as np
+
+    dl = np.asarray(dl, np.float64)
+    d = np.asarray(d, np.float64)
+    du = np.asarray(du, np.float64)
+    n = d.shape[-1]
+    c = int(chunks)
+    m = -(-n // c)
+    pad = c * m - n
+
+    def chunked(a, fill):
+        a = np.concatenate([a, np.full(pad, fill, np.float64)])
+        return a.reshape(c, m)
+
+    dlc = chunked(dl, 0.0)
+    dlc[:, 0] = 0.0
+    duc = chunked(du, 0.0)
+    duc[:, -1] = 0.0
+    return thomas_pivots_host(dlc, chunked(d, 1.0), duc)
+
+
 @jax.jit
 def _thomas_factor(dlc, dc, duc):
     """Pivot recurrence d'_i = d_i - w_i du_{i-1} on DEVICE: a
@@ -215,43 +248,45 @@ class SpikeFactor:
 
     def __init__(self, dl, d, du, chunks: int = 2048,
                  nbatch: int = 1, inner: str = "thomas",
-                 factor_host: bool = False):
+                 factor_host: bool = False, dp=None):
         import numpy as np
 
-        n = int(d.shape[-1])
+        n = int(dl.shape[-1])
         c = int(chunks)
         assert c % nbatch == 0, (c, nbatch)
         m = -(-n // c)
         pad = c * m - n
-        dp_host = None
-        if factor_host and inner == "thomas":
+        if dp is not None:
+            assert inner == "thomas", "dp= requires the Thomas inner"
+            assert np.shape(dp) == (c, m), (np.shape(dp), c, m)
+        elif factor_host and inner == "thomas":
             # run the precision-critical sequential pivot recurrence
-            # in true host f64 (see ThomasChunks) — callers at
-            # extreme N with host-resident coefficients only
-            def chunked(a, fill):
-                a = np.concatenate(
-                    [np.asarray(a), np.full(pad, fill, np.float64)])
-                return a.reshape(c, m)
-            dlc_h = chunked(dl, 0.0)
-            dlc_h[:, 0] = 0.0
-            duc_h = chunked(du, 0.0)
-            duc_h[:, -1] = 0.0
-            dp_host = thomas_pivots_host(dlc_h, chunked(d, 1.0),
-                                         duc_h)
-            del dlc_h, duc_h
+            # in true host f64 (see spike_host_pivots) — for callers
+            # at extreme N whose coefficients are host-resident
+            # (device arrays would round-trip the link here; compute
+            # dp yourself from the host originals and pass dp=)
+            dp = spike_host_pivots(np.asarray(dl), np.asarray(d),
+                                   np.asarray(du), c)
         # chunk prep is all DEVICE-side jnp: when the coefficient
         # arrays come from the jitted assembler they never round-trip
         # the host link (and a host-built bench uploads them once)
         dl = jnp.asarray(dl)
         du = jnp.asarray(du)
-        d = jnp.asarray(d)
-        f64 = d.dtype
+        f64 = dl.dtype
         self.n, self.c, self.m, self.pad = n, c, m, pad
         self.nbatch = nbatch
         self.inner = inner
         self.dtype = f64
-        dlc, dc_, duc, a_tip, c_tip = _spike_prep(dl, d, du, pad=pad,
-                                                  c=c, m=m)
+        if dp is not None:
+            # d is never touched on device: w/dpinv/t derive
+            # elementwise from (dlc, duc, dp) — at N=1e8 that is one
+            # 800 MB upload (dp) instead of three plus a host loop
+            dlc, duc, a_tip, c_tip = _spike_prep_lu(dl, du, pad=pad,
+                                                    c=c, m=m)
+            dc_ = None
+        else:
+            dlc, dc_, duc, a_tip, c_tip = _spike_prep(
+                dl, jnp.asarray(d), du, pad=pad, c=c, m=m)
         del dl, du, d
         self.a_tip = a_tip
         self.c_tip = c_tip
@@ -264,9 +299,9 @@ class SpikeFactor:
             # The raw dlc/dc/duc are NOT kept on device: the factor
             # (w, 1/d', t) reproduces T = L*U exactly (to eps) for
             # the refinement matvec, halving HBM residency at 1e8.
-            self._thomas = ThomasChunks(dlc, dc_, duc, dp=dp_host)
+            self._thomas = ThomasChunks(dlc, dc_, duc, dp=dp)
             self.dlc = self.duc = self.dc = None
-            del dlc, dc_, duc, dp_host
+            del dlc, dc_, duc, dp
         else:
             self._thomas = None
             self.dlc = dlc
@@ -376,6 +411,18 @@ def _chunk_solve(dlc, dc, duc, b, *, nbatch=1):
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "c", "m"))
+def _spike_prep_lu(dl, du, *, pad, c, m):
+    """_spike_prep without the main diagonal — for the ``dp=`` path,
+    where d never needs to exist on device."""
+    f64 = dl.dtype
+    dl = jnp.concatenate([dl, jnp.zeros(pad, f64)]).reshape(c, m)
+    du = jnp.concatenate([du, jnp.zeros(pad, f64)]).reshape(c, m)
+    a_tip = dl[:, 0]
+    c_tip = du[:, -1]
+    return dl.at[:, 0].set(0.0), du.at[:, -1].set(0.0), a_tip, c_tip
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "c", "m"))
 def _spike_prep(dl, d, du, *, pad, c, m):
     """Pad to C*M (identity rows), reshape to chunks, zero the
     inter-chunk coupling entries and return them separately."""
@@ -470,12 +517,13 @@ def spike_border_solve_unit_factor(dl, d, du, idx: int = 0,
                                    chunks: int = 2048,
                                    nbatch: int = 1,
                                    inner: str = "thomas",
-                                   factor_host: bool = False):
+                                   factor_host: bool = False,
+                                   dp=None):
     """Like spike_border_solve_factor for the common MNA case where
     the voltage-source border column is a unit vector at ``idx`` —
     avoids keeping an N-length e resident (matters at N=1e8)."""
     fac = SpikeFactor(dl, d, du, chunks=chunks, nbatch=nbatch,
-                      inner=inner, factor_host=factor_host)
+                      inner=inner, factor_host=factor_host, dp=dp)
     e = jnp.zeros(fac.n, fac.dtype).at[idx].set(1.0)
     t_e = fac.solve(e)
     del e

@@ -473,7 +473,8 @@ def test_spike_factor_matches_dense():
     import numpy as np
     import jax.numpy as jnp
     from phy_engine_tpu.ops.tridiag import (
-        SpikeFactor, spike_border_solve, spike_border_solve_factor)
+        SpikeFactor, spike_border_solve, spike_border_solve_factor,
+        spike_host_pivots)
 
     rng = np.random.default_rng(7)
     n = 1003                                # non-multiple of chunks
@@ -487,6 +488,15 @@ def test_spike_factor_matches_dense():
                       jnp.asarray(du), chunks=8)
     x = fac.solve(jnp.asarray(b))
     assert np.allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-9)
+
+    # host-pivot (dp=) path: d never goes to device
+    dp = spike_host_pivots(dl, d, du, 8)
+    fac_h = SpikeFactor(jnp.asarray(dl), None, jnp.asarray(du),
+                        chunks=8, dp=dp)
+    x_h = fac_h.solve(jnp.asarray(b))
+    assert np.allclose(np.asarray(x_h), x_ref, rtol=1e-8, atol=1e-9)
+    yh = np.asarray(fac_h.matvec(jnp.asarray(x_ref)))
+    assert np.allclose(yh, b, rtol=1e-7, atol=1e-8)
 
     # bordered ladder MNA through the SPIKE path
     N, g_ = 400, 1.0 / 30.0
