@@ -567,8 +567,13 @@ class BitSynth:
             a = self.lower(expr[2], env)
             b = self.lower(expr[3], env)
             w = max(len(a), len(b))
-            a = _resize_bits(a, w, False)
-            b = _resize_bits(b, w, False)
+            # equality extends SIGNED iff both operands are signed
+            # (same rule as the ordering comparisons; a signed reg
+            # against a negative integer localparam must sign-extend)
+            sgn = (self._expr_signed(expr[2]) and
+                   self._expr_signed(expr[3]))
+            a = _resize_bits(a, w, sgn)
+            b = _resize_bits(b, w, sgn)
             eqs = [self.ctx.g_xnor(x, y) for x, y in zip(a, b)]
             eq = self.reduce_and(eqs)
             return [eq if o == "==" else self.ctx.g_not(eq)]
@@ -577,8 +582,10 @@ class BitSynth:
             a = self.lower(expr[2], env)
             b = self.lower(expr[3], env)
             w = max(len(a), len(b))
-            a = _resize_bits(a, w, False)
-            b = _resize_bits(b, w, False)
+            sgn = (self._expr_signed(expr[2]) and
+                   self._expr_signed(expr[3]))
+            a = _resize_bits(a, w, sgn)
+            b = _resize_bits(b, w, sgn)
             eqs = [self.ctx.g_case_eq(x, y) for x, y in zip(a, b)]
             eq = self.reduce_and(eqs)
             return [eq if o == "===" else self.ctx.g_not(eq)]

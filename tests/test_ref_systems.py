@@ -31,6 +31,28 @@ for _f in ("snake_dir.v", "snake_food_pick.v", "snake_head_next.v",
            "snake_hit_eat.v", "snake_render.v", "snake_state.v"):
     _CASES.append((os.path.join(_SNAKE_DIR, _f), None, 12))
 
+# reference arithmetic units (test/0020-0025, 0027): every remaining
+# corpus .v the flagship list above doesn't reach
+for _p, _cyc in [
+    ("0020.fp16_calc/fp16_addsub.v", 16),
+    ("0020.fp16_calc/fp16_mul.v", 16),
+    ("0020.fp16_calc/fp16_div.v", 16),
+    ("0020.fp16_calc/fp16_calc.v", 16),
+    ("0021.fp16_fpu/fp16_fpu.v", 16),
+    ("0022.adder/adder8.v", 16),
+    ("0023.fp8/fp8_add.v", 16),
+    ("0023.fp8/fp8_sub.v", 16),
+    ("0023.fp8/fp8_mul.v", 16),
+    ("0023.fp8/fp8_div.v", 16),
+    ("0024.mul2x2/mul2x2.v", 16),
+    ("0025.mul8x8/mul8x8.v", 16),
+    ("0025.mul8x8/mul8x8_serial.v", 24),
+    ("0027.devider/divider8.v", 24),
+]:
+    # top = last module in the file (true for every unit here)
+    _CASES.append((os.path.join("/root/reference/test", _p),
+                   None, _cyc))
+
 
 @pytest.mark.parametrize(
     "path,top,cycles", _CASES,
@@ -41,5 +63,17 @@ def test_reference_system_bit_exact(path, top, cycles):
     src = open(path).read()
     if top is None:
         top = re.findall(r"\bmodule\s+(\w+)", src)[-1]
-    err = run_case(src, top, cycles=cycles, seed=3)
+    # `include resolves like the reference's file resolver: relative
+    # to the including file's directory (fp16_fpu.v pulls
+    # ../0020.fp16_calc/*.v)
+    d = os.path.dirname(path)
+
+    class _Resolver:
+        @staticmethod
+        def get(name):
+            p = os.path.normpath(os.path.join(d, name))
+            return open(p).read() if os.path.exists(p) else None
+
+    err = run_case(src, top, cycles=cycles, seed=3,
+                   includes=_Resolver())
     assert err is None, f"{os.path.basename(path)}[{top}]: {err}"
