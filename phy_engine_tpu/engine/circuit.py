@@ -74,14 +74,24 @@ class Circuit:
                  env: Optional[Environment] = None,
                  dtype=jnp.float64,
                  solver: str = "auto",
-                 sparse_threshold: int = 2048):
+                 sparse_threshold: int = 2048,
+                 mesh=None):
         """``solver``: 'auto' | 'dense' | 'sparse' (env var
         PE_TPU_SOLVER overrides; threshold policy mirrors the
-        reference's CUDA node threshold, circuit.h:115-121)."""
+        reference's CUDA node threshold, circuit.h:115-121).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — OP/DC solves of
+        pure-analog circuits then run fully distributed
+        (instance-sharded stamping + cooperative column-sharded
+        factorization, parallel/dist_newton.py); no device holds the
+        full system.  TR/AC and mixed-signal solves fall back to the
+        single-device path (their companion/drive plumbing is not
+        distributed yet)."""
         import os as _os
         self.nl = netlist if netlist is not None else Netlist()
         self.env = env if env is not None else Environment()
         self.solver = _os.environ.get("PE_TPU_SOLVER", solver)
+        self.mesh = mesh
         self.sparse_threshold = int(_os.environ.get(
             "PE_TPU_SPARSE_THRESHOLD", sparse_threshold))
         self.at = AnalyzeType.OP
@@ -205,16 +215,43 @@ class Circuit:
         ir = self._ir
         params = self._params()
         t0 = time.perf_counter()
-        x, st, ok = _jit_newton(ir, self.dtype, mode, self._method())(
-            params, self._x, self._states,
-            jnp.asarray(self.tr_duration, self.dtype),
-            self._env_scalars(), self._drives)
-        ok = bool(ok)
+        if (self.mesh is not None and mode in ("op", "dc")
+                and self._drives is None):
+            # distributed route: sharded stamping + cooperative
+            # column-sharded factorization over the mesh
+            from ..parallel.dist_newton import newton_solve_dist
+            x, st_pad, okj = newton_solve_dist(
+                ir, self.mesh, params, self._x, self._states,
+                self._env_scalars(), mode=mode, dtype=self.dtype)
+            ok = bool(okj)
+            # decommit from the mesh + drop the instance padding so the
+            # stored solution/state feed later single-device analyses
+            x = jnp.asarray(np.asarray(x), self.dtype)
+            st = self._unpad_states(ir, st_pad) if ok else self._states
+        else:
+            x, st, ok = _jit_newton(ir, self.dtype, mode,
+                                    self._method())(
+                params, self._x, self._states,
+                jnp.asarray(self.tr_duration, self.dtype),
+                self._env_scalars(), self._drives)
+            ok = bool(ok)
         self._profile_solve(mode, t0, x if ok else None, params, st)
         if ok:
             self._x, self._states = x, st
             self._writeback(np.asarray(x))
         return ok
+
+    @staticmethod
+    def _unpad_states(ir, st_pad):
+        """Truncate tp_pad_ir's instance padding back to the real
+        instance counts (and decommit from the mesh)."""
+        out = {}
+        for fam in ir.families:
+            key = fam.mdef.id_name
+            n = len(fam.instances)
+            out[key] = {k: jnp.asarray(np.asarray(v)[:n])
+                        for k, v in st_pad.get(key, {}).items()}
+        return out
 
     def _profile_solve(self, tag: str, t0: float, x, params, states):
         """Env-gated per-solve report (the reference's
@@ -318,6 +355,50 @@ class Circuit:
         # write back the last sweep point like capture_solution_vector
         self._writeback_complex(xs[-1])
         return True
+
+    # -- noise (TPU-native extension; no reference analogue) ----------------
+    def _node_index(self, node: Node) -> int:
+        ir = self.prepare()
+        for i, nd in enumerate(ir.node_list):
+            if nd is node:
+                return i
+        raise ValueError("node is not part of the lowered circuit")
+
+    def noise(self, out_node: Node, src=None):
+        """Small-signal noise sweep over the AC ω grid (SPICE .NOISE).
+
+        ``out_node`` — node whose output voltage noise PSD [V²/Hz] is
+        computed (adjoint-network method, engine/noise.py).  ``src`` —
+        optional input V-source instance; its branch row provides the
+        unit excitation for the input-referred PSD.  Runs an OP first
+        so nonlinear devices hold their bias-point linearizations
+        (same contract as AC, circuit.h:199-209).  Returns a
+        ``NoiseResult`` or None when the bias point fails.
+
+        The reference engine has no noise analysis at all (its
+        bsim3v32.h:28-29 TODO lists the infrastructure as missing);
+        this analysis is an extension past parity.
+        """
+        from .noise import noise_sweep, NoiseResult
+        ir = self.prepare()
+        if not self._analyze_op(mode="op"):
+            return None
+        out_idx = self._node_index(out_node)
+        src_row = None
+        if src is not None:
+            brs = getattr(src, "branches", ())
+            if not brs or brs[0].index < 0:
+                raise ValueError(
+                    "noise src must be a branch device (V source)")
+            src_row = int(brs[0].index)
+        omegas = jnp.asarray(self._omega_grid())
+        env = self._env_scalars()
+        fn = jax.jit(lambda p, x, st, w: noise_sweep(
+            ir, p, x, st, w, out_idx, src_row, env, self.dtype))
+        onoise, gain2, contribs = fn(self._params(), self._x,
+                                     self._states, omegas)
+        return NoiseResult(np.asarray(omegas) / (2.0 * np.pi),
+                           onoise, gain2, contribs)
 
     # -- digital ------------------------------------------------------------
     def digital_clk(self) -> bool:

@@ -101,6 +101,17 @@ class ModelDef:
     # receives the extended pin index list.
     n_internal: int = 0
 
+    # ---- noise hooks (TPU-native extension: the reference has NO
+    #      noise analysis — its own bsim3v32.h:28-29 TODO lists the
+    #      "simulator's noise analysis infrastructure" as missing) ----
+    # noise(P, v, ib, state, env, f) -> (len(noise_pairs),) one-sided
+    # current-noise PSD [A^2/Hz] per source, evaluated at the OP bias
+    # (v = pin voltages incl. internal nodes, ib = branch currents).
+    noise: Optional[Callable] = None
+    # per-source (pin_i, pin_j) index pairs into the instance pin
+    # vector: the noise current source is connected between them.
+    noise_pairs: Tuple[Tuple[int, int], ...] = ()
+
     # ---- digital metadata ----
     digital_op: Optional[str] = None       # opcode key into digital engine
     update_phase: UpdatePhase = UpdatePhase.TABLE

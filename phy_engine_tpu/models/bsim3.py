@@ -46,9 +46,11 @@ Status ledger against the reference's own header TODO
   Rd/Rs/Rg/Rb terminal parasitics covered by the *_RC internal-node
   variant (BSIM3_NMOS_RC/BSIM3_PMOS_RC below; the reference gates the
   same topology per-parameter at prepare(), bsim3v32.h:3380-3400);
-  still open vs the reference's ~340-name surface:
-  rdsMod/rgateMod/rbodyMod selectors, per-junction cap overrides
-  (cjd/cjs/mjd/.../fcd/fcs), and lowercase attribute aliases.
+  wave 6 adds the rdsMod/rgateMod/rbodyMod selectors and the full
+  per-junction depletion-cap override/inherit chains (cjd/cjs,
+  cjswd/s, cjswgd/s, pbd/pbs, pbswd/s, pbswgd/s, mjd/mjs, mjswd/s,
+  mjswgd/s, fcd/fcs — bsim3v32.h:1990-2042); cjd/cjs follow the
+  reference's density-override semantics, not fixed caps.
 * Geometry & binning — DONE to the reference's own depth: linear
   lw_scale bin grid over vth0/kp/u0/vsat/ua/ub/uc/nch/phi/gamma/k1/
   k2/eta0/nfactor/voff/keta/rdsw (bsim3v32.h:762-840 set) plus m*nf
@@ -77,9 +79,16 @@ Status ledger against the reference's own header TODO
   cgso/cgdo/cgbo overlap densities gated by acm; charge-conserving
   full Berkeley junction equations open in both implementations.
 * NQS — OPEN in both implementations.
-* Noise — OPEN in both implementations (no noise analysis in engine).
-* Validation — 138 micro-tests (waves 1-5) mirroring the
-  test/0004.solver + test/0012.ac per-parameter pattern.
+* Noise — DONE here, OPEN in the reference: wave 7 adds channel
+  thermal 8kT(gm+gds+gmb)/3 + flicker kf*Ids^af/(Cox*Leff^2*f^ef)
+  (SPICE2/noiMod=1 forms, kf/af/ef/noimod params), consumed by the
+  engine's adjoint-network noise analysis (engine/noise.py) — the
+  reference's bsim3v32.h:28-29 TODO asks for exactly this
+  infrastructure and never got it; the *_RC variant additionally
+  emits 4kT*g thermal for each real terminal resistance.
+* Validation — 155 micro-tests (waves 1-6) mirroring the
+  test/0004.solver + test/0012.ac per-parameter pattern, plus the
+  noise oracles in tests/test_noise.py.
 """
 
 from __future__ import annotations
@@ -164,6 +173,19 @@ _PARAMS = (
     # -- terminal parasitics (used by the *_RC internal-node variant;
     #    bsim3v32.h:3388-3400 rd/rs/rg/rb + rsh*nrd/nrs sheet terms) --
     "rd", "rs", "rg", "rb", "rsh", "nrd", "nrs",
+    # -- wave 6: per-junction depletion-cap overrides + model
+    #    selectors (bsim3v32.h:1990-2042 inherit chains;
+    #    :983,1642-1645,1833-1834 rdsMod/rgateMod/rbodyMod) ----------
+    "cjswd", "cjsws", "cjswgd", "cjswgs",
+    "pbd", "pbs", "pbswd", "pbsws", "pbswgd", "pbswgs",
+    "mjd", "mjs", "mjswd", "mjsws", "mjswgd", "mjswgs",
+    "fcd", "fcs",
+    "rdsmod", "rgatemod", "rbodymod",
+    # -- wave 7: noise model (SPICE2/noiMod=1 Berkeley set: channel
+    #    thermal 8kT(gm+gds+gmb)/3 + flicker kf*Ids^af/(Cox*Leff^2*f^ef);
+    #    consumed by engine/noise.py — an analysis the reference never
+    #    had, bsim3v32.h:28-29) ----------------------------------------
+    "kf", "af", "ef", "noimod",
 )
 _DEFAULTS = {p: 0.0 for p in _PARAMS}
 _DEFAULTS.update({
@@ -183,6 +205,14 @@ _DEFAULTS.update({
     "m": 1.0, "nf": 1.0, "fc": 0.5, "nr": 2.0,
     "ttd": -1.0, "tts": -1.0,
     "isd": -1.0, "iss": -1.0, "isrd": -1.0, "isrs": -1.0,
+    # wave 6: negative mj*/fc* overrides inherit; <=0 pb* inherit;
+    # zero cj* densities inherit; selectors default ENABLED (1)
+    # (bsim3v32.h:1990-2042,1644-1645,1834)
+    "mjd": -1.0, "mjs": -1.0, "mjswd": -1.0, "mjsws": -1.0,
+    "mjswgd": -1.0, "mjswgs": -1.0, "fcd": -1.0, "fcs": -1.0,
+    "rdsmod": 1.0, "rgatemod": 1.0, "rbodymod": 1.0,
+    # wave 7: Berkeley noise defaults (kf=0 off; noimod=1 SPICE2 form)
+    "af": 1.0, "ef": 1.0, "noimod": 1.0,
 })
 _TNOM = 27.0
 _IX = {p: i for i, p in enumerate(_PARAMS)}
@@ -356,11 +386,14 @@ def _core(P, vgs, vds, vbs):
                              (2.0 * vgst2)) * vdseff
     ids0 = ids0 / (1.0 + vdseff / esat_l)
 
-    # series resistance fold (bsim3v32.h:985-1000): rdsw [Ohm*um]
+    # series resistance fold (bsim3v32.h:985-1000): rdsw [Ohm*um];
+    # rdsMod == 0 disables the internal Rds model entirely
+    # (bsim3v32.h:983,1833-1834)
     rdsw = B["rdsw"] * (1.0 + _p(P, "prt") * (t_ratio - 1.0))
     rds = rdsw * (1.0 + _p(P, "prwg") * vgsteff +
                   _p(P, "prwb") * (sqrt_pv - sqrt_phi))
     rds = jnp.maximum(rds, 0.0) * 1e-6 / weff
+    rds = jnp.where(_p(P, "rdsmod") != 0.0, rds, 0.0)
     ids0 = ids0 / (1.0 + rds * ids0 / jnp.maximum(vdseff, 1e-6))
 
     # output conductance: Early-voltage CLM/DIBL + SCBE when the
@@ -708,40 +741,77 @@ def _charges(P, v4, sign):
     qd = cgd_e * (vd - vg)
     qs = cgs_e * (vs - vg)
     qb = cgb_e * (vb - vg)
-    # legacy fixed junction caps
-    qb = qb + _p(P, "cjs") * (vb - vs) + _p(P, "cjd") * (vb - vd)
-    qs = qs + _p(P, "cjs") * (vs - vb)
-    qd = qd + _p(P, "cjd") * (vd - vb)
-
     # voltage-dependent junction depletion charges (area + sidewall +
     # gate-edge sidewall) with linear tempcos (bsim3v32.h:2018-2027:
-    # cj(T)=cj*(1+tcj*dT), pb(T)=pb*(1+tpb*dT), per component)
+    # cj(T)=cj*(1+tcj*dT), pb(T)=pb*(1+tpb*dT), per component) and
+    # wave-6 per-junction override/inherit chains (bsim3v32.h:
+    # 1990-2042: zero densities inherit the base density, <=0
+    # potentials inherit down the pbsw->pb chain, negative grading/fc
+    # coefficients inherit; cjd/cjs are the reference's per-junction
+    # BOTTOM density overrides of cj, not fixed capacitances).
     dT = _p(P, "Temp") - _TNOM
-    cj_t = _p(P, "cj") * (1.0 + _p(P, "tcj") * dT)
-    cjsw_t = _p(P, "cjsw") * (1.0 + _p(P, "tcjsw") * dT)
-    cjswg_t = _p(P, "cjswg") * (1.0 + _p(P, "tcjswg") * dT)
-    pb_t = _p(P, "pb") * (1.0 + _p(P, "tpb") * dT)
-    pbsw_t = _p(P, "pbsw") * (1.0 + _p(P, "tpbsw") * dT)
-    # pbswg <= 0 inherits pbsw (bsim3v32.h:2012-2015 fallback chain)
-    pbswg_0 = jnp.where(_p(P, "pbswg") > 0.0, _p(P, "pbswg"),
+
+    def ov(name, base):
+        v = _p(P, name)                  # <=0 inherits base
+        return jnp.where(v > 0.0, v, base)
+
+    cj_d0 = jnp.where(_p(P, "cjd") != 0.0, _p(P, "cjd"), _p(P, "cj"))
+    cj_s0 = jnp.where(_p(P, "cjs") != 0.0, _p(P, "cjs"), _p(P, "cj"))
+    cjsw_d0 = jnp.where(_p(P, "cjswd") != 0.0, _p(P, "cjswd"),
+                        _p(P, "cjsw"))
+    cjsw_s0 = jnp.where(_p(P, "cjsws") != 0.0, _p(P, "cjsws"),
+                        _p(P, "cjsw"))
+    cjswg_d0 = jnp.where(_p(P, "cjswgd") != 0.0, _p(P, "cjswgd"),
+                         _p(P, "cjswg"))
+    cjswg_s0 = jnp.where(_p(P, "cjswgs") != 0.0, _p(P, "cjswgs"),
+                         _p(P, "cjswg"))
+    tcj_f = 1.0 + _p(P, "tcj") * dT
+    tcjsw_f = 1.0 + _p(P, "tcjsw") * dT
+    tcjswg_f = 1.0 + _p(P, "tcjswg") * dT
+    # potentials: pbd/pbs <=0 -> pb; pbswd/pbsws <=0 -> pbsw;
+    # pbswgd/pbswgs <=0 -> pbswg -> pbsw (bsim3v32.h:2004-2015)
+    pb_d0 = ov("pbd", _p(P, "pb"))
+    pb_s0 = ov("pbs", _p(P, "pb"))
+    pbsw_d0 = ov("pbswd", _p(P, "pbsw"))
+    pbsw_s0 = ov("pbsws", _p(P, "pbsw"))
+    pbswg_b = jnp.where(_p(P, "pbswg") > 0.0, _p(P, "pbswg"),
                         _p(P, "pbsw"))
-    pbswg_t = pbswg_0 * (1.0 + _p(P, "tpbswg") * dT)
-    mjswg = jnp.where(_p(P, "mjswg") > 0.0, _p(P, "mjswg"),
-                      _p(P, "mjsw"))
+    pbswg_d0 = ov("pbswgd", pbswg_b)
+    pbswg_s0 = ov("pbswgs", pbswg_b)
+    tpb_f = 1.0 + _p(P, "tpb") * dT
+    tpbsw_f = 1.0 + _p(P, "tpbsw") * dT
+    tpbswg_f = 1.0 + _p(P, "tpbswg") * dT
+    # grading: mjd/mjs <0 -> mj; mjswd/mjsws <0 -> mjsw;
+    # mjswgd/mjswgs <0 -> mjswg -> mjsw (bsim3v32.h:2029-2037)
+    mj_d = jnp.where(_p(P, "mjd") >= 0.0, _p(P, "mjd"), _p(P, "mj"))
+    mj_s = jnp.where(_p(P, "mjs") >= 0.0, _p(P, "mjs"), _p(P, "mj"))
+    mjsw_d = jnp.where(_p(P, "mjswd") >= 0.0, _p(P, "mjswd"),
+                       _p(P, "mjsw"))
+    mjsw_s = jnp.where(_p(P, "mjsws") >= 0.0, _p(P, "mjsws"),
+                       _p(P, "mjsw"))
+    mjswg_b = jnp.where(_p(P, "mjswg") > 0.0, _p(P, "mjswg"),
+                        _p(P, "mjsw"))
+    mjswg_d = jnp.where(_p(P, "mjswgd") >= 0.0, _p(P, "mjswgd"),
+                        mjswg_b)
+    mjswg_s = jnp.where(_p(P, "mjswgs") >= 0.0, _p(P, "mjswgs"),
+                        mjswg_b)
+    # forward-bias coefficient: fcd/fcs <0 -> fc (bsim3v32.h:2041-2042)
+    fc_d = jnp.where(_p(P, "fcd") >= 0.0, _p(P, "fcd"), _p(P, "fc"))
+    fc_s = jnp.where(_p(P, "fcs") >= 0.0, _p(P, "fcs"), _p(P, "fc"))
     weff_cv = jnp.maximum(_p(P, "W") -
                           2.0 * jnp.maximum(_p(P, "dwc"), 0.0), 1e-18)
-    fc_ = _p(P, "fc")
-    cj_s = cj_t * _p(P, "as")
-    cj_d = cj_t * _p(P, "ad")
-    cjsw_s = cjsw_t * _p(P, "ps")
-    cjsw_d = cjsw_t * _p(P, "pd")
-    cjswg_e = cjswg_t * weff_cv          # gate-edge perimeter = Weff
-    qbs = _qj(vb - vs, cj_s, _p(P, "mj"), pb_t, fc_) + \
-        _qj(vb - vs, cjsw_s, _p(P, "mjsw"), pbsw_t, fc_) + \
-        _qj(vb - vs, cjswg_e, mjswg, pbswg_t, fc_)
-    qbd = _qj(vb - vd, cj_d, _p(P, "mj"), pb_t, fc_) + \
-        _qj(vb - vd, cjsw_d, _p(P, "mjsw"), pbsw_t, fc_) + \
-        _qj(vb - vd, cjswg_e, mjswg, pbswg_t, fc_)
+    cj_s_ = cj_s0 * tcj_f * _p(P, "as")
+    cj_d_ = cj_d0 * tcj_f * _p(P, "ad")
+    cjsw_s_ = cjsw_s0 * tcjsw_f * _p(P, "ps")
+    cjsw_d_ = cjsw_d0 * tcjsw_f * _p(P, "pd")
+    cjswg_s_ = cjswg_s0 * tcjswg_f * weff_cv   # gate edge = Weff
+    cjswg_d_ = cjswg_d0 * tcjswg_f * weff_cv
+    qbs = _qj(vb - vs, cj_s_, mj_s, pb_s0 * tpb_f, fc_s) + \
+        _qj(vb - vs, cjsw_s_, mjsw_s, pbsw_s0 * tpbsw_f, fc_s) + \
+        _qj(vb - vs, cjswg_s_, mjswg_s, pbswg_s0 * tpbswg_f, fc_s)
+    qbd = _qj(vb - vd, cj_d_, mj_d, pb_d0 * tpb_f, fc_d) + \
+        _qj(vb - vd, cjsw_d_, mjsw_d, pbsw_d0 * tpbsw_f, fc_d) + \
+        _qj(vb - vd, cjswg_d_, mjswg_d, pbswg_d0 * tpbswg_f, fc_d)
 
     # diffusion (transit-time) charge q = tt * I_junction(v)
     # (bsim3v32.h:3248-3263: ttd/tts >= 0 override tt; forwarded to
@@ -863,6 +933,8 @@ _ALIASES = {
     "w": "W", "l": "L", "kp": "Kp", "vth0": "Vth0", "temp": "Temp",
     "cgs": "Cgs", "cgd": "Cgd", "cgb": "Cgb",
     "mobMod": "mobmod", "capMod": "capmod",
+    "rdsMod": "rdsmod", "rgateMod": "rgatemod",
+    "rbodyMod": "rbodymod",
     "is": "diode_Is", "n": "diode_N",
     "diode_Isr": "isr", "diode_Nr": "nr",
     "diode_Isd": "isd", "diode_Iss": "iss",
@@ -875,6 +947,43 @@ _ALIASES = {
 }
 
 
+def _make_noise(sign):
+    """Wave 7: drain-source channel noise at the OP bias (SPICE2 /
+    Berkeley noiMod=1 forms): thermal 8kT(gm+gds+gmb)/3 + flicker
+    kf·Ids^af / (Cox·Leff²·f^ef).  Conductances come from jacfwd of
+    the same channel-current core the stamps use, so noise and Newton
+    linearization can never disagree.  The reference has NO noise
+    analysis to compare against (bsim3v32.h:28-29 TODO)."""
+
+    def _noise(P, v, ib, state, env, f):
+        P2 = _with_dtemp(P)
+        T = _p(P2, "Temp") + _T0
+
+        def chan(v4):
+            vd, vg, vs, vb = (sign * v4[0], sign * v4[1],
+                              sign * v4[2], sign * v4[3])
+            vds = vd - vs
+            ids_f = _core(P2, vg - vs, vds, vb - vs)[0]
+            ids_r = _core(P2, vg - vd, -vds, vb - vd)[0]
+            return jnp.where(vds >= 0.0, ids_f, -ids_r)
+
+        v4 = v[:4]
+        ids = chan(v4)
+        J = jax.jacfwd(chan)(v4)
+        gsum = jnp.abs(J[1]) + jnp.abs(J[0]) + jnp.abs(J[3])
+        thermal = (8.0 / 3.0) * _K_B * T * gsum
+        leff, _weff, _B = _geom(P2)
+        cox = _EPS_OX / jnp.maximum(_p(P2, "tox"), 1e-9)
+        flicker = (_p(P2, "kf") * jnp.abs(ids) ** _p(P2, "af") /
+                   (cox * leff * leff *
+                    jnp.maximum(f, 1e-30) ** _p(P2, "ef")))
+        on = _p(P2, "noimod") != 0.0
+        return jnp.array([jnp.where(on, (thermal + flicker) *
+                                    _mnf_scale(P2), 0.0)])
+
+    return _noise
+
+
 def _mk(name, id_name, sign):
     return register(ModelDef(
         name=name, id_name=id_name, device_class=DeviceClass.NONLINEAR,
@@ -885,6 +994,7 @@ def _mk(name, id_name, sign):
         stamp=_make_stamp(sign), ac_stamp=_make_ac_stamp(sign),
         step_update=_make_step_update(sign), nonlinear=True,
         attrs=_PARAMS, attr_aliases=_ALIASES,
+        noise=_make_noise(sign), noise_pairs=((0, 2),),
     ))
 
 
@@ -914,8 +1024,13 @@ def _rc_conductances(P):
         jnp.maximum(_p(P, "nrd"), 0.0)
     rs = jnp.maximum(_p(P, "rs"), 0.0) + rsh * \
         jnp.maximum(_p(P, "nrs"), 0.0)
-    rg = jnp.maximum(_p(P, "rg"), 0.0)
-    rb = jnp.maximum(_p(P, "rb"), 0.0)
+    # rgateMod/rbodyMod == 0 disable rg / rb even when set
+    # (bsim3v32.h:1642-1645); the floor then degenerates the branch
+    # to a numerically safe short
+    rg = jnp.where(_p(P, "rgatemod") != 0.0,
+                   jnp.maximum(_p(P, "rg"), 0.0), 0.0)
+    rb = jnp.where(_p(P, "rbodymod") != 0.0,
+                   jnp.maximum(_p(P, "rb"), 0.0), 0.0)
     rr = jnp.stack([rd, rg, rs, rb])
     return scale / jnp.maximum(rr, _R_FLOOR)
 
@@ -1003,6 +1118,26 @@ _RC_STATE = tuple([(f"v{k}", 0.0) for k in range(8)] +
                   [(f"ch{k}", 0.0) for k in range(8)])
 
 
+def _make_rc_noise(sign):
+    """Wave 7 for the parasitic variant: channel noise sits between
+    the INTERNAL d'/s' nodes; each series terminal resistance adds its
+    own 4kT·g thermal source (floored-to-short terminals are treated
+    as noiseless ideal shorts)."""
+    core = _make_noise(sign)
+
+    def _noise(P, v, ib, state, env, f):
+        ch = core(P, v[4:], ib, state, env, f)[0]
+        P2 = _with_dtemp(P)
+        T = _p(P2, "Temp") + _T0
+        g = _rc_conductances(P2)
+        gmax = _mnf_scale(P2) / _R_FLOOR
+        th = jnp.where(g < gmax * (1.0 - 1e-9),
+                       4.0 * _K_B * T * g, 0.0)
+        return jnp.concatenate([jnp.array([ch]), th])
+
+    return _noise
+
+
 def _mk_rc(name, id_name, sign):
     return register(ModelDef(
         name=name, id_name=id_name, device_class=DeviceClass.NONLINEAR,
@@ -1013,6 +1148,10 @@ def _mk_rc(name, id_name, sign):
         stamp=_make_rc_stamp(sign), ac_stamp=_make_rc_ac_stamp(sign),
         step_update=_make_rc_step_update(sign), nonlinear=True,
         attrs=_PARAMS, attr_aliases=_ALIASES, n_internal=4,
+        # channel between internal d'(4)/s'(6); series-R thermal
+        # between each external pin and its internal node
+        noise=_make_rc_noise(sign),
+        noise_pairs=((4, 6), (0, 4), (1, 5), (2, 6), (3, 7)),
     ))
 
 

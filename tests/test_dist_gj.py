@@ -139,6 +139,50 @@ def test_newton_solve_dist_matches_engine():
     assert np.max(np.abs(v_dist - v_engine)) < 1e-6
 
 
+def test_circuit_analyze_mesh_autoroute():
+    """Circuit(mesh=...) auto-routes OP through the fully-distributed
+    Newton path and matches the single-device engine bit-close."""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import RESISTANCE, VDC, PN_JUNCTION
+
+    def build(mesh=None):
+        rng = np.random.default_rng(5)
+        c = pe.Circuit(mesh=mesh)
+        c.set_analyze_type(pe.AnalyzeType.OP)
+        nl = c.nl
+        nds = [netops.create_node(nl) for _ in range(120)]
+        v = netops.add_model(nl, VDC, {"V": 2.5})
+        netops.add_to_node(nl, v, 0, nds[0])
+        netops.add_to_node(nl, v, 1, nl.ground_node)
+        for i in range(len(nds) - 1):
+            r = netops.add_model(nl, RESISTANCE,
+                                 {"r": float(rng.uniform(30, 300))})
+            netops.add_to_node(nl, r, 0, nds[i])
+            netops.add_to_node(nl, r, 1, nds[i + 1])
+        for i in range(0, len(nds), 17):
+            d = netops.add_model(nl, PN_JUNCTION, {})
+            netops.add_to_node(nl, d, 0, nds[i])
+            netops.add_to_node(nl, d, 1, nl.ground_node)
+        return c, nds
+
+    c_ref, nds_ref = build()
+    assert c_ref.analyze()
+    v_ref = np.array([c_ref.node_voltage(nd).real for nd in nds_ref])
+
+    c_m, nds_m = build(mesh=_mesh())
+    assert c_m.analyze()
+    v_m = np.array([c_m.node_voltage(nd).real for nd in nds_m])
+    assert np.max(np.abs(v_m - v_ref)) < 1e-6
+
+    # the stored solution/state must feed a follow-up single-device
+    # analysis (TR falls back to the local path by design)
+    c_m.set_analyze_type(pe.AnalyzeType.TR)
+    c_m.tr.t_stop = 1e-7
+    c_m.tr.t_step = 1e-8
+    assert c_m.analyze()
+
+
 def test_dist_solve_rejects_bad_n():
     mesh = _mesh()
     A = np.eye(100)[None]
