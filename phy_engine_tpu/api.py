@@ -413,6 +413,27 @@ class Circuit:
         self.analyze()
         return self.sample()
 
+    def noise(self, out_element: int, out_pin: int = 0,
+              src_element: Optional[int] = None):
+        """Output noise sweep at element ``out_element``'s pin
+        ``out_pin`` over the configured AC grid (engine extension —
+        the reference has no noise analysis; its bsim3v32.h:28-29 TODO
+        asks for the infrastructure).  ``src_element``: optional
+        V-source element for the input-referred PSD.  Returns
+        ``engine.noise.NoiseResult``."""
+        _p, node = self._pin_node(out_element, out_pin)
+        if node is None or node.is_ground:
+            raise PhyEngineError("noise output pin is unconnected/ground")
+        src = None
+        if src_element is not None:
+            src = self._insts[src_element]
+            if src is None:
+                raise PhyEngineError("noise src is not a device")
+        res = self._core.noise(node, src=src)
+        if res is None:
+            raise PhyEngineError("noise bias point failed to converge")
+        return res
+
     # context manager parity
     def close(self) -> None:
         pass

@@ -400,6 +400,47 @@ class Circuit:
         return NoiseResult(np.asarray(omegas) / (2.0 * np.pi),
                            onoise, gain2, contribs)
 
+    def tf(self, out_node: Node, src):
+        """SPICE .TF — DC small-signal transfer function (extension
+        past parity, like ``noise``; the reference has neither).
+
+        Returns ``(gain, rin, rout)``: ``gain`` = dV(out)/dV(src),
+        ``rin`` = input resistance seen by the V-source ``src``,
+        ``rout`` = output resistance at ``out_node`` (computed with the
+        source shorted, i.e. its branch row active — the standard .TF
+        convention).  Runs an OP first so nonlinear devices hold their
+        bias linearizations; solves the DC-linearized system once
+        forward (unit E on the source row) and once at the output
+        (unit current into ``out_node``)."""
+        from ..ops.linsolve import dense_solve
+        from .analog import assemble_ac
+        ir = self.prepare()
+        if not self._analyze_op(mode="op"):
+            return None
+        out_idx = self._node_index(out_node)
+        brs = getattr(src, "branches", ())
+        if not brs or brs[0].index < 0:
+            raise ValueError("tf src must be a branch device (V source)")
+        src_row = int(brs[0].index)
+
+        def solve2(p, st):
+            Ar, _Ai, _Zr, _Zi = assemble_ac(ir, p, st,
+                                            jnp.asarray(0.0, self.dtype),
+                                            self.dtype)
+            n = ir.n_unknowns
+            bf = jnp.zeros(n, self.dtype).at[src_row].set(1.0)
+            bz = jnp.zeros(n, self.dtype).at[out_idx].set(1.0)
+            xf = dense_solve(Ar, bf)
+            xz = dense_solve(Ar, bz)
+            return xf[out_idx], xf[src_row], xz[out_idx]
+
+        g, i_src, r_out = jax.jit(solve2)(self._params(), self._states)
+        # the source branch current under unit E: rin = -E/i (the
+        # branch constraint is v = E with current flowing out of +)
+        i_src = float(i_src)
+        rin = float("inf") if i_src == 0.0 else -1.0 / i_src
+        return float(g), rin, float(r_out)
+
     # -- digital ------------------------------------------------------------
     def digital_clk(self) -> bool:
         """One digital tick (circuit.h:298-354)."""

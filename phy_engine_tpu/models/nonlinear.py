@@ -162,21 +162,31 @@ def _pn_check_conv(P, v, state):
     return jnp.abs(ud_raw - state["ud_last"]) <= 2.0 * N * Ut + 1e-9
 
 
+def _pn_noise(P, v, ib, state, env, f):
+    """SPICE diode noise: shot 2q·|Id| + flicker kf·|Id|^af / f."""
+    _g, Id = _pn_eval(P, v[0] - v[1])
+    kf, af = P[10], P[11]
+    return jnp.array([2.0 * _Q_E * jnp.abs(Id) +
+                      kf * jnp.abs(Id) ** af / f])
+
+
 PN_JUNCTION = register(ModelDef(
     name="PN Junction", id_name="PN", device_class=DeviceClass.NONLINEAR,
     pins=("A", "B"), check_conv=_pn_check_conv,
     defaults={"Is": 1e-14, "N": 1.0, "Isr": 0.0, "Nr": 2.0, "Temp": 27.0,
               "Ibv": 1e-3, "Bv": 40.0, "Bv_set": 1.0, "Area": 1.0,
-              "tt": 0.0},
+              "tt": 0.0, "kf": 0.0, "af": 1.0},
     param_order=("Is", "N", "Isr", "Nr", "Temp", "Ibv", "Bv", "Bv_set",
-                 "Area", "tt"),
+                 "Area", "tt", "kf", "af"),
     state_vars=(("ud_last", 0.0), ("geq", 0.0), ("tr_prev_g", 0.0),
                 ("tr_hist", 0.0)),
     pattern=lambda p, b: ([p[0], p[0], p[1], p[1]], [p[0], p[1], p[0], p[1]]),
     rhs_pattern=lambda p, b: [p[0], p[1]],
     stamp=_pn_stamp, ac_stamp=_pn_ac, step_update=_pn_step,
     nonlinear=True,
-    attrs=("Is", "N", "Isr", "Nr", "Temp", "Ibv", "Bv", "Area", "tt"),
+    attrs=("Is", "N", "Isr", "Nr", "Temp", "Ibv", "Bv", "Area", "tt",
+           "kf", "af"),
+    noise=_pn_noise, noise_pairs=((0, 1),),
 ))
 
 
@@ -219,17 +229,39 @@ def _bjt_npn_ac(P, state, omega):
     return a, jnp.zeros(8), jnp.zeros(4), jnp.zeros(4)
 
 
+def _bjt_noise(sign):
+    """SPICE BJT noise at the OP bias: base shot 2q·|Ib| (+ flicker
+    kf·|Ib|^af/f) between B-E, collector shot 2q·|Ic| between C-E.
+    Currents are recomputed from the same exponential the stamp uses.
+    (TPU-native extension — the reference has no noise analysis.)"""
+
+    def _noise(P, v, ib, state, env, f):
+        Is_eff = P[0] * P[4]
+        Ute = P[1] * _bjt_ut(P)
+        vj = (v[0] - v[2]) * sign
+        e = jnp.exp(jnp.clip(vj / Ute, -200.0, 200.0))
+        i_b = jnp.abs(Is_eff * (e - 1.0))
+        i_c = P[2] * i_b
+        kf, af = P[5], P[6]
+        sb = 2.0 * _Q_E * i_b + kf * i_b ** af / f
+        sc = 2.0 * _Q_E * i_c
+        return jnp.stack([sb, sc])
+
+    return _noise
+
+
 BJT_NPN = register(ModelDef(
     name="NPN BJT", id_name="QNP", device_class=DeviceClass.NONLINEAR,
     pins=("B", "C", "E"),
     defaults={"Is": 1e-16, "N": 1.0, "BetaF": 100.0, "Temp": 27.0,
-              "Area": 1.0},
-    param_order=("Is", "N", "BetaF", "Temp", "Area"),
+              "Area": 1.0, "kf": 0.0, "af": 1.0},
+    param_order=("Is", "N", "BetaF", "Temp", "Area", "kf", "af"),
     state_vars=(("geq", 0.0), ("gm", 0.0)),
     pattern=_bjt_npn_pattern,
     rhs_pattern=lambda p, b: [p[0], p[2], p[1], p[2]],
     stamp=_bjt_npn_stamp, ac_stamp=_bjt_npn_ac, nonlinear=True,
-    attrs=("Is", "N", "BetaF", "Temp", "Area"),
+    attrs=("Is", "N", "BetaF", "Temp", "Area", "kf", "af"),
+    noise=_bjt_noise(1.0), noise_pairs=((0, 2), (1, 2)),
 ))
 
 
@@ -267,13 +299,14 @@ BJT_PNP = register(ModelDef(
     name="PNP BJT", id_name="QPN", device_class=DeviceClass.NONLINEAR,
     pins=("B", "C", "E"),
     defaults={"Is": 1e-16, "N": 1.0, "BetaF": 100.0, "Temp": 27.0,
-              "Area": 1.0},
-    param_order=("Is", "N", "BetaF", "Temp", "Area"),
+              "Area": 1.0, "kf": 0.0, "af": 1.0},
+    param_order=("Is", "N", "BetaF", "Temp", "Area", "kf", "af"),
     state_vars=(("geq", 0.0), ("gm", 0.0)),
     pattern=_bjt_pnp_pattern,
     rhs_pattern=lambda p, b: [p[2], p[0], p[2], p[1]],
     stamp=_bjt_pnp_stamp, ac_stamp=_bjt_pnp_ac, nonlinear=True,
-    attrs=("Is", "N", "BetaF", "Temp", "Area"),
+    attrs=("Is", "N", "BetaF", "Temp", "Area", "kf", "af"),
+    noise=_bjt_noise(-1.0), noise_pairs=((0, 2), (1, 2)),
 ))
 
 
@@ -324,15 +357,27 @@ def _nmos_ac(P, state, omega):
     return a, jnp.zeros(8), jnp.zeros(2), jnp.zeros(2)
 
 
+def _nmos_noise(P, v, ib, state, env, f):
+    """Channel thermal 8kT(gm+gds)/3 + flicker kf·|Id|^af/f between
+    D-S, from the same square-law eval the stamp uses.  (TPU-native
+    extension — the reference has no noise analysis.)"""
+    i_d, gm, gds = _nmos_eval(P, v[1] - v[2], v[0] - v[2])
+    T = env["temperature"] + 273.15
+    th = (8.0 / 3.0) * _K_B * T * (jnp.abs(gm) + jnp.abs(gds))
+    return jnp.array([th + P[3] * jnp.abs(i_d) ** P[4] / f])
+
+
 NMOSFET = register(ModelDef(
     name="NMOSFET", id_name="NMOS", device_class=DeviceClass.NONLINEAR,
     pins=("D", "G", "S"),
-    defaults={"Kp": 1e-3, "lambda": 0.0, "Vth": 1.0},
-    param_order=("Kp", "lambda", "Vth"),
+    defaults={"Kp": 1e-3, "lambda": 0.0, "Vth": 1.0,
+              "kf": 0.0, "af": 1.0},
+    param_order=("Kp", "lambda", "Vth", "kf", "af"),
     state_vars=(("gm", 0.0), ("gds", 0.0)),
     pattern=_mos_pattern, rhs_pattern=lambda p, b: [p[0], p[2]],
     stamp=_nmos_stamp, ac_stamp=_nmos_ac, nonlinear=True,
-    attrs=("Kp", "lambda", "Vth"),
+    attrs=("Kp", "lambda", "Vth", "kf", "af"),
+    noise=_nmos_noise, noise_pairs=((0, 2),),
 ))
 
 
@@ -368,15 +413,26 @@ def _pmos_stamp(P, v, ib, state, ctx):
     return a, z, {"gm": gm, "gds": gds}
 
 
+def _pmos_noise(P, v, ib, state, env, f):
+    """PMOS channel noise: same forms with the source-referenced
+    square law (vsg/vsd) the PMOS stamp uses."""
+    i_d, gm, gds = _nmos_eval(P, v[2] - v[1], v[2] - v[0])
+    T = env["temperature"] + 273.15
+    th = (8.0 / 3.0) * _K_B * T * (jnp.abs(gm) + jnp.abs(gds))
+    return jnp.array([th + P[3] * jnp.abs(i_d) ** P[4] / f])
+
+
 PMOSFET = register(ModelDef(
     name="PMOSFET", id_name="PMOS", device_class=DeviceClass.NONLINEAR,
     pins=("D", "G", "S"),
-    defaults={"Kp": 1e-3, "lambda": 0.0, "Vth": 1.0},
-    param_order=("Kp", "lambda", "Vth"),
+    defaults={"Kp": 1e-3, "lambda": 0.0, "Vth": 1.0,
+              "kf": 0.0, "af": 1.0},
+    param_order=("Kp", "lambda", "Vth", "kf", "af"),
     state_vars=(("gm", 0.0), ("gds", 0.0)),
     pattern=_pmos_pattern, rhs_pattern=lambda p, b: [p[0], p[2]],
     stamp=_pmos_stamp, ac_stamp=_nmos_ac, nonlinear=True,
-    attrs=("Kp", "lambda", "Vth"),
+    attrs=("Kp", "lambda", "Vth", "kf", "af"),
+    noise=_pmos_noise, noise_pairs=((0, 2),),
 ))
 
 

@@ -17,3 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries: a full-suite
+    run accumulates hundreds of live XLA CPU executables and the
+    compiler segfaulted (twice, same spot ~250 tests in) under that
+    load; per-module clearing bounds it with negligible recompile cost
+    (modules rarely share jit signatures)."""
+    yield
+    jax.clear_caches()

@@ -39,6 +39,32 @@ def test_element_code_divider():
     assert np.isclose(r2.pin_voltages[0], 3.0)
 
 
+def test_element_code_noise():
+    """api.Circuit.noise — element-index surface over the adjoint
+    noise sweep (engine extension; no reference analogue)."""
+    K_B, T0 = 1.380649e-23, 300.15
+    r1, r2 = 4.7e3, 1.2e3
+    elements = [
+        Element(ElementCode.GROUND),
+        Element(ElementCode.VDC, (1.0,)),
+        Element(ElementCode.RESISTOR, (r1,)),
+        Element(ElementCode.RESISTOR, (r2,)),
+    ]
+    wires = [
+        Wire(1, 0, 2, 0),
+        Wire(2, 1, 3, 0),
+        Wire(3, 1, 0, 0),
+        Wire(1, 1, 0, 0),
+    ]
+    c = Circuit(elements, wires)
+    c.set_ac_omega(2 * np.pi * 1e4)
+    res = c.noise(2, out_pin=1, src_element=1)
+    rp = r1 * r2 / (r1 + r2)
+    assert np.allclose(res.onoise_psd, 4 * K_B * T0 * rp, rtol=1e-9)
+    gain = r2 / (r1 + r2)
+    assert np.allclose(res.gain2, gain * gain, rtol=1e-9)
+
+
 def test_digital_codes_and_gate():
     elements = [
         Element(ElementCode.DIGITAL_INPUT, (float(DigitalState.H),)),

@@ -333,8 +333,11 @@ def test_junction_cap_tr():
         nl = c.nl
         vdd = netops.add_model(nl, VDC, {"V": 3.0})
         r = netops.add_model(nl, RESISTANCE, {"r": 100e3})
+        # cjd is the reference's per-junction BOTTOM DENSITY override
+        # of cj [F/m^2] (bsim3v32.h:1990-2042, wave 6) — scaled by the
+        # drain area ad, so ad=1 makes the numbers read as farads
         m = netops.add_model(nl, BSIM3V32_NMOS,
-                             dict(BASE, cjd=cjd))
+                             dict(BASE, cjd=cjd, ad=1.0))
         n_vdd = netops.create_node(nl)
         n_d = netops.create_node(nl)
         netops.add_to_node(nl, vdd, 0, n_vdd)
