@@ -70,6 +70,8 @@ def noise_sweep(ir: AnalogIR, params, x_op, states, omegas,
     # pre-gather OP bias per noisy family (frequency-independent)
     noisy = [f for f in ir.families if f.mdef.noise is not None
              and f.mdef.noise_pairs]
+    corr = [f for f in ir.families if f.mdef.noise_corr is not None
+            and f.mdef.noise_corr_pairs]
 
     def at_w(w):
         Ar, Ai, Zr, Zi = assemble_ac(ir, params, states, w, dtype)
@@ -108,6 +110,47 @@ def noise_sweep(ir: AnalogIR, params, x_op, states, omegas,
             g2 = jnp.stack(gains, axis=1)           # (n_inst, n_pairs)
             c = jnp.sum(g2 * psd)
             contribs[key] = c
+            onoise = onoise + c
+
+        # correlated source groups: S_aa|Ga|² + S_bb|Gb|² +
+        # 2·Re(Ga·conj(Gb)·S_ab) per group (induced gate noise etc.)
+        for fam in corr:
+            key = fam.mdef.id_name
+            P = params[key]
+            st = states.get(key, {})
+            vp = x_ext[jnp.asarray(fam.pin_nodes)]
+            vb = x_ext[jnp.asarray(fam.br_idx)]
+
+            def onec(Pr, vr, br, sr, _f=fam.mdef.noise_corr):
+                return _f(Pr, vr, br, sr, env, f, w)
+
+            S = jax.vmap(onec)(P, vp, vb, st)   # (n_inst, n_grp, 4)
+            S = S.astype(dtype)
+            msk = getattr(fam, "mask", None)
+            if msk is not None:
+                S = S * jnp.asarray(msk, dtype)[:, None, None]
+            terms = []
+            for gi, (pa, pb) in enumerate(fam.mdef.noise_corr_pairs):
+                pins = jnp.asarray(fam.pin_nodes)
+                ga_r = yr[pins[:, pa[0]]] - yr[pins[:, pa[1]]]
+                ga_i = yi[pins[:, pa[0]]] - yi[pins[:, pa[1]]]
+                gb_r = yr[pins[:, pb[0]]] - yr[pins[:, pb[1]]]
+                gb_i = yi[pins[:, pb[0]]] - yi[pins[:, pb[1]]]
+                saa = jnp.maximum(S[:, gi, 0], 0.0)
+                sbb = jnp.maximum(S[:, gi, 1], 0.0)
+                sr_, si_ = S[:, gi, 2], S[:, gi, 3]
+                # Re(Ga·conj(Gb)·(sr+j·si)) = sr·X − si·Y
+                X = ga_r * gb_r + ga_i * gb_i
+                Y = ga_i * gb_r - ga_r * gb_i
+                terms.append(saa * (ga_r ** 2 + ga_i ** 2) +
+                             sbb * (gb_r ** 2 + gb_i ** 2) +
+                             2.0 * (sr_ * X - si_ * Y))
+            c = jnp.sum(jnp.stack(terms, axis=1))
+            # a correlated group can reduce the total below the sum of
+            # its parts but never below zero as a whole; clamp the
+            # family aggregate, not individual cross terms
+            c = jnp.maximum(c, 0.0)
+            contribs[key] = contribs.get(key, jnp.zeros((), dtype)) + c
             onoise = onoise + c
 
         if src_row is not None:

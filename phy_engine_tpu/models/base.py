@@ -111,6 +111,16 @@ class ModelDef:
     # per-source (pin_i, pin_j) index pairs into the instance pin
     # vector: the noise current source is connected between them.
     noise_pairs: Tuple[Tuple[int, int], ...] = ()
+    # ---- correlated source groups (e.g. induced gate noise) --------
+    # noise_corr(P, v, ib, state, env, f, omega) ->
+    #   (len(noise_corr_pairs), 4): per group (S_aa, S_bb, Re S_ab,
+    # Im S_ab) one-sided cross-PSDs [A^2/Hz] between current sources on
+    # pair_a and pair_b.  Contribution: S_aa|Ga|^2 + S_bb|Gb|^2 +
+    # 2 Re(Ga * conj(Gb) * S_ab) with Ga/Gb the adjoint transfers.
+    noise_corr: Optional[Callable] = None
+    # ((pair_a, pair_b), ...) with each pair = (pin_i, pin_j).
+    noise_corr_pairs: Tuple[Tuple[Tuple[int, int],
+                                  Tuple[int, int]], ...] = ()
 
     # ---- digital metadata ----
     digital_op: Optional[str] = None       # opcode key into digital engine

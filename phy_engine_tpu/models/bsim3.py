@@ -85,7 +85,12 @@ Status ledger against the reference's own header TODO
   engine's adjoint-network noise analysis (engine/noise.py) — the
   reference's bsim3v32.h:28-29 TODO asks for exactly this
   infrastructure and never got it; the *_RC variant additionally
-  emits 4kT*g thermal for each real terminal resistance.
+  emits 4kT*g thermal for each real terminal resistance.  Wave 8
+  completes the TODO's remaining clause ("induced gate noise,
+  correlation"): van der Ziel S_ig = (16/15)kT·ω²Cgs²/gd0 on the
+  gate, cross-correlated j·0.395·sqrt(S_ig·S_id0) with the channel
+  source, through the engine's correlated-group hooks
+  (ModelDef.noise_corr).
 * Validation — 155 micro-tests (waves 1-6) mirroring the
   test/0004.solver + test/0012.ac per-parameter pattern, plus the
   noise oracles in tests/test_noise.py.
@@ -947,30 +952,35 @@ _ALIASES = {
 }
 
 
+def _chan_noise_bias(P2, v4, sign):
+    """(ids, gsum) at the OP bias: gsum = gm+gds+gmb from jacfwd of the
+    same channel-current core the stamps use, so noise and Newton
+    linearization can never disagree."""
+
+    def chan(v4_):
+        vd, vg, vs, vb = (sign * v4_[0], sign * v4_[1],
+                          sign * v4_[2], sign * v4_[3])
+        vds = vd - vs
+        ids_f = _core(P2, vg - vs, vds, vb - vs)[0]
+        ids_r = _core(P2, vg - vd, -vds, vb - vd)[0]
+        return jnp.where(vds >= 0.0, ids_f, -ids_r)
+
+    ids = chan(v4)
+    J = jax.jacfwd(chan)(v4)
+    gsum = jnp.abs(J[1]) + jnp.abs(J[0]) + jnp.abs(J[3])
+    return ids, gsum
+
+
 def _make_noise(sign):
     """Wave 7: drain-source channel noise at the OP bias (SPICE2 /
     Berkeley noiMod=1 forms): thermal 8kT(gm+gds+gmb)/3 + flicker
-    kf·Ids^af / (Cox·Leff²·f^ef).  Conductances come from jacfwd of
-    the same channel-current core the stamps use, so noise and Newton
-    linearization can never disagree.  The reference has NO noise
+    kf·Ids^af / (Cox·Leff²·f^ef).  The reference has NO noise
     analysis to compare against (bsim3v32.h:28-29 TODO)."""
 
     def _noise(P, v, ib, state, env, f):
         P2 = _with_dtemp(P)
         T = _p(P2, "Temp") + _T0
-
-        def chan(v4):
-            vd, vg, vs, vb = (sign * v4[0], sign * v4[1],
-                              sign * v4[2], sign * v4[3])
-            vds = vd - vs
-            ids_f = _core(P2, vg - vs, vds, vb - vs)[0]
-            ids_r = _core(P2, vg - vd, -vds, vb - vd)[0]
-            return jnp.where(vds >= 0.0, ids_f, -ids_r)
-
-        v4 = v[:4]
-        ids = chan(v4)
-        J = jax.jacfwd(chan)(v4)
-        gsum = jnp.abs(J[1]) + jnp.abs(J[0]) + jnp.abs(J[3])
+        ids, gsum = _chan_noise_bias(P2, v[:4], sign)
         thermal = (8.0 / 3.0) * _K_B * T * gsum
         leff, _weff, _B = _geom(P2)
         cox = _EPS_OX / jnp.maximum(_p(P2, "tox"), 1e-9)
@@ -984,6 +994,41 @@ def _make_noise(sign):
     return _noise
 
 
+def _make_noise_corr(sign, src):
+    """Wave 8 — induced gate noise with gate-drain correlation (the
+    last clause of the reference's noise TODO, bsim3v32.h:28-29: it
+    asks for "thermal, flicker, induced gate noise, correlation"; the
+    first two are wave 7).  van der Ziel long-channel forms:
+
+        S_ig    = (16/15)·kT·ω²·Cgs² / gd0        (δ = 4/3)
+        S_ig,id = j·0.395·sqrt(S_ig · S_id0),  S_id0 = (8/3)·kT·gd0
+
+    with gd0 = gm+gds+gmb at the bias and Cgs = (2/3)·Cox·Weff·Leff
+    the intrinsic gate-source capacitance.  The drain thermal itself
+    stays in the plain wave-7 hook (S_bb = 0 here avoids double
+    counting); pairs are (gate=(g,s), drain=(d,s)) so +Im follows the
+    same current orientation on both sources."""
+
+    def _corr(P, v, ib, state, env, f, w):
+        P2 = _with_dtemp(P)
+        T = _p(P2, "Temp") + _T0
+        _ids, gsum = _chan_noise_bias(P2, v[src], sign)
+        leff, weff, _B = _geom(P2)
+        cox = _EPS_OX / jnp.maximum(_p(P2, "tox"), 1e-9)
+        cgs = (2.0 / 3.0) * cox * weff * leff
+        g0 = jnp.maximum(gsum, 1e-18)
+        sig = (16.0 / 15.0) * _K_B * T * (w * cgs) ** 2 / g0
+        sid0 = (8.0 / 3.0) * _K_B * T * g0
+        cr_im = 0.395 * jnp.sqrt(sig * sid0)
+        scale = _mnf_scale(P2)
+        on = (_p(P2, "noimod") != 0.0)
+        z = jnp.zeros(())
+        return jnp.where(on, 1.0, 0.0) * scale * jnp.array(
+            [[sig, z, z, cr_im]])
+
+    return _corr
+
+
 def _mk(name, id_name, sign):
     return register(ModelDef(
         name=name, id_name=id_name, device_class=DeviceClass.NONLINEAR,
@@ -995,6 +1040,11 @@ def _mk(name, id_name, sign):
         step_update=_make_step_update(sign), nonlinear=True,
         attrs=_PARAMS, attr_aliases=_ALIASES,
         noise=_make_noise(sign), noise_pairs=((0, 2),),
+        # induced gate noise group: gate source (G,S) correlated with
+        # the drain source (D,S); S_bb = 0 there (drain thermal lives
+        # in the plain hook above)
+        noise_corr=_make_noise_corr(sign, slice(0, 4)),
+        noise_corr_pairs=(((1, 2), (0, 2)),),
     ))
 
 
@@ -1152,6 +1202,10 @@ def _mk_rc(name, id_name, sign):
         # between each external pin and its internal node
         noise=_make_rc_noise(sign),
         noise_pairs=((4, 6), (0, 4), (1, 5), (2, 6), (3, 7)),
+        # induced gate noise on the INTERNAL g'(5)-s'(6) pair,
+        # correlated with the internal channel source d'(4)-s'(6)
+        noise_corr=_make_noise_corr(sign, slice(4, 8)),
+        noise_corr_pairs=(((5, 6), (4, 6)),),
     ))
 
 

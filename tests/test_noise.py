@@ -373,6 +373,119 @@ def test_mosfet_channel_noise():
     assert np.isclose(float(res.gain2[0]), (gm * z) ** 2, rtol=1e-6)
 
 
+def test_bsim3_induced_gate_noise():
+    """Wave 8 (induced gate noise + correlation — the reference TODO's
+    last clause).  Oracle: brute-force direct complex solves combined
+    with the model hooks must reproduce the adjoint sweep exactly, at
+    a frequency where omega*Cgs ~ gm so the correlated terms matter;
+    and the hook itself must scale as omega^2 with +Im cross-PSD."""
+    import jax.numpy as jnp
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.models import BSIM3V32_NMOS
+
+    RL, RG, VDD, VG = 10e3, 50e3, 3.0, 1.2
+    c = pe.Circuit()
+    nl = c.nl
+    vdd = netops.add_model(nl, VDC, {"V": VDD})
+    vg = netops.add_model(nl, VDC, {"V": VG})
+    nvdd = netops.create_node(nl)
+    ngs = netops.create_node(nl)     # source side of RG
+    ng = netops.create_node(nl)      # gate node proper
+    nd = netops.create_node(nl)
+    netops.add_to_node(nl, vdd, 0, nvdd)
+    netops.add_to_node(nl, vdd, 1, nl.ground_node)
+    netops.add_to_node(nl, vg, 0, ngs)
+    netops.add_to_node(nl, vg, 1, nl.ground_node)
+    rl = netops.add_model(nl, RESISTANCE, {"r": RL})
+    netops.add_to_node(nl, rl, 0, nvdd)
+    netops.add_to_node(nl, rl, 1, nd)
+    rg = netops.add_model(nl, RESISTANCE, {"r": RG})
+    netops.add_to_node(nl, rg, 0, ngs)
+    netops.add_to_node(nl, rg, 1, ng)
+    m = netops.add_model(nl, BSIM3V32_NMOS, {
+        "W": 10e-6, "L": 1e-6, "Vth0": 0.7, "Kp": 120e-6})
+    netops.add_to_node(nl, m, 0, nd)
+    netops.add_to_node(nl, m, 1, ng)
+    netops.add_to_node(nl, m, 2, nl.ground_node)
+    netops.add_to_node(nl, m, 3, nl.ground_node)
+
+    w = 2 * np.pi * 2e10            # omega*Cgs ~ gm scale
+    c.ac = ACSettings(sweep=ACSweepType.SINGLE, omega=w)
+    res = c.noise(nd)
+    assert np.isfinite(res.onoise_psd).all()
+
+    # ---- brute force: direct solves + the hooks themselves ----------
+    ir = c.prepare()
+    A_parts = analog.assemble_ac(ir, c._params(), c._states,
+                                 jnp.asarray(w))
+    A = np.asarray(A_parts[0]) + 1j * np.asarray(A_parts[1])
+    n = ir.n_unknowns
+    out_idx = c._node_index(nd)
+
+    def transfer(p_node, q_node):
+        e = np.zeros(n, complex)
+        if p_node >= 0:
+            e[p_node] += 1.0
+        if q_node >= 0:
+            e[q_node] -= 1.0
+        return np.linalg.solve(A, e)[out_idx]
+
+    env = c._env_scalars()
+    x_ext = np.concatenate([np.asarray(c._x), [0.0]])
+    want = 0.0
+    for fam in ir.families:
+        pins = np.asarray(fam.pin_nodes)
+        P = np.asarray(c._params()[fam.mdef.id_name])
+        st_all = c._states.get(fam.mdef.id_name, {})
+        for k in range(pins.shape[0]):
+            Pk = jnp.asarray(P[k])
+            vk = x_ext[pins[k]]
+            bk = x_ext[np.asarray(fam.br_idx)[k]]
+            stk = {kk: np.asarray(a)[k] for kk, a in st_all.items()}
+
+            def node(pin_i):
+                idx = pins[k][pin_i]
+                return idx if idx < n else -1
+
+            if fam.mdef.noise is not None:
+                psd = np.asarray(fam.mdef.noise(
+                    Pk, vk, bk, stk, env, w / (2 * np.pi)))
+                for s_i, (i, j) in enumerate(fam.mdef.noise_pairs):
+                    G = transfer(node(i), node(j))
+                    want += max(float(psd[s_i]), 0.0) * abs(G) ** 2
+            if fam.mdef.noise_corr is not None:
+                S = np.asarray(fam.mdef.noise_corr(
+                    Pk, vk, bk, stk, env, w / (2 * np.pi), w))
+                for gi, (pa, pb) in enumerate(
+                        fam.mdef.noise_corr_pairs):
+                    Ga = transfer(node(pa[0]), node(pa[1]))
+                    Gb = transfer(node(pb[0]), node(pb[1]))
+                    sab = S[gi, 2] + 1j * S[gi, 3]
+                    want += (max(S[gi, 0], 0.0) * abs(Ga) ** 2 +
+                             max(S[gi, 1], 0.0) * abs(Gb) ** 2 +
+                             2.0 * np.real(Ga * np.conj(Gb) * sab))
+    assert np.isclose(float(res.onoise_psd[0]), want, rtol=1e-6), (
+        float(res.onoise_psd[0]), want)
+
+    # ---- hook physics: omega^2 scaling, +Im cross, zero S_bb --------
+    fam = [f for f in ir.families if f.mdef.id_name == "BSIM3_NMOS"][0]
+    Pk = jnp.asarray(np.asarray(c._params()["BSIM3_NMOS"])[0])
+    vk = x_ext[np.asarray(fam.pin_nodes)[0]]
+    stk = {kk: np.asarray(a)[0]
+           for kk, a in c._states.get("BSIM3_NMOS", {}).items()}
+    S1 = np.asarray(fam.mdef.noise_corr(Pk, vk, 0.0, stk, env,
+                                        1e9, 2 * np.pi * 1e9))[0]
+    S2 = np.asarray(fam.mdef.noise_corr(Pk, vk, 0.0, stk, env,
+                                        2e9, 2 * np.pi * 2e9))[0]
+    assert S2[0] == pytest.approx(4.0 * S1[0], rel=1e-6)   # omega^2
+    assert S1[1] == 0.0                                    # no S_bb
+    assert S1[3] > 0.0 and S1[2] == 0.0                    # +j cross
+    assert S2[3] == pytest.approx(2.0 * S1[3], rel=1e-6)   # ~omega
+    # correlation coefficient magnitude: |c| = 0.395
+    sid0 = S1[3] ** 2 / (0.395 ** 2 * S1[0])
+    assert sid0 > 0.0
+
+
 def test_bsim3_rc_terminal_resistor_noise():
     """The *_RC variant adds 4kT·g thermal sources for real terminal
     resistances and treats floored shorts as noiseless."""
