@@ -217,12 +217,43 @@ def digital_metric():
         return {"digital_error": f"{type(e).__name__}: {e}"}
 
 
+def _tpu_run_subprocess() -> float:
+    """tpu_run in a fresh interpreter (retry path)."""
+    import subprocess
+    import sys
+    code = ("import bench, json; "
+            "print(json.dumps({'v': bench.tpu_run()}))")
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3000, cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        raise RuntimeError(f"tpu_run subprocess rc={r.returncode}: "
+                           f"{r.stderr[-500:]}")
+    return float(json.loads(r.stdout.strip().splitlines()[-1])["v"])
+
+
 def main():
     digital = digital_metric()
     # best-of-3: the scalar baseline is sensitive to host contention
     cps_dense = max(cpu_baseline_dense() for _ in range(3))
     cps_sparse = max(cpu_baseline_sparse() for _ in range(3))
-    cps_tpu = tpu_run()
+    # the axon tunnel occasionally drops with a transient
+    # "TPU backend setup/compile error (Unavailable)" (observed r3);
+    # retry in FRESH interpreters (jax caches a failed backend init
+    # for the life of the process) so one hiccup cannot zero out the
+    # round's record
+    last = None
+    cps_tpu = None
+    for attempt in range(3):
+        try:
+            cps_tpu = tpu_run() if attempt == 0 else \
+                _tpu_run_subprocess()
+            break
+        except Exception as e:  # noqa: BLE001
+            last = e
+            time.sleep(90)
+    if cps_tpu is None:
+        raise last
     rec = {
         "metric": "transient_newton_circuit_steps_per_sec",
         "value": round(cps_tpu, 1),
