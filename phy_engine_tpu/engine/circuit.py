@@ -441,6 +441,62 @@ class Circuit:
         rin = float("inf") if i_src == 0.0 else -1.0 / i_src
         return float(g), rin, float(r_out)
 
+    def pz(self, out_node: Node, src):
+        """SPICE .PZ — poles and zeros of the small-signal transfer
+        v(out)/e(src) (extension past parity; the reference has no
+        small-signal pole-zero analysis).
+
+        Every device AC stamp is G + jωC (linear in ω), so one
+        assembly at ω=1 yields both matrices: G = Re A, C = Im A.
+        Poles solve det(G + sC) = 0 (generalized eigenproblem);
+        zeros solve det([[G + sC, b_src], [e_outᵀ, 0]]) = 0 — the
+        bordered pencil whose determinant is the transfer numerator.
+        Returns ``(poles, zeros)`` as complex ndarrays in rad/s
+        (finite eigenvalues only; infinite generalized eigenvalues
+        correspond to the pencil's singular C directions, not
+        dynamics).  Runs an OP first for nonlinear bias
+        linearizations, like AC/noise/tf."""
+        import scipy.linalg as sla
+        from .analog import assemble_ac
+        ir = self.prepare()
+        if not self._analyze_op(mode="op"):
+            return None
+        out_idx = self._node_index(out_node)
+        brs = getattr(src, "branches", ())
+        if not brs or brs[0].index < 0:
+            raise ValueError("pz src must be a branch device (V source)")
+        src_row = int(brs[0].index)
+        Ar, Ai, _Zr, _Zi = jax.jit(
+            lambda p, st: assemble_ac(ir, p, st,
+                                      jnp.asarray(1.0, self.dtype),
+                                      self.dtype))(
+            self._params(), self._states)
+        G = np.asarray(Ar)
+        C = np.asarray(Ai)
+        n = ir.n_unknowns
+
+        def finite_eigs(M0, M1):
+            # det(M0 + s·M1) = 0  ->  M0 v = s·(−M1) v, s = λ directly
+            lam = sla.eigvals(M0, -M1)
+            lam = lam[np.isfinite(lam)]
+            # scipy encodes some infinite generalized eigenvalues as
+            # huge finite numbers when M1 is nearly singular; clip by
+            # magnitude against the pencil scale
+            scale = (np.linalg.norm(M0, np.inf) /
+                     max(np.linalg.norm(M1, np.inf), 1e-300))
+            return lam[np.abs(lam) < 1e6 * max(scale, 1.0)]
+
+        poles = finite_eigs(G, C)
+        b = np.zeros((n, 1))
+        b[src_row, 0] = 1.0
+        c_row = np.zeros((1, n))
+        c_row[0, out_idx] = 1.0
+        M0 = np.block([[G, b], [c_row, np.zeros((1, 1))]])
+        M1 = np.block([[C, np.zeros((n, 1))],
+                       [np.zeros((1, n + 1))]])
+        zeros = finite_eigs(M0, M1)
+        return poles, zeros
+
     # -- digital ------------------------------------------------------------
     def digital_clk(self) -> bool:
         """One digital tick (circuit.h:298-354)."""

@@ -295,6 +295,82 @@ def test_tf_nonlinear_bias():
     assert np.isclose(rout, R * rd / (R + rd), rtol=0.02)
 
 
+def test_pz_rc_lowpass():
+    """.PZ (extension past parity): RC lowpass has one pole at
+    -1/(RC) and no finite zeros."""
+    R, C = 1e3, 1e-9
+    c, v, out = _vdc_chain(R, cap=C)
+    poles, zeros = c.pz(out, v)
+    assert len(poles) == 1
+    assert np.isclose(poles[0].real, -1.0 / (R * C), rtol=1e-9)
+    assert abs(poles[0].imag) < 1e-3
+    assert len(zeros) == 0
+
+
+def test_pz_zero_and_rlc_pair():
+    """Shelving network R1 -> out, out -> (R2 + C) -> gnd,
+    out -> R3 -> gnd: zero at -1/(R2·C), pole at
+    -(R1+R3)/(C·(R1R2+R1R3+R2R3)).  Series RLC: complex pole pair at
+    -R/2L ± j·sqrt(1/LC - (R/2L)²)."""
+    from phy_engine_tpu.models import CAPACITOR, INDUCTOR
+
+    R1, R2, R3, C = 1e3, 4.7e3, 10e3, 2e-9
+    c = pe.Circuit()
+    nl = c.nl
+    v = netops.add_model(nl, VDC, {"V": 1.0})
+    top = netops.create_node(nl)
+    out = netops.create_node(nl)
+    mid = netops.create_node(nl)
+    netops.add_to_node(nl, v, 0, top)
+    netops.add_to_node(nl, v, 1, nl.ground_node)
+    r1 = netops.add_model(nl, RESISTANCE, {"r": R1})
+    netops.add_to_node(nl, r1, 0, top)
+    netops.add_to_node(nl, r1, 1, out)
+    r2 = netops.add_model(nl, RESISTANCE, {"r": R2})
+    netops.add_to_node(nl, r2, 0, out)
+    netops.add_to_node(nl, r2, 1, mid)
+    cc = netops.add_model(nl, CAPACITOR, {"C": C})
+    netops.add_to_node(nl, cc, 0, mid)
+    netops.add_to_node(nl, cc, 1, nl.ground_node)
+    r3 = netops.add_model(nl, RESISTANCE, {"r": R3})
+    netops.add_to_node(nl, r3, 0, out)
+    netops.add_to_node(nl, r3, 1, nl.ground_node)
+    poles, zeros = c.pz(out, v)
+    p_want = -(R1 + R3) / (C * (R1 * R2 + R1 * R3 + R2 * R3))
+    z_want = -1.0 / (R2 * C)
+    assert len(poles) == 1 and len(zeros) == 1
+    assert np.isclose(poles[0].real, p_want, rtol=1e-9)
+    assert np.isclose(zeros[0].real, z_want, rtol=1e-9)
+
+    # series RLC to a capacitor output: complex pole pair
+    R, L, C2 = 100.0, 1e-3, 1e-9
+    c2 = pe.Circuit()
+    nl = c2.nl
+    v2 = netops.add_model(nl, VDC, {"V": 1.0})
+    a = netops.create_node(nl)
+    b = netops.create_node(nl)
+    o = netops.create_node(nl)
+    netops.add_to_node(nl, v2, 0, a)
+    netops.add_to_node(nl, v2, 1, nl.ground_node)
+    rr = netops.add_model(nl, RESISTANCE, {"r": R})
+    netops.add_to_node(nl, rr, 0, a)
+    netops.add_to_node(nl, rr, 1, b)
+    ll = netops.add_model(nl, INDUCTOR, {"L": L})
+    netops.add_to_node(nl, ll, 0, b)
+    netops.add_to_node(nl, ll, 1, o)
+    c2c = netops.add_model(nl, CAPACITOR, {"C": C2})
+    netops.add_to_node(nl, c2c, 0, o)
+    netops.add_to_node(nl, c2c, 1, nl.ground_node)
+    poles2, _zeros2 = c2.pz(o, v2)
+    assert len(poles2) == 2
+    alpha = R / (2 * L)
+    wd = np.sqrt(1.0 / (L * C2) - alpha ** 2)
+    got = sorted(poles2, key=lambda s: s.imag)
+    assert np.isclose(got[1].real, -alpha, rtol=1e-6)
+    assert np.isclose(abs(got[1].imag), wd, rtol=1e-6)
+    assert np.isclose(got[0].imag, -got[1].imag, rtol=1e-6)
+
+
 def test_bjt_shot_noise():
     """Common-emitter NPN with ideal V-source base drive: the base
     shot source sees zero transfer impedance (both terminals held by
