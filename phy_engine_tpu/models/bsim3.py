@@ -78,7 +78,15 @@ Status ledger against the reference's own header TODO
   the fc forward-bias coefficient, dtemp device-temperature delta,
   cgso/cgdo/cgbo overlap densities gated by acm; charge-conserving
   full Berkeley junction equations open in both implementations.
-* NQS — OPEN in both implementations.
+* NQS — DONE here (wave 9), OPEN in the reference (bsim3v32.h:27
+  leaves it entirely unimplemented): first-order single-pole Elmore
+  relaxation of the intrinsic charge system — nqsMod=1 + elm params;
+  TR integrates the charge-deficit ODE dQdef/dt = dQint/dt − Qdef/τ
+  trapezoidally with the terminal currents Qdef/τ (overlap/junction
+  charges stay quasi-static), AC gets the relaxation pole
+  jωC_int/(1+jωτ); τ⁻¹ = 16·μ0·Ut/Leff² + elm·gd0/(Cox·Weff·Leff).
+  4-terminal variants only (the *_RC parasitic variant keeps
+  quasi-static charges).
 * Noise — DONE here, OPEN in the reference: wave 7 adds channel
   thermal 8kT(gm+gds+gmb)/3 + flicker kf*Ids^af/(Cox*Leff^2*f^ef)
   (SPICE2/noiMod=1 forms, kf/af/ef/noimod params), consumed by the
@@ -191,6 +199,10 @@ _PARAMS = (
     #    consumed by engine/noise.py — an analysis the reference never
     #    had, bsim3v32.h:28-29) ----------------------------------------
     "kf", "af", "ef", "noimod",
+    # -- wave 9: NQS (first-order single-pole Elmore relaxation of the
+    #    intrinsic charge system; the reference's TODO leaves NQS
+    #    entirely unimplemented, bsim3v32.h:27) ------------------------
+    "nqsmod", "elm",
 )
 _DEFAULTS = {p: 0.0 for p in _PARAMS}
 _DEFAULTS.update({
@@ -218,6 +230,8 @@ _DEFAULTS.update({
     "rdsmod": 1.0, "rgatemod": 1.0, "rbodymod": 1.0,
     # wave 7: Berkeley noise defaults (kf=0 off; noimod=1 SPICE2 form)
     "af": 1.0, "ef": 1.0, "noimod": 1.0,
+    # wave 9: NQS off by default; elm = Berkeley Elmore constant
+    "elm": 5.0,
 })
 _TNOM = 27.0
 _IX = {p: i for i, p in enumerate(_PARAMS)}
@@ -851,6 +865,52 @@ def _charges(P, v4, sign):
     return (sign * _mnf_scale(P)) * jnp.stack([qd, qg, qs, qb])
 
 
+def _charges_intrinsic_only(P, v4, sign):
+    """The intrinsic (capMod >= 1) terminal-charge vector alone, with
+    the same source/drain-swap symmetrization, capmod gate and
+    sign·m·nf scaling as the intrinsic block inside ``_charges`` —
+    this is the subsystem wave-9 NQS relaxes (overlap and junction
+    charges stay quasi-static)."""
+    P = _with_dtemp(P)
+    vd, vg, vs, vb = (sign * v4[0], sign * v4[1],
+                      sign * v4[2], sign * v4[3])
+    vds = vd - vs
+    fwd = vds >= 0.0
+    qd_f, qg_f, qs_f, qb_f = _intrinsic_charges(P, vg - vs, vds,
+                                                vb - vs)
+    qs_r, qg_r, qd_r, qb_r = _intrinsic_charges(P, vg - vd, -vds,
+                                                vb - vd)
+    on = _p(P, "capmod") >= 1.0
+    qd = jnp.where(on, jnp.where(fwd, qd_f, qd_r), 0.0)
+    qg = jnp.where(on, jnp.where(fwd, qg_f, qg_r), 0.0)
+    qs = jnp.where(on, jnp.where(fwd, qs_f, qs_r), 0.0)
+    qb = jnp.where(on, jnp.where(fwd, qb_f, qb_r), 0.0)
+    return (sign * _mnf_scale(P)) * jnp.stack([qd, qg, qs, qb])
+
+
+def _nqs_tau(P, v4, sign):
+    """Wave-9 NQS relaxation time (clean-room first-order Elmore
+    form; the reference implements NO NQS, bsim3v32.h:27):
+
+        1/τ = 1/τ_diff + 1/τ_drift,
+        τ_diff  = Leff² / (16·μ0·Ut)          (diffusion limit)
+        τ_drift = Cox·Weff·Leff / (elm·gd0)   (drift limit)
+
+    with gd0 = gm+gds+gmb at the bias (same jacfwd core the noise
+    model uses) and elm the Berkeley Elmore constant (default 5)."""
+    P2 = _with_dtemp(P)
+    leff, weff, B = _geom(P2)
+    ut = _K_B * (_p(P2, "Temp") + _T0) / _Q_E
+    cox = _EPS_OX / jnp.maximum(_p(P2, "tox"), 1e-9)
+    cwl = cox * weff * leff
+    u0b = jnp.maximum(B["u0"], 1e-6)
+    inv_diff = 16.0 * u0b * ut / (leff * leff)
+    _ids, g0 = _chan_noise_bias(P2, v4, sign)
+    elm = jnp.maximum(_p(P2, "elm"), 1e-3)
+    inv_drift = elm * g0 / jnp.maximum(cwl, 1e-30)
+    return 1.0 / (inv_diff + inv_drift)
+
+
 # ---------------------------------------------------------------------------
 # stamps
 # ---------------------------------------------------------------------------
@@ -871,9 +931,13 @@ def _make_stamp(sign):
         new_state["vb"] = v[3]
         if ctx.mode == "tr":
             # trapezoidal charge companion: i = G@v + h with G, h from
-            # the last accepted step (step_update)
-            G = jnp.stack([state[f"cg{k}"] for k in range(16)])
-            h = jnp.stack([state[f"ch{k}"] for k in range(4)])
+            # the last accepted step (step_update); the ng/nh slots
+            # carry the wave-9 NQS relaxed-channel current model (all
+            # zero at nqsmod=0, so adding them is an exact no-op)
+            G = jnp.stack([state[f"cg{k}"] + state[f"ng{k}"]
+                           for k in range(16)])
+            h = jnp.stack([state[f"ch{k}"] + state[f"nh{k}"]
+                           for k in range(4)])
             a_vals = a_vals + G
             z_vals = z_vals - h
         return a_vals, z_vals, new_state
@@ -884,16 +948,47 @@ def _make_step_update(sign):
     def _step_update(P, v, ib, state, dt, t):
         out = dict(state)
         C = jax.jacfwd(lambda v4: _charges(P, v4, sign))(v)
+        # wave-9 NQS: relax the intrinsic charge subsystem with a
+        # single pole (dQdef/dt = dQint/dt − Qdef/τ, terminal currents
+        # Qdef/τ); the quasi-static trapezoid then runs on the
+        # remaining (overlap + junction) charges only.  At nqsmod=0
+        # C_qs == C and every NQS slot is 0 — bit-identical behavior.
+        nqs_on = _p(P, "nqsmod") != 0.0
+        C_int = jax.jacfwd(
+            lambda v4: _charges_intrinsic_only(P, v4, sign))(v)
+        C_qs = jnp.where(nqs_on, C - C_int, C)
         G_prev = jnp.stack([state[f"cg{k}"]
                             for k in range(16)]).reshape(4, 4)
         h_prev = jnp.stack([state[f"ch{k}"] for k in range(4)])
         ic_now = G_prev @ v + h_prev          # companion current at t
-        G_new = 2.0 * C / dt
+        G_new = 2.0 * C_qs / dt
         h_new = -(G_new @ v) - ic_now
         for k in range(16):
             out[f"cg{k}"] = G_new.reshape(-1)[k]
         for k in range(4):
             out[f"ch{k}"] = h_new[k]
+        # NQS current model for the next step, trapezoid-consistent:
+        # trapezoid on dQdef/dt = dQint/dt − i with i = Qdef/τ gives
+        #   i(v') = [Qdef_n − (dt/2)·i_n + C_int·(v'−v)] / (τ + dt/2)
+        # and the accepted deficit satisfies Qdef_n = τ_prev·i_n
+        # exactly (substitute the model equation into its own
+        # trapezoid), so one extra scalar of state (ntau) suffices.
+        # τ→0 collapses this onto the QS trapezoid recurrence
+        # i(v') = (2C_int/dt)(v'−v) − i_n sample-for-sample.
+        tau = _nqs_tau(P, v, sign)
+        i_n = jnp.stack([state[f"ng{k}"]
+                         for k in range(16)]).reshape(4, 4) @ v + \
+            jnp.stack([state[f"nh{k}"] for k in range(4)])
+        qdef_n = state["ntau"] * i_n
+        den = tau + dt / 2.0
+        Gn = C_int / den
+        hn = (qdef_n - (dt / 2.0) * i_n) / den - Gn @ v
+        z = jnp.zeros(())
+        for k in range(16):
+            out[f"ng{k}"] = jnp.where(nqs_on, Gn.reshape(-1)[k], z)
+        for k in range(4):
+            out[f"nh{k}"] = jnp.where(nqs_on, hn[k], z)
+        out["ntau"] = jnp.where(nqs_on, tau, z)
         return out
     return _step_update
 
@@ -904,8 +999,21 @@ def _make_ac_stamp(sign):
                        state["vb"]])
         J = jax.jacfwd(lambda v4: _terminal_currents(P, v4, sign))(v)
         C = jax.jacfwd(lambda v4: _charges(P, v4, sign))(v)
-        a_re = J.reshape(-1)
-        a_im = omega * C.reshape(-1)
+        # wave-9 NQS: the intrinsic charge admittance gets the single
+        # relaxation pole, jωC_int → jωC_int/(1+jωτ), i.e. a real loss
+        # ω²τC/(1+ω²τ²) plus a rolled-off imaginary part; overlap and
+        # junction caps stay jωC.  Exact no-op at nqsmod=0.
+        nqs_on = _p(P, "nqsmod") != 0.0
+        C_int = jax.jacfwd(
+            lambda v4: _charges_intrinsic_only(P, v4, sign))(v)
+        tau = _nqs_tau(P, v, sign)
+        den = 1.0 + (omega * tau) ** 2
+        a_re = J.reshape(-1) + jnp.where(
+            nqs_on, (omega * omega * tau / den) * C_int.reshape(-1),
+            0.0)
+        a_im = omega * jnp.where(
+            nqs_on, (C - C_int).reshape(-1) +
+            C_int.reshape(-1) / den, C.reshape(-1))
         return a_re, a_im, jnp.zeros(4), jnp.zeros(4)
     return _ac_stamp
 
@@ -928,7 +1036,11 @@ def _rhs(pins, brs):
 
 _STATE = tuple([("vd", 0.0), ("vg", 0.0), ("vs", 0.0), ("vb", 0.0)] +
                [(f"cg{k}", 0.0) for k in range(16)] +
-               [(f"ch{k}", 0.0) for k in range(4)])
+               [(f"ch{k}", 0.0) for k in range(4)] +
+               # wave-9 NQS: relaxed-channel current model + its τ
+               [(f"ng{k}", 0.0) for k in range(16)] +
+               [(f"nh{k}", 0.0) for k in range(4)] +
+               [("ntau", 0.0)])
 
 
 # alternate attribute spellings (the reference's get_attribute_name
@@ -939,7 +1051,7 @@ _ALIASES = {
     "cgs": "Cgs", "cgd": "Cgd", "cgb": "Cgb",
     "mobMod": "mobmod", "capMod": "capmod",
     "rdsMod": "rdsmod", "rgateMod": "rgatemod",
-    "rbodyMod": "rbodymod",
+    "rbodyMod": "rbodymod", "nqsMod": "nqsmod",
     "is": "diode_Is", "n": "diode_N",
     "diode_Isr": "isr", "diode_Nr": "nr",
     "diode_Isd": "isd", "diode_Iss": "iss",
