@@ -239,15 +239,15 @@ def main():
     cps_sparse = max(cpu_baseline_sparse() for _ in range(3))
     # the axon tunnel occasionally drops with a transient
     # "TPU backend setup/compile error (Unavailable)" (observed r3);
-    # retry in FRESH interpreters (jax caches a failed backend init
-    # for the life of the process) so one hiccup cannot zero out the
-    # round's record
+    # every attempt runs in a FRESH interpreter (jax caches a failed
+    # backend init for the life of the process) under a hard timeout
+    # (a downed tunnel can HANG backend init indefinitely, observed
+    # r3) so one hiccup cannot zero out or stall the round's record
     last = None
     cps_tpu = None
     for attempt in range(3):
         try:
-            cps_tpu = tpu_run() if attempt == 0 else \
-                _tpu_run_subprocess()
+            cps_tpu = _tpu_run_subprocess()
             break
         except Exception as e:  # noqa: BLE001
             last = e
