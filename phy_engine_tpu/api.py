@@ -434,6 +434,30 @@ class Circuit:
             raise PhyEngineError("noise bias point failed to converge")
         return res
 
+    def sens(self, out_element: int, out_pin: int = 0):
+        """DC sensitivity (.SENS class, engine extension — the
+        reference has none): d V(out)/d(param) for every parameter of
+        every device, via one reverse-mode adjoint sweep
+        (engine/sens.py).  Returns ``engine.sens.SensResult``."""
+        _p, node = self._pin_node(out_element, out_pin)
+        if node is None or node.is_ground:
+            raise PhyEngineError("sens output pin is unconnected/ground")
+        res = self._core.sens(node)
+        if res is None:
+            raise PhyEngineError("sens bias point failed to converge")
+        return res
+
+    def sens_ac(self, out_element: int, out_pin: int = 0):
+        """AC magnitude sensitivity over the configured AC grid
+        (engine extension).  Returns ``(freqs, mag, SensResult)``."""
+        _p, node = self._pin_node(out_element, out_pin)
+        if node is None or node.is_ground:
+            raise PhyEngineError("sens output pin is unconnected/ground")
+        res = self._core.sens_ac(node)
+        if res is None:
+            raise PhyEngineError("sens bias point failed to converge")
+        return res
+
     # context manager parity
     def close(self) -> None:
         pass

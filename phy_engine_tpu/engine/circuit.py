@@ -400,6 +400,208 @@ class Circuit:
         return NoiseResult(np.asarray(omegas) / (2.0 * np.pi),
                            onoise, gain2, contribs)
 
+    def _out_index(self, out) -> int:
+        """Unknown-vector index of an output spec: a Node (its
+        voltage) or a branch device (its branch current)."""
+        if isinstance(out, Node):
+            return self._node_index(out)
+        brs = getattr(out, "branches", ())
+        if brs and brs[0].index >= 0:
+            return int(brs[0].index)
+        raise ValueError("output must be a node or a branch device")
+
+    def sens(self, out):
+        """SPICE .SENS (DC) — sensitivity of an output to every
+        parameter of every device (extension past parity; the
+        reference has no sensitivity analysis).
+
+        ``out``: a Node (output voltage) or a branch device such as a
+        V source (output = its branch current).  Runs an OP, then one
+        reverse-mode sweep through the differentiable assembly prices
+        d(out)/d(param) for the complete parameter set at the cost of
+        a single transposed solve (engine/sens.py).  Returns a
+        ``SensResult`` or None when the bias point fails."""
+        from .sens import sens_op, SensResult
+        ir = self.prepare()
+        if not self._analyze_op(mode="op"):
+            return None
+        out_idx = self._out_index(out)
+        params = self._params()
+        env = self._env_scalars()
+        fn = jax.jit(lambda p, x, st: sens_op(
+            ir, p, x, st, env, out_idx, self._drives, self.dtype))
+        grads = fn(params, self._x, self._states)
+        return SensResult(ir, grads, params)
+
+    def sens_ac(self, out):
+        """SPICE .SENS (AC) — d|V(out)|/d(param) over the AC ω grid,
+        chained through the bias point and the saved small-signal
+        linearizations (extension past parity).  Returns
+        ``(freqs, mag, SensResult)`` — each SensResult row value is an
+        (nω,) array — or None when the bias point fails."""
+        from .sens import sens_ac, SensResult
+        ir = self.prepare()
+        if not self._analyze_op(mode="op"):
+            return None
+        out_idx = self._out_index(out)
+        params = self._params()
+        env = self._env_scalars()
+        omegas = jnp.asarray(self._omega_grid())
+        fn = jax.jit(lambda p, x, st, w: sens_ac(
+            ir, p, x, st, env, out_idx, w, self._drives, self.dtype))
+        mag, grads = fn(params, self._x, self._states, omegas)
+        return (np.asarray(omegas) / (2.0 * np.pi), np.asarray(mag),
+                SensResult(ir, grads, params))
+
+    def _family_col(self, inst, pname: str):
+        ir = self.prepare()
+        for fam in ir.families:
+            if inst in fam.instances:
+                return (fam.mdef.id_name, fam.instances.index(inst),
+                        fam.mdef.param_order.index(pname))
+        raise ValueError("instance is not part of the lowered circuit")
+
+    def dc_sweep(self, inst, pname: str, values, out=None):
+        """SPICE .DC — step one device parameter (classically a
+        source voltage) over a grid, solving the operating point at
+        EVERY grid value in one batched device program (``vmap`` over
+        the grid onto the batched MXU solve).  The reference's DC
+        analysis is an OP alias with an empty settings struct
+        (analyzer/DC.h:9) — stepped .DC is an extension past parity.
+
+        ``inst``/``pname``: the swept device parameter (e.g. a VDC's
+        ``"V"``).  ``out``: optional Node or branch device; when given
+        the result's ``out`` field holds its (nv,) trace directly.
+        Mixed-signal circuits are not swept (digital drives are
+        per-tick state).  Does not disturb the circuit's stored
+        solution.  Returns a :class:`SweepResult`."""
+        from ..parallel.batch import batch_state, batch_x, batched_op
+        ir = self.prepare()
+        if ir.n_drive_slots:
+            raise ValueError("dc_sweep does not support mixed-signal "
+                             "circuits (use digital_clk interleave)")
+        key_, i, j = self._family_col(inst, pname)
+        vals = np.asarray(values, np.float64)
+        nv = len(vals)
+        params_b = {}
+        base = self._params()
+        for k, P in base.items():
+            params_b[k] = jnp.broadcast_to(P, (nv,) + P.shape)
+        params_b[key_] = params_b[key_].at[:, i, j].set(
+            jnp.asarray(vals, self.dtype))
+        x_b = batch_x(ir, nv, self.dtype)
+        st_b = batch_state(ir, nv, self.dtype)
+        x, st, ok = jax.jit(
+            lambda p, xx, ss: batched_op(ir, p, xx, ss,
+                                         self._env_scalars(),
+                                         dtype=self.dtype))(
+            params_b, x_b, st_b)
+        res = SweepResult(ir, vals, np.asarray(x), np.asarray(ok),
+                          {k: np.asarray(v) for k, v in params_b.items()})
+        if out is not None:
+            res.out = res.trace(out)
+        return res
+
+    def monte_carlo(self, jitter, n: int, key=None,
+                    analysis: str = "op", t_stop: float = 0.0,
+                    t_step: float = 0.0):
+        """Monte-Carlo over lognormal parameter jitter — the workload
+        class the reference covers with independent process runs; here
+        it is ONE batched device program (parallel/batch.py).
+
+        ``jitter``: {family id_name: {param: rel_sigma}}.
+        ``analysis``: 'op' (default) or 'tr' (fixed-step transient of
+        ``t_stop``/``t_step``, waveforms kept per lane).  Returns a
+        :class:`SweepResult` whose ``params`` hold the sampled values
+        (lane i's parameters) — for 'tr' the ``history`` field is
+        (n, steps, N)."""
+        from ..parallel.batch import (batch_state, batch_x, batched_op,
+                                      batched_transient)
+        ir = self.prepare()
+        if ir.n_drive_slots:
+            raise ValueError("monte_carlo does not support "
+                             "mixed-signal circuits")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        base = self._params()          # live (possibly edited) params
+        params_b = {}
+        for fam in ir.families:
+            k = fam.mdef.id_name
+            P = jnp.broadcast_to(base[k], (n,) + base[k].shape)
+            if jitter and k in jitter:
+                for pname, sigma in jitter[k].items():
+                    col = fam.mdef.param_order.index(pname)
+                    key, sub = jax.random.split(key)
+                    factor = jnp.exp(sigma * jax.random.normal(
+                        sub, (n, P.shape[1])))
+                    P = P.at[:, :, col].multiply(factor)
+            params_b[k] = P
+        x_b = batch_x(ir, n, self.dtype)
+        st_b = batch_state(ir, n, self.dtype)
+        env = self._env_scalars()
+        if analysis == "op":
+            x, st, ok = jax.jit(
+                lambda p, xx, ss: batched_op(ir, p, xx, ss, env,
+                                             dtype=self.dtype))(
+                params_b, x_b, st_b)
+            res = SweepResult(ir, np.arange(n), np.asarray(x),
+                              np.asarray(ok),
+                              {k: np.asarray(v)
+                               for k, v in params_b.items()})
+            return res
+        if analysis != "tr":
+            raise ValueError("analysis must be 'op' or 'tr'")
+        dt = t_step or self.tr.t_step
+        steps = max(1, int(round((t_stop or self.tr.t_stop) / dt)))
+        x, st, ok, xs = jax.jit(
+            lambda p, xx, ss: batched_transient(
+                ir, p, xx, ss, env, jnp.asarray(0.0, self.dtype),
+                jnp.asarray(dt, self.dtype), steps, self.dtype,
+                keep_trace=True))(params_b, x_b, st_b)
+        res = SweepResult(ir, np.arange(n), np.asarray(x),
+                          np.asarray(ok),
+                          {k: np.asarray(v) for k, v in params_b.items()})
+        res.history = np.asarray(xs)
+        res.times = dt * np.arange(1, steps + 1)
+        return res
+
+    def four(self, fundamental: float, out, harmonics: int = 9):
+        """SPICE .FOUR — Fourier analysis of the last transient
+        waveform at ``out`` (extension past parity; the reference has
+        no Fourier post-processor).
+
+        Uses the final ``1/fundamental`` window of ``tr_history``
+        (classic SPICE convention), linearly resampled onto a uniform
+        grid, and returns a :class:`FourierResult` with amplitudes/
+        phases of harmonics 0..``harmonics`` of ``fundamental`` plus
+        THD (ratio of harmonics 2+ RMS to the fundamental)."""
+        if self.tr_history is None or self.tr_times is None:
+            raise ValueError("run a transient first (.FOUR analyzes "
+                             "tr_history)")
+        idx = self._out_index(out)
+        t = np.asarray(self.tr_times, np.float64)
+        y = np.asarray(self.tr_history[:, idx], np.float64)
+        T = 1.0 / float(fundamental)
+        t_end = t[-1]
+        t_start = t_end - T
+        if t_start < t[0] - 1e-15:
+            raise ValueError("transient shorter than one fundamental "
+                             "period")
+        m = max(64, 16 * (harmonics + 1))
+        tg = np.linspace(t_start, t_end, m, endpoint=False)
+        yg = np.interp(tg, t, y)
+        coeff = np.fft.rfft(yg) / m
+        n_avail = min(harmonics, m // 2 - 1)
+        amps = np.zeros(harmonics + 1)
+        phases = np.zeros(harmonics + 1)
+        amps[0] = coeff[0].real
+        for k in range(1, n_avail + 1):
+            amps[k] = 2.0 * np.abs(coeff[k])
+            # SPICE phase convention: component as A·cos(kωt + φ)
+            # relative to the window start
+            phases[k] = np.degrees(np.angle(coeff[k]))
+        return FourierResult(float(fundamental), amps, phases)
+
     def tf(self, out_node: Node, src):
         """SPICE .TF — DC small-signal transfer function (extension
         past parity, like ``noise``; the reference has neither).
@@ -730,6 +932,76 @@ def _jit_ac(ir: AnalogIR):
             return analog.ac_sweep(ir, params, states, omegas)
         _AC_CACHE[key] = jax.jit(run)
     return _AC_CACHE[key]
+
+
+class FourierResult:
+    """Result of Circuit.four: harmonic amplitudes (index k =
+    harmonic k of the fundamental; index 0 = DC), phases in degrees,
+    and total harmonic distortion."""
+
+    def __init__(self, f0: float, amps: np.ndarray, phases: np.ndarray):
+        self.fundamental = f0
+        self.amps = amps
+        self.phases = phases
+
+    @property
+    def thd(self) -> float:
+        """sqrt(Σ_{k≥2} A_k²) / A_1 (the SPICE .FOUR THD, as a ratio;
+        multiply by 100 for percent)."""
+        a1 = self.amps[1]
+        if a1 == 0.0:
+            return float("inf")
+        return float(np.sqrt(np.sum(self.amps[2:] ** 2)) / a1)
+
+
+class SweepResult:
+    """Result of Circuit.dc_sweep / Circuit.monte_carlo.
+
+    ``values`` — the sweep grid (or lane indices for MC); ``x`` —
+    (nv, N) solutions; ``ok`` — (nv,) per-point convergence;
+    ``params`` — the per-lane parameter matrices actually used
+    (family id → (nv, n_inst, n_param)).  For MC transients,
+    ``history`` is (nv, steps, N) and ``times`` the step times."""
+
+    def __init__(self, ir, values, x, ok, params):
+        self.ir = ir
+        self.values = np.asarray(values)
+        self.x = x
+        self.ok = ok
+        self.params = params
+        self.out = None
+        self.history = None
+        self.times = None
+
+    def _idx(self, out) -> int:
+        if isinstance(out, Node):
+            i = self.ir.index_of(out)
+            if i < 0:
+                raise ValueError("node is not a lowered analog net")
+            return i
+        brs = getattr(out, "branches", ())
+        if brs and brs[0].index >= 0:
+            return int(brs[0].index)
+        raise ValueError("output must be a node or a branch device")
+
+    def trace(self, out) -> np.ndarray:
+        """(nv,) value of a node voltage / branch current per point."""
+        return self.x[:, self._idx(out)]
+
+    def waveform(self, out) -> np.ndarray:
+        """(nv, steps) transient waveforms (MC 'tr' only)."""
+        if self.history is None:
+            raise ValueError("no transient history on this result")
+        return self.history[:, :, self._idx(out)]
+
+    def param_of(self, inst, pname: str) -> np.ndarray:
+        """(nv,) the sampled/swept parameter value per lane."""
+        for fam in self.ir.families:
+            if inst in fam.instances:
+                i = fam.instances.index(inst)
+                j = fam.mdef.param_order.index(pname)
+                return self.params[fam.mdef.id_name][:, i, j]
+        raise KeyError("instance is not part of the lowered circuit")
 
 
 class DigitalTrace:
