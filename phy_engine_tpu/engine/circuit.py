@@ -502,6 +502,44 @@ class Circuit:
             res.out = res.trace(out)
         return res
 
+    def temp_sweep(self, temps, out=None):
+        """Global temperature sweep (.STEP TEMP class, extension past
+        parity): the OP is solved at every temperature in one batched
+        device program.  Each lane sets the ``Temp`` parameter of
+        EVERY device family that has one (the reference's
+        load_temperature propagation role, circuit.h:575-889, realized
+        as a parameter-column broadcast).  Returns a
+        :class:`SweepResult` (``values`` = temps in °C)."""
+        from ..parallel.batch import batch_state, batch_x, batched_op
+        ir = self.prepare()
+        if ir.n_drive_slots:
+            raise ValueError("temp_sweep does not support mixed-signal "
+                             "circuits")
+        temps = np.asarray(temps, np.float64)
+        nv = len(temps)
+        tj = jnp.asarray(temps, self.dtype)
+        base = self._params()
+        params_b = {}
+        for fam in ir.families:
+            k = fam.mdef.id_name
+            P = jnp.broadcast_to(base[k], (nv,) + base[k].shape)
+            if "Temp" in fam.mdef.param_order:
+                j = fam.mdef.param_order.index("Temp")
+                P = P.at[:, :, j].set(tj[:, None])
+            params_b[k] = P
+        x_b = batch_x(ir, nv, self.dtype)
+        st_b = batch_state(ir, nv, self.dtype)
+        x, st, ok = jax.jit(
+            lambda p, xx, ss: batched_op(ir, p, xx, ss,
+                                         self._env_scalars(),
+                                         dtype=self.dtype))(
+            params_b, x_b, st_b)
+        res = SweepResult(ir, temps, np.asarray(x), np.asarray(ok),
+                          {k: np.asarray(v) for k, v in params_b.items()})
+        if out is not None:
+            res.out = res.trace(out)
+        return res
+
     def monte_carlo(self, jitter, n: int, key=None,
                     analysis: str = "op", t_stop: float = 0.0,
                     t_step: float = 0.0):

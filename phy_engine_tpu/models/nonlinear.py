@@ -206,11 +206,23 @@ def _bjt_npn_pattern(pins, brs):
     return rows, cols
 
 
+def _bjt_uth(Is_eff, Ute):
+    """Critical voltage for junction limiting (same form as the
+    diode's Uth, PN_junction.h:330-346)."""
+    return Ute * _safe_log(Ute / (1.4142135623730951 * Is_eff))
+
+
 def _bjt_npn_stamp(P, v, ib, state, ctx):
+    """NPN Newton companion.  The reference stamps the RAW exponential
+    (BJT_NPN.h:116-160 — no limiting), which diverges for stiff bias
+    networks; here the B-E junction voltage passes through the same
+    SPICE pnjlim limiter the diode uses (extension past parity)."""
     Is_eff = P[0] * P[4]
     Ute = P[1] * _bjt_ut(P)
     beta = P[2]
     vbe = v[0] - v[2]
+    vbe = pn_vlimit(vbe, state["vj_last"], Ute,
+                    _bjt_uth(Is_eff, Ute), 0.0, 0.0)
     e = jnp.exp(jnp.clip(vbe / Ute, -200.0, 200.0))
     geq = Is_eff * e / Ute
     ibe = Is_eff * (e - 1.0)
@@ -219,8 +231,20 @@ def _bjt_npn_stamp(P, v, ib, state, ctx):
     ieq_c = beta * ibe - gm * vbe
     a = jnp.stack([geq, -geq, -geq, geq, gm, -gm, -gm, gm])
     z = jnp.stack([-ieq_be, ieq_be, -ieq_c, ieq_c])
-    new_state = {"geq": geq, "gm": gm}
+    new_state = {"geq": geq, "gm": gm, "vj_last": vbe}
     return a, z, new_state
+
+
+def _bjt_check_conv(sign):
+    """Not converged while pnjlim is still clamping (mirrors the
+    diode's check_conv)."""
+
+    def _check(P, v, state):
+        Ute = P[1] * _bjt_ut(P)
+        vj_raw = (v[0] - v[2]) * sign
+        return jnp.abs(vj_raw - state["vj_last"]) <= 2.0 * Ute + 1e-9
+
+    return _check
 
 
 def _bjt_npn_ac(P, state, omega):
@@ -256,7 +280,8 @@ BJT_NPN = register(ModelDef(
     defaults={"Is": 1e-16, "N": 1.0, "BetaF": 100.0, "Temp": 27.0,
               "Area": 1.0, "kf": 0.0, "af": 1.0},
     param_order=("Is", "N", "BetaF", "Temp", "Area", "kf", "af"),
-    state_vars=(("geq", 0.0), ("gm", 0.0)),
+    state_vars=(("geq", 0.0), ("gm", 0.0), ("vj_last", 0.0)),
+    check_conv=_bjt_check_conv(1.0),
     pattern=_bjt_npn_pattern,
     rhs_pattern=lambda p, b: [p[0], p[2], p[1], p[2]],
     stamp=_bjt_npn_stamp, ac_stamp=_bjt_npn_ac, nonlinear=True,
@@ -274,10 +299,14 @@ def _bjt_pnp_pattern(pins, brs):
 
 
 def _bjt_pnp_stamp(P, v, ib, state, ctx):
+    """PNP mirror of the NPN stamp, with the same pnjlim limiting on
+    the E-B junction (extension past BJT_PNP.h's raw exponential)."""
     Is_eff = P[0] * P[4]
     Ute = P[1] * _bjt_ut(P)
     beta = P[2]
     veb = v[2] - v[0]
+    veb = pn_vlimit(veb, state["vj_last"], Ute,
+                    _bjt_uth(Is_eff, Ute), 0.0, 0.0)
     e = jnp.exp(jnp.clip(veb / Ute, -200.0, 200.0))
     geq = Is_eff * e / Ute
     ieb = Is_eff * (e - 1.0)
@@ -286,7 +315,7 @@ def _bjt_pnp_stamp(P, v, ib, state, ctx):
     ieq_c = beta * ieb - gm * veb
     a = jnp.stack([geq, -geq, -geq, geq, gm, -gm, -gm, gm])
     z = jnp.stack([-ieq_eb, ieq_eb, -ieq_c, ieq_c])
-    return a, z, {"geq": geq, "gm": gm}
+    return a, z, {"geq": geq, "gm": gm, "vj_last": veb}
 
 
 def _bjt_pnp_ac(P, state, omega):
@@ -301,7 +330,8 @@ BJT_PNP = register(ModelDef(
     defaults={"Is": 1e-16, "N": 1.0, "BetaF": 100.0, "Temp": 27.0,
               "Area": 1.0, "kf": 0.0, "af": 1.0},
     param_order=("Is", "N", "BetaF", "Temp", "Area", "kf", "af"),
-    state_vars=(("geq", 0.0), ("gm", 0.0)),
+    state_vars=(("geq", 0.0), ("gm", 0.0), ("vj_last", 0.0)),
+    check_conv=_bjt_check_conv(-1.0),
     pattern=_bjt_pnp_pattern,
     rhs_pattern=lambda p, b: [p[2], p[0], p[2], p[1]],
     stamp=_bjt_pnp_stamp, ac_stamp=_bjt_pnp_ac, nonlinear=True,

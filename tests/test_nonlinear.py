@@ -289,3 +289,49 @@ def test_full_bridge_rectifier_tr():
     assert wave[half:2 * half].max() > 3.0 or wave[:half].max() > 3.0
     mid = len(wave) // 2
     assert wave[mid:].max() > 3.0
+
+
+def test_bjt_stiff_bias_pnjlim():
+    """Stiff base-bias network: VDC 3V -> 47k -> base, collector tied
+    high, emitter grounded.  The reference's raw-exponential BJT stamp
+    (BJT_NPN.h:116-160, no limiting) diverges here; the pnjlim
+    junction limiter (extension past parity) must converge to the
+    textbook drop.  Both polarities."""
+    from phy_engine_tpu.models import BJT_PNP
+
+    def build(pnp):
+        env = pe.Environment(V_eps_max=1e-12, V_epsr_max=1e-9)
+        c = pe.Circuit(env=env)
+        nl = c.nl
+        v = netops.add_model(nl, VDC, {"V": 3.0})
+        top = netops.create_node(nl)
+        b = netops.create_node(nl)
+        netops.add_to_node(nl, v, 0, top)
+        netops.add_to_node(nl, v, 1, nl.ground_node)
+        r = netops.add_model(nl, RESISTANCE, {"r": 47e3})
+        q = netops.add_model(nl, BJT_PNP if pnp else BJT_NPN, {})
+        if pnp:
+            netops.add_to_node(nl, r, 0, nl.ground_node)
+            netops.add_to_node(nl, r, 1, b)
+            netops.add_to_node(nl, q, 0, b)
+            netops.add_to_node(nl, q, 1, nl.ground_node)
+            netops.add_to_node(nl, q, 2, top)
+        else:
+            netops.add_to_node(nl, r, 0, top)
+            netops.add_to_node(nl, r, 1, b)
+            netops.add_to_node(nl, q, 0, b)
+            netops.add_to_node(nl, q, 1, top)
+            netops.add_to_node(nl, q, 2, nl.ground_node)
+        return c, b
+
+    for pnp in (False, True):
+        c, b = build(pnp)
+        assert c.analyze()
+        vb = c.node_voltage(b).real
+        vj = (3.0 - vb) if pnp else vb
+        assert 0.3 < vj < 1.0
+        # KCL at the base: I_R == I_B = Is*(exp(vj/Ut)-1)
+        i_r = (3.0 - vj) / 47e3
+        ut = 1.380650524e-23 * (27.0 + 273.15) / 1.6021765314e-19
+        i_b = 1e-16 * (np.exp(vj / ut) - 1.0)
+        assert np.isclose(i_r, i_b, rtol=1e-5)

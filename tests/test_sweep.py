@@ -88,6 +88,46 @@ def test_monte_carlo_op():
     assert np.allclose(res.trace(out), want, rtol=1e-12)
 
 
+def test_temp_sweep_diode_tempco():
+    """Diode forward voltage vs temperature: each lane matches a
+    pointwise run with the device Temp attribute set.  NOTE: both this
+    engine and the reference scale only Ut = kT/q with temperature
+    (PN_junction.h:296-356 — no Is(T)/EG/XTI), so at fixed Is the
+    model's Vf RISES with T as N·(k/q)·ln(Id/Is) per kelvin; the
+    physical -2 mV/K would need saturation-current tempco neither
+    engine implements."""
+    def build():
+        c = pe.Circuit()
+        nl = c.nl
+        v = netops.add_model(nl, VDC, {"V": 3.0})
+        top = netops.create_node(nl)
+        out = netops.create_node(nl)
+        netops.add_to_node(nl, v, 0, top)
+        netops.add_to_node(nl, v, 1, nl.ground_node)
+        ra = netops.add_model(nl, RESISTANCE, {"r": 10e3})
+        netops.add_to_node(nl, ra, 0, top)
+        netops.add_to_node(nl, ra, 1, out)
+        d = netops.add_model(nl, PN_JUNCTION, {})
+        netops.add_to_node(nl, d, 0, out)
+        netops.add_to_node(nl, d, 1, nl.ground_node)
+        return c, d, out
+
+    temps = np.array([-40.0, 0.0, 27.0, 85.0, 125.0])
+    c, d, out = build()
+    res = c.temp_sweep(temps, out=out)
+    assert res.ok.all()
+    for k, t in enumerate(temps):
+        c2, d2, out2 = build()
+        d2.set_attribute("Temp", float(t))
+        assert c2.analyze()
+        assert np.isclose(res.out[k], c2.node_voltage(out2).real,
+                          rtol=1e-9)
+    # monotone rising Vf at N·(k/q)·ln(Id/Is) ≈ +2 mV/K (fixed-Is
+    # junction law; see docstring)
+    dv = np.diff(res.out) / np.diff(temps)
+    assert np.all(dv > 0.5e-3) and np.all(dv < 4e-3)
+
+
 def _rc(R, C):
     c = pe.Circuit()
     nl = c.nl
