@@ -97,6 +97,9 @@ class Circuit:
         self.at = AnalyzeType.OP
         self.ac = ACSettings()
         self.tr = TRSettings()
+        # gmin-stepping homotopy ladder length on OP/DC Newton failure
+        # (0 disables; PE_TPU_GMIN_STEPS overrides)
+        self.gmin_steps = int(_os.environ.get("PE_TPU_GMIN_STEPS", "8"))
         self.dtype = dtype
         self.tr_duration = 0.0     # persistent transient clock
         self.ac_sweep_results: List[Tuple[float, np.ndarray]] = []
@@ -235,11 +238,63 @@ class Circuit:
                 jnp.asarray(self.tr_duration, self.dtype),
                 self._env_scalars(), self._drives)
             ok = bool(ok)
+            if not ok and self.gmin_steps > 0:
+                x, st, ok = self._gmin_stepping(mode, params)
         self._profile_solve(mode, t0, x if ok else None, params, st)
         if ok:
             self._x, self._states = x, st
             self._writeback(np.asarray(x))
         return ok
+
+    def _gmin_stepping(self, mode: str, params):
+        """Gmin-stepping homotopy (convergence aid on OP/DC failure —
+        the reference has none; its solve() simply returns false,
+        circuit.h:892-985).  A large conductance from every node to
+        ground makes the system near-linear; the ladder walks it back
+        down to the environment's g_min, warm-starting each rung from
+        the previous solution.  g_min is a traced scalar input, so the
+        whole ladder reuses one compiled Newton kernel.  Rescue rungs
+        run with a 1024-iteration budget (the default 64 mirrors the
+        reference's cap, circuit.h:898; junction vlimit walks at
+        2·Ut/iteration, so N series junctions legitimately need
+        ~N·Vf/(2·Ut) iterations — ~350 for 20 diodes at 0.9 V).
+        Classic failure case this rescues: long series diode strings
+        whose internal nodes float (tests/test_homotopy.py)."""
+        env = dict(self._env_scalars())
+        # the rescue never steps below SPICE's GMIN=1e-12: a circuit
+        # whose failure is a genuinely floating node (e.g. two
+        # reverse-biased junctions in series) is singular at g_min=0,
+        # and ngspice's gmin stepping likewise terminates AT GMIN
+        g_final = max(float(env.get("g_min", 0.0)), 1e-12)
+        n_steps = self.gmin_steps
+        ladder = np.logspace(-2.0, np.log10(g_final), n_steps)
+        fn = _jit_newton(self._ir, self.dtype, mode, self._method(),
+                         max_iter=1024)
+        x, st = self._x, self._states
+        t = jnp.asarray(self.tr_duration, self.dtype)
+        for g in ladder:
+            env["g_min"] = float(g)
+            x2, st2, ok = fn(params, x, st, t, env, self._drives)
+            if not bool(ok):
+                return x, st, False
+            x, st = x2, st2
+        # a Δx-stationary point is not necessarily a solution: systems
+        # whose conductances are so large that the Δx tolerance cannot
+        # resolve KCL (e.g. 100 V forced across a short diode string —
+        # every junction limexp-saturated) pass the step test while
+        # violating current balance by orders of magnitude.  Validate
+        # the residual ROW-WISE against each equation's own magnitude
+        # and refuse to report such a point as convergence.
+        ctx = StampCtx(mode="op" if mode in ("op", "dc") else mode,
+                       t=t, dt=jnp.zeros((), self.dtype), env=env)
+        A, Z, _ = analog.assemble(self._ir, params, x, st,
+                                  ctx, self._drives, self.dtype)
+        resid = jnp.abs(A @ x - Z)
+        row_scale = jnp.abs(A) @ jnp.abs(x) + jnp.abs(Z)
+        rel = float(jnp.max(resid / jnp.maximum(row_scale, 1e-30)))
+        if not np.isfinite(rel) or rel > 1e-6:
+            return x, st, False
+        return x, st, True
 
     @staticmethod
     def _unpad_states(ir, st_pad):
@@ -927,13 +982,16 @@ _TRANS_CACHE: Dict[Tuple[int, Any, int], Any] = {}
 _AC_CACHE: Dict[int, Any] = {}
 
 
-def _jit_newton(ir: AnalogIR, dtype, mode: str, method: str = "dense"):
-    key = (id(ir), dtype, mode, method)
+def _jit_newton(ir: AnalogIR, dtype, mode: str, method: str = "dense",
+                max_iter: Optional[int] = None):
+    key = (id(ir), dtype, mode, method, max_iter)
     if key not in _NEWTON_CACHE:
+        kw = {} if max_iter is None else {"max_iter": max_iter}
+
         def run(params, x0, states, t, env, drives):
             ctx = StampCtx(mode=mode, t=t, dt=jnp.zeros((), dtype), env=env)
             return analog.newton_solve(ir, params, x0, states, ctx,
-                                       drives, dtype, method=method)
+                                       drives, dtype, method=method, **kw)
         _NEWTON_CACHE[key] = jax.jit(run)
     return _NEWTON_CACHE[key]
 
