@@ -400,9 +400,26 @@ class Circuit:
     def _analyze_ac(self) -> bool:
         ir = self._ir
         params = self._params()
-        omegas = jnp.asarray(self._omega_grid())
+        grid = self._omega_grid()
+        nw = len(grid)
+        if self.mesh is not None:
+            # shard the sweep grid over the mesh (the embarrassingly
+            # parallel DCN/ICI fan-out axis of SURVEY §2.5) — pad to
+            # the device count by repeating the last point
+            from jax.sharding import NamedSharding, PartitionSpec
+            ndev = int(self.mesh.devices.size)
+            npad = (-nw) % ndev
+            if npad:
+                grid = np.concatenate([grid, np.full(npad, grid[-1])])
+            omegas = jax.device_put(
+                jnp.asarray(grid),
+                NamedSharding(self.mesh,
+                              PartitionSpec(tuple(self.mesh.axis_names))))
+        else:
+            omegas = jnp.asarray(grid)
         xs_re, xs_im = _jit_ac(ir)(params, self._states, omegas)
-        xs = np.asarray(xs_re) + 1j * np.asarray(xs_im)
+        xs = (np.asarray(xs_re) + 1j * np.asarray(xs_im))[:nw]
+        omegas = jnp.asarray(grid[:nw])
         if not np.all(np.isfinite(xs)):
             return False
         self.ac_sweep_results = [(float(w), xs[i])
@@ -508,6 +525,41 @@ class Circuit:
         return (np.asarray(omegas) / (2.0 * np.pi), np.asarray(mag),
                 SensResult(ir, grads, params))
 
+    def _run_batched_op(self, params_b, nv: int, mesh):
+        """Shared tail of the sweep analyses: run ``batched_op`` over
+        the (nv, ...) parameter batch, optionally sharded over every
+        axis of ``mesh`` (lanes pad up to the device count by
+        repeating the last lane, and the padding is dropped from the
+        results)."""
+        from ..parallel.batch import batch_state, batch_x, batched_op
+        ir = self._ir
+        B = nv
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            ndev = int(mesh.devices.size)
+            npad = (-nv) % ndev
+            if npad:
+                params_b = {
+                    k: jnp.concatenate(
+                        [v, jnp.repeat(v[-1:], npad, axis=0)])
+                    for k, v in params_b.items()}
+                B = nv + npad
+            sh = NamedSharding(mesh, PartitionSpec(
+                tuple(mesh.axis_names)))
+            params_b = jax.device_put(params_b, sh)
+        x_b = batch_x(ir, B, self.dtype)
+        st_b = batch_state(ir, B, self.dtype)
+        if mesh is not None:
+            x_b = jax.device_put(x_b, sh)
+            st_b = jax.device_put(st_b, sh)
+        x, st, ok = jax.jit(
+            lambda p, xx, ss: batched_op(ir, p, xx, ss,
+                                         self._env_scalars(),
+                                         dtype=self.dtype))(
+            params_b, x_b, st_b)
+        return (np.asarray(x)[:nv], np.asarray(ok)[:nv],
+                {k: np.asarray(v)[:nv] for k, v in params_b.items()})
+
     def _family_col(self, inst, pname: str):
         ir = self.prepare()
         for fam in ir.families:
@@ -516,7 +568,7 @@ class Circuit:
                         fam.mdef.param_order.index(pname))
         raise ValueError("instance is not part of the lowered circuit")
 
-    def dc_sweep(self, inst, pname: str, values, out=None):
+    def dc_sweep(self, inst, pname: str, values, out=None, mesh=None):
         """SPICE .DC — step one device parameter (classically a
         source voltage) over a grid, solving the operating point at
         EVERY grid value in one batched device program (``vmap`` over
@@ -527,10 +579,11 @@ class Circuit:
         ``inst``/``pname``: the swept device parameter (e.g. a VDC's
         ``"V"``).  ``out``: optional Node or branch device; when given
         the result's ``out`` field holds its (nv,) trace directly.
+        ``mesh``: optional jax Mesh — the grid then shards over every
+        mesh axis (the DCN/ICI sweep fan-out of SURVEY §2.5).
         Mixed-signal circuits are not swept (digital drives are
         per-tick state).  Does not disturb the circuit's stored
         solution.  Returns a :class:`SweepResult`."""
-        from ..parallel.batch import batch_state, batch_x, batched_op
         ir = self.prepare()
         if ir.n_drive_slots:
             raise ValueError("dc_sweep does not support mixed-signal "
@@ -544,28 +597,21 @@ class Circuit:
             params_b[k] = jnp.broadcast_to(P, (nv,) + P.shape)
         params_b[key_] = params_b[key_].at[:, i, j].set(
             jnp.asarray(vals, self.dtype))
-        x_b = batch_x(ir, nv, self.dtype)
-        st_b = batch_state(ir, nv, self.dtype)
-        x, st, ok = jax.jit(
-            lambda p, xx, ss: batched_op(ir, p, xx, ss,
-                                         self._env_scalars(),
-                                         dtype=self.dtype))(
-            params_b, x_b, st_b)
-        res = SweepResult(ir, vals, np.asarray(x), np.asarray(ok),
-                          {k: np.asarray(v) for k, v in params_b.items()})
+        x, ok, pb = self._run_batched_op(params_b, nv, mesh)
+        res = SweepResult(ir, vals, x, ok, pb)
         if out is not None:
             res.out = res.trace(out)
         return res
 
-    def temp_sweep(self, temps, out=None):
+    def temp_sweep(self, temps, out=None, mesh=None):
         """Global temperature sweep (.STEP TEMP class, extension past
         parity): the OP is solved at every temperature in one batched
         device program.  Each lane sets the ``Temp`` parameter of
         EVERY device family that has one (the reference's
         load_temperature propagation role, circuit.h:575-889, realized
-        as a parameter-column broadcast).  Returns a
-        :class:`SweepResult` (``values`` = temps in °C)."""
-        from ..parallel.batch import batch_state, batch_x, batched_op
+        as a parameter-column broadcast).  ``mesh``: optional jax Mesh
+        to shard the grid.  Returns a :class:`SweepResult` (``values``
+        = temps in °C)."""
         ir = self.prepare()
         if ir.n_drive_slots:
             raise ValueError("temp_sweep does not support mixed-signal "
@@ -582,33 +628,29 @@ class Circuit:
                 j = fam.mdef.param_order.index("Temp")
                 P = P.at[:, :, j].set(tj[:, None])
             params_b[k] = P
-        x_b = batch_x(ir, nv, self.dtype)
-        st_b = batch_state(ir, nv, self.dtype)
-        x, st, ok = jax.jit(
-            lambda p, xx, ss: batched_op(ir, p, xx, ss,
-                                         self._env_scalars(),
-                                         dtype=self.dtype))(
-            params_b, x_b, st_b)
-        res = SweepResult(ir, temps, np.asarray(x), np.asarray(ok),
-                          {k: np.asarray(v) for k, v in params_b.items()})
+        x, ok, pb = self._run_batched_op(params_b, nv, mesh)
+        res = SweepResult(ir, temps, x, ok, pb)
         if out is not None:
             res.out = res.trace(out)
         return res
 
     def monte_carlo(self, jitter, n: int, key=None,
                     analysis: str = "op", t_stop: float = 0.0,
-                    t_step: float = 0.0):
+                    t_step: float = 0.0, mesh=None):
         """Monte-Carlo over lognormal parameter jitter — the workload
         class the reference covers with independent process runs; here
         it is ONE batched device program (parallel/batch.py).
 
         ``jitter``: {family id_name: {param: rel_sigma}}.
         ``analysis``: 'op' (default) or 'tr' (fixed-step transient of
-        ``t_stop``/``t_step``, waveforms kept per lane).  Returns a
-        :class:`SweepResult` whose ``params`` hold the sampled values
-        (lane i's parameters) — for 'tr' the ``history`` field is
-        (n, steps, N)."""
-        from ..parallel.batch import (batch_state, batch_x, batched_op,
+        ``t_stop``/``t_step``, waveforms kept per lane).  ``mesh``:
+        optional jax Mesh — 'op' lanes shard over it ('tr' with
+        waveforms stays local; use parallel.mesh.sharded_batched_
+        transient for final-state-only sharded MC transients).
+        Returns a :class:`SweepResult` whose ``params`` hold the
+        sampled values (lane i's parameters) — for 'tr' the
+        ``history`` field is (n, steps, N)."""
+        from ..parallel.batch import (batch_state, batch_x,
                                       batched_transient)
         ir = self.prepare()
         if ir.n_drive_slots:
@@ -629,21 +671,14 @@ class Circuit:
                         sub, (n, P.shape[1])))
                     P = P.at[:, :, col].multiply(factor)
             params_b[k] = P
-        x_b = batch_x(ir, n, self.dtype)
-        st_b = batch_state(ir, n, self.dtype)
         env = self._env_scalars()
         if analysis == "op":
-            x, st, ok = jax.jit(
-                lambda p, xx, ss: batched_op(ir, p, xx, ss, env,
-                                             dtype=self.dtype))(
-                params_b, x_b, st_b)
-            res = SweepResult(ir, np.arange(n), np.asarray(x),
-                              np.asarray(ok),
-                              {k: np.asarray(v)
-                               for k, v in params_b.items()})
-            return res
+            x, ok, pb = self._run_batched_op(params_b, n, mesh)
+            return SweepResult(ir, np.arange(n), x, ok, pb)
         if analysis != "tr":
             raise ValueError("analysis must be 'op' or 'tr'")
+        x_b = batch_x(ir, n, self.dtype)
+        st_b = batch_state(ir, n, self.dtype)
         dt = t_step or self.tr.t_step
         steps = max(1, int(round((t_stop or self.tr.t_stop) / dt)))
         x, st, ok, xs = jax.jit(

@@ -528,3 +528,82 @@ def test_spike_factor_matches_dense():
     ref = np.linalg.solve(M, rhs)
     assert np.allclose(np.asarray(v), ref[:N], rtol=1e-8, atol=1e-9)
     assert np.isclose(float(i), ref[N], rtol=1e-8)
+
+
+def test_sharded_sweeps_match_local():
+    """dc_sweep / temp_sweep / monte_carlo / AC with mesh= shard their
+    grid axis over all 8 devices (with lane padding when the grid
+    doesn't divide) and must be bit-identical to the local runs."""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import RESISTANCE, VAC, VDC, PN_JUNCTION
+    from phy_engine_tpu.engine.circuit import (ACSettings, ACSweepType,
+                                               AnalyzeType)
+
+    def build():
+        c = pe.Circuit()
+        nl = c.nl
+        v = netops.add_model(nl, VDC, {"V": 2.0})
+        top = netops.create_node(nl)
+        out = netops.create_node(nl)
+        netops.add_to_node(nl, v, 0, top)
+        netops.add_to_node(nl, v, 1, nl.ground_node)
+        r = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+        netops.add_to_node(nl, r, 0, top)
+        netops.add_to_node(nl, r, 1, out)
+        d = netops.add_model(nl, PN_JUNCTION, {})
+        netops.add_to_node(nl, d, 0, out)
+        netops.add_to_node(nl, d, 1, nl.ground_node)
+        return c, v, out
+
+    mesh = make_mesh()
+    vals = np.linspace(0.5, 3.0, 11)        # 11 lanes on 8 devices: pads
+    c1, v1, out1 = build()
+    local = c1.dc_sweep(v1, "V", vals, out=out1)
+    c2, v2, out2 = build()
+    shard = c2.dc_sweep(v2, "V", vals, out=out2, mesh=mesh)
+    assert shard.ok.all()
+    assert np.allclose(local.out, shard.out, rtol=0, atol=0)
+
+    temps = np.array([-40.0, 27.0, 125.0])  # 3 lanes: pads to 8
+    tl = c1.temp_sweep(temps, out=out1)
+    ts = c2.temp_sweep(temps, out=out2, mesh=mesh)
+    assert ts.ok.all() and np.allclose(tl.out, ts.out, rtol=0, atol=0)
+
+    ml = c1.monte_carlo({"R": {"r": 0.1}}, n=16)
+    ms = c2.monte_carlo({"R": {"r": 0.1}}, n=16, mesh=mesh)
+    assert ms.ok.all()
+    assert np.allclose(ml.trace(out1), ms.trace(out2), rtol=0, atol=0)
+
+    # AC omega-grid sharding through Circuit(mesh=...)
+    def build_ac(mesh=None):
+        c = pe.Circuit(mesh=mesh)
+        nl = c.nl
+        v = netops.add_model(nl, VAC, {"Vp": 1.0, "phase": 0.0})
+        top = netops.create_node(nl)
+        out = netops.create_node(nl)
+        netops.add_to_node(nl, v, 0, top)
+        netops.add_to_node(nl, v, 1, nl.ground_node)
+        r = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+        netops.add_to_node(nl, r, 0, top)
+        netops.add_to_node(nl, r, 1, out)
+        r2 = netops.add_model(nl, RESISTANCE, {"r": 2e3})
+        netops.add_to_node(nl, r2, 0, out)
+        netops.add_to_node(nl, r2, 1, nl.ground_node)
+        from phy_engine_tpu.models import CAPACITOR
+        cl = netops.add_model(nl, CAPACITOR, {"C": 1e-9})
+        netops.add_to_node(nl, cl, 0, out)
+        netops.add_to_node(nl, cl, 1, nl.ground_node)
+        c.ac = ACSettings(sweep=ACSweepType.LOG, omega_start=1e3,
+                          omega_stop=1e8, points=13)   # 13: pads to 16
+        c.set_analyze_type(AnalyzeType.AC)
+        return c
+
+    ca = build_ac()
+    cb = build_ac(mesh=mesh)
+    assert ca.analyze() and cb.analyze()
+    assert len(ca.ac_sweep_results) == len(cb.ac_sweep_results) == 13
+    for (wa, xa), (wb, xb) in zip(ca.ac_sweep_results,
+                                  cb.ac_sweep_results):
+        assert wa == wb
+        assert np.allclose(xa, xb, rtol=0, atol=0)
