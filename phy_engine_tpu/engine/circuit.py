@@ -80,13 +80,13 @@ class Circuit:
         PE_TPU_SOLVER overrides; threshold policy mirrors the
         reference's CUDA node threshold, circuit.h:115-121).
 
-        ``mesh``: optional ``jax.sharding.Mesh`` — OP/DC solves of
-        pure-analog circuits then run fully distributed
-        (instance-sharded stamping + cooperative column-sharded
-        factorization, parallel/dist_newton.py); no device holds the
-        full system.  TR/AC and mixed-signal solves fall back to the
-        single-device path (their companion/drive plumbing is not
-        distributed yet)."""
+        ``mesh``: optional ``jax.sharding.Mesh`` — OP/DC and
+        fixed-step TR solves of pure-analog circuits then run fully
+        distributed (instance-sharded stamping + cooperative
+        column-sharded factorization, parallel/dist_newton.py); no
+        device holds the full system.  The AC ω grid shards over the
+        mesh as an independent-sweep axis.  Adaptive TR and
+        mixed-signal solves fall back to the single-device path."""
         import os as _os
         self.nl = netlist if netlist is not None else Netlist()
         self.env = env if env is not None else Environment()
@@ -338,6 +338,24 @@ class Circuit:
         params = self._params()
         dt = self.tr.t_step
         num_steps = max(1, int(round(self.tr.t_stop / dt)))
+        if self.mesh is not None and self._drives is None \
+                and self._digital is None:
+            # distributed fixed-step TR: sharded stamping +
+            # cooperative factorization per Newton iteration
+            from ..parallel.dist_newton import transient_dist
+            x, st_pad, ok, xs = transient_dist(
+                ir, self.mesh, params, self._x, self._states,
+                self._env_scalars(), self.tr_duration, dt, num_steps,
+                dtype=self.dtype)
+            if ok:
+                self._x = jnp.asarray(np.asarray(x), self.dtype)
+                self._states = self._unpad_states(ir, st_pad)
+                self.tr_history = np.asarray(xs)
+                self.tr_times = self.tr_duration + dt * np.arange(
+                    1, num_steps + 1)
+                self.tr_duration += num_steps * dt
+                self._writeback(np.asarray(x))
+            return ok
         t0 = time.perf_counter()
         x, st, ok, xs = _jit_transient(ir, self.dtype, num_steps,
                                        self._method())(

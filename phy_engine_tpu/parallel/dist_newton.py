@@ -18,8 +18,11 @@ and solves A·dx = r cooperatively in f32 (engine/analog.py
 ``_delta_solve_prep`` semantics, distributed) — the delta iteration
 itself provides the f64 refinement.
 
-The step function is jitted ONCE; every Newton iteration reuses the
-compiled executable (the cooperative solver is cached per mesh/shape in
+``transient_dist`` extends the same machinery to fixed-step TR: the
+per-step companion updates (``analog.step_update_all``) run on the
+sharded padded state, and the jitted delta-step takes (t, dt) as
+traced scalars so every step of every timepoint reuses ONE compiled
+executable (the cooperative solver is cached per mesh/shape in
 ``dist_gj._DELTA_CACHE``).
 """
 
@@ -38,18 +41,9 @@ from .mesh import tp_pad_ir
 from .dist_gj import make_dist_delta_solver
 
 
-def newton_solve_dist(ir: AnalogIR, mesh: Mesh, params, x0, states0,
-                      env, mode: str = "op", max_iter: int = 64,
-                      dtype=jnp.float64):
-    """Solve the operating point of one circuit with BOTH the stamping
-    and the factorization distributed over ``mesh``.
-
-    Returns (x, states, ok) with x replicated, like
-    ``analog.newton_solve``.  ``env`` is the traced scalar dict from
-    ``analog.env_scalars``.  Linear circuits converge in 2-3 delta
-    iterations (f32 solve + f64 residual), nonlinear ones follow the
-    usual Newton trajectory.
-    """
+def _shard_problem(ir: AnalogIR, mesh: Mesh, params, states0, dtype):
+    """Common prologue: pad the IR to the mesh, shard params/state,
+    build the cooperative solver."""
     D = int(mesh.devices.size)
     axes = tuple(mesh.axis_names)
     shard = NamedSharding(mesh, P(axes))
@@ -74,11 +68,18 @@ def newton_solve_dist(ir: AnalogIR, mesh: Mesh, params, x0, states0,
         states_s[key] = padded
 
     solver = make_dist_delta_solver(mesh, n, npad)
+    return ir2, params_s, states_s, solver, repl, n, npad
+
+
+def _make_delta_step(ir: AnalogIR, ir2: AnalogIR, solver, env,
+                     mode: str, dtype, n: int, npad: int):
+    """One jitted delta-Newton iteration: sparse assembly at x, f64
+    residual, power-of-two equilibration, cooperative f32 solve.
+    ``t``/``dt`` are traced so TR reuses the executable per step."""
 
     @jax.jit
-    def step(p, x, st):
-        ctx = StampCtx(mode=mode, t=jnp.zeros((), dtype),
-                       dt=jnp.zeros((), dtype), env=env)
+    def step(p, x, st, t, dt):
+        ctx = StampCtx(mode=mode, t=t, dt=dt, env=env)
         rows, cols, vals, Z, st2 = analog.assemble_sparse(
             ir2, p, x, st, ctx, None, dtype)
         # work-dtype residual in O(nnz) (ground dummy gathers 0)
@@ -106,14 +107,76 @@ def newton_solve_dist(ir: AnalogIR, mesh: Mesh, params, x0, states0,
         conv = conv & analog._device_converged(ir2, p, x_new, st2)
         return x_new, st2, conv, ok
 
+    return step
+
+
+def newton_solve_dist(ir: AnalogIR, mesh: Mesh, params, x0, states0,
+                      env, mode: str = "op", max_iter: int = 64,
+                      dtype=jnp.float64):
+    """Solve the operating point of one circuit with BOTH the stamping
+    and the factorization distributed over ``mesh``.
+
+    Returns (x, states, ok) with x replicated, like
+    ``analog.newton_solve``.  ``env`` is the traced scalar dict from
+    ``analog.env_scalars``.  Linear circuits converge in 2-3 delta
+    iterations (f32 solve + f64 residual), nonlinear ones follow the
+    usual Newton trajectory.
+    """
+    ir2, params_s, states_s, solver, repl, n, npad = _shard_problem(
+        ir, mesh, params, states0, dtype)
+    step = _make_delta_step(ir, ir2, solver, env, mode, dtype, n, npad)
+    zero = jnp.zeros((), dtype)
+
     x = jax.device_put(jnp.asarray(x0, dtype), repl)
     st = states_s
     ok = True
     for _ in range(max_iter):
-        x, st, conv, okj = step(params_s, x, st)
+        x, st, conv, okj = step(params_s, x, st, zero, zero)
         ok = bool(okj)
         if bool(conv) or not ok:
             break
     else:
         conv = False
     return x, st, bool(conv) and ok
+
+
+def transient_dist(ir: AnalogIR, mesh: Mesh, params, x0, states0, env,
+                   t0: float, dt: float, num_steps: int,
+                   max_iter: int = 64, dtype=jnp.float64):
+    """Fixed-step transient of ONE huge circuit, fully distributed
+    (sharded stamping + cooperative factorization per Newton
+    iteration) — the TR counterpart of ``newton_solve_dist``, closing
+    the reference's scale axis for time-domain runs (its TR loop is
+    circuit.h:233-256 on a single host).
+
+    Returns (x, states, ok, xs) with xs the (num_steps, n) trajectory
+    (host numpy; each accepted step's replicated solution).  A failed
+    step aborts and returns ok=False with the trajectory so far.
+    """
+    ir2, params_s, states_s, solver, repl, n, npad = _shard_problem(
+        ir, mesh, params, states0, dtype)
+    step = _make_delta_step(ir, ir2, solver, env, "tr", dtype, n, npad)
+
+    @jax.jit
+    def companions(p, x, st, dtj, tj):
+        return analog.step_update_all(ir2, p, x, st, dtj, tj)
+
+    x = jax.device_put(jnp.asarray(x0, dtype), repl)
+    st = states_s
+    dtj = jnp.asarray(dt, dtype)
+    hist = []
+    for k in range(num_steps):
+        tj = jnp.asarray(t0 + (k + 1) * dt, dtype)
+        st = companions(params_s, x, st, dtj, tj)
+        conv = False
+        for _ in range(max_iter):
+            x, st, convj, okj = step(params_s, x, st, tj, dtj)
+            if not bool(okj):
+                return x, st, False, np.asarray(hist)
+            if bool(convj):
+                conv = True
+                break
+        if not conv:
+            return x, st, False, np.asarray(hist)
+        hist.append(np.asarray(x))
+    return x, st, True, np.asarray(hist)

@@ -188,3 +188,56 @@ def test_dist_solve_rejects_bad_n():
     A = np.eye(100)[None]
     with pytest.raises(ValueError):
         dist_solve(mesh, A, np.ones((1, 100)))
+
+
+def test_transient_dist_matches_local():
+    """Distributed fixed-step TR (sharded stamping + cooperative
+    factorization) matches the local engine bit-close on a nonlinear
+    RC-diode ladder, through the Circuit(mesh=...) route."""
+    import numpy as np
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.engine.circuit import AnalyzeType
+    from phy_engine_tpu.models import (RESISTANCE, CAPACITOR, VDC,
+                                       PN_JUNCTION)
+    from phy_engine_tpu.parallel.mesh import make_mesh
+
+    def build(mesh=None):
+        c = pe.Circuit(mesh=mesh)
+        nl = c.nl
+        v = netops.add_model(nl, VDC, {"V": 3.0})
+        top = netops.create_node(nl)
+        netops.add_to_node(nl, v, 0, top)
+        netops.add_to_node(nl, v, 1, nl.ground_node)
+        prev = top
+        outs = []
+        for k in range(12):
+            nxt = netops.create_node(nl)
+            r = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+            netops.add_to_node(nl, r, 0, prev)
+            netops.add_to_node(nl, r, 1, nxt)
+            cl = netops.add_model(nl, CAPACITOR, {"C": 1e-9})
+            netops.add_to_node(nl, cl, 0, nxt)
+            netops.add_to_node(nl, cl, 1, nl.ground_node)
+            if k % 3 == 0:
+                d = netops.add_model(nl, PN_JUNCTION, {})
+                netops.add_to_node(nl, d, 0, nxt)
+                netops.add_to_node(nl, d, 1, nl.ground_node)
+            outs.append(nxt)
+            prev = nxt
+        c.tr.t_stop = 2e-6
+        c.tr.t_step = 1e-7
+        c.set_analyze_type(AnalyzeType.TR)
+        return c, outs
+
+    c_local, outs_l = build()
+    assert c_local.analyze()
+    c_dist, outs_d = build(mesh=make_mesh())
+    assert c_dist.analyze()
+    assert c_dist.tr_history.shape == c_local.tr_history.shape
+    for nl_, nd_ in zip(outs_l, outs_d):
+        wl = c_local.tr_waveform(nl_)
+        wd = c_dist.tr_waveform(nd_)
+        assert np.allclose(wl, wd, rtol=1e-9, atol=1e-12)
+    # transient clock advanced identically
+    assert np.isclose(c_dist.tr_duration, c_local.tr_duration)
