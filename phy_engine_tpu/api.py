@@ -458,6 +458,41 @@ class Circuit:
             raise PhyEngineError("sens bias point failed to converge")
         return res
 
+    def dc_sweep(self, element: int, prop_name: str, values,
+                 out_element: Optional[int] = None, out_pin: int = 0):
+        """Stepped .DC over one element property (engine extension) —
+        the whole grid solves as one batched device program.  Returns
+        ``engine.circuit.SweepResult``."""
+        inst = self._insts[element]
+        if inst is None:
+            raise PhyEngineError("swept element is not a device")
+        out = None
+        if out_element is not None:
+            _p, out = self._pin_node(out_element, out_pin)
+        return self._core.dc_sweep(inst, prop_name, values, out=out)
+
+    def temp_sweep(self, temps, out_element: Optional[int] = None,
+                   out_pin: int = 0):
+        """Global temperature sweep (engine extension)."""
+        out = None
+        if out_element is not None:
+            _p, out = self._pin_node(out_element, out_pin)
+        return self._core.temp_sweep(temps, out=out)
+
+    def monte_carlo(self, jitter, n: int, **kw):
+        """Monte-Carlo over parameter jitter (engine extension);
+        see ``engine.circuit.Circuit.monte_carlo``."""
+        return self._core.monte_carlo(jitter, n, **kw)
+
+    def four(self, fundamental: float, out_element: int,
+             out_pin: int = 0, harmonics: int = 9):
+        """Fourier/THD analysis of the last transient (.FOUR class,
+        engine extension).  Returns ``engine.circuit.FourierResult``."""
+        _p, node = self._pin_node(out_element, out_pin)
+        if node is None or node.is_ground:
+            raise PhyEngineError("four output pin is unconnected/ground")
+        return self._core.four(fundamental, node, harmonics=harmonics)
+
     # context manager parity
     def close(self) -> None:
         pass

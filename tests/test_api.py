@@ -189,3 +189,31 @@ def test_property_arity_table():
     assert PROPERTY_ARITY[int(ElementCode.PN_JUNCTION)] == 9
     assert PROPERTY_ARITY[int(ElementCode.PULSE)] == 7
     assert PROPERTY_ARITY[int(ElementCode.GROUND)] == 0
+
+
+def test_element_code_sweeps_and_four():
+    """dc_sweep/temp_sweep/monte_carlo/four on the element-index
+    surface (engine extensions; keeps the two user surfaces in
+    parity)."""
+    r1, r2, e = 2e3, 3e3, 2.0
+    elements = [
+        Element(ElementCode.GROUND),
+        Element(ElementCode.VDC, (e,)),
+        Element(ElementCode.RESISTOR, (r1,)),
+        Element(ElementCode.RESISTOR, (r2,)),
+    ]
+    wires = [
+        Wire(1, 0, 2, 0),
+        Wire(2, 1, 3, 0),
+        Wire(3, 1, 0, 0),
+        Wire(1, 1, 0, 0),
+    ]
+    c = Circuit(elements, wires)
+    vals = np.linspace(0.0, 4.0, 9)
+    res = c.dc_sweep(1, "V", vals, out_element=2, out_pin=1)
+    assert res.ok.all()
+    assert np.allclose(res.out, vals * r2 / (r1 + r2), rtol=1e-12)
+    ts = c.temp_sweep([0.0, 27.0, 100.0], out_element=2, out_pin=1)
+    assert ts.ok.all()
+    mc = c.monte_carlo({"R": {"r": 0.1}}, n=8)
+    assert mc.ok.all()
