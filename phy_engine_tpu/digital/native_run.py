@@ -25,23 +25,43 @@ import numpy as np
 from .ir import DigitalIR
 
 
+def _run_bounds(op: np.ndarray, sub: np.ndarray) -> np.ndarray:
+    """Boundaries of maximal same-op stretches WITHIN one sub-level.
+
+    Gates inside a run are mutually independent (sub-levels are
+    independent sets), which is what licenses the native engine's
+    8-wide AVX-512 gather/scatter evaluation (pe_digital.cpp run_vec);
+    a run must therefore never span a sub-level boundary."""
+    n = len(op)
+    if n == 0:
+        return np.zeros(1, np.int32)
+    brk = np.nonzero((op[1:] != op[:-1]) | (sub[1:] != sub[:-1]))[0] + 1
+    return np.concatenate(
+        [[0], brk, [n]]).astype(np.int32)
+
+
 def _flat_gates(levels, alloc_temp):
-    """Lower IR levels to one flat (op_enc, a, b, o) int32 table.
+    """Lower IR levels to one flat (op_enc, a, b, o, sub_id) int32
+    table.
 
     Sequential evaluation order preserves dataflow: levels are
     topological, and _expand_level emits macro temps in earlier
-    sub-levels than their consumers."""
+    sub-levels than their consumers.  sub_id tags each gate with its
+    independent sub-level so run bounds can be (re)derived, including
+    after narrow-cone filtering."""
     from .turbo import _expand_level, _GEN2_ENC
 
     ops: List[int] = []
     aa: List[int] = []
     bb: List[int] = []
     oo: List[int] = []
+    ss: List[int] = []
+    sid = 0
     for level in levels:
         for sub in _expand_level(level, alloc_temp):
             # gates within a sub-level are independent: sort by opcode
-            # so the interpreter sees long same-op runs (predictable
-            # dispatch branch)
+            # so the interpreter sees long same-op runs (one dispatch
+            # + vectorized evaluation per run)
             enc = sorted(
                 ((_GEN2_ENC[op], a, b, o) for op, a, b, o in sub),
                 key=lambda t: t[0])
@@ -50,8 +70,11 @@ def _flat_gates(levels, alloc_temp):
                 aa.append(a)
                 bb.append(b)
                 oo.append(o)
+                ss.append(sid)
+            sid += 1
     return (np.array(ops, np.int32), np.array(aa, np.int32),
-            np.array(bb, np.int32), np.array(oo, np.int32))
+            np.array(bb, np.int32), np.array(oo, np.int32),
+            np.array(ss, np.int32))
 
 
 class NativePlan:
@@ -131,6 +154,9 @@ class NativePlan:
         else:
             self.cone = _flat_gates(_input_cone_levels(ir), alloc_temp)
             self.full = _flat_gates(ir.levels, alloc_temp)
+        self.cone_runs = _run_bounds(self.cone[0], self.cone[4])
+        self.full_runs = (self.cone_runs if self.cone is self.full
+                          else _run_bounds(self.full[0], self.full[4]))
         self.K = self._next[0]
         self._narrow_cache: Dict[bytes, tuple] = {}
 
@@ -180,7 +206,7 @@ class NativePlan:
         hit = self._narrow_cache.get(key)
         if hit is not None:
             return hit
-        op, a, b, o = self.full
+        op, a, b, o, sub = self.full
         fwd = np.zeros(self.K, bool)
         fwd[varying] = True
         gate_fwd = np.zeros(len(op), bool)
@@ -197,10 +223,13 @@ class NativePlan:
                 need[a[i]] = True
                 need[b[i]] = True
         keep = gate_fwd & need[o]
-        out = (np.ascontiguousarray(op[keep]),
+        kop = np.ascontiguousarray(op[keep])
+        ksub = np.ascontiguousarray(sub[keep])
+        out = (kop,
                np.ascontiguousarray(a[keep]),
                np.ascontiguousarray(b[keep]),
-               np.ascontiguousarray(o[keep]))
+               np.ascontiguousarray(o[keep]),
+               _run_bounds(kop, ksub))
         self._narrow_cache[key] = out
         return out
 
@@ -217,7 +246,7 @@ class NativePlan:
         fsig = np.ascontiguousarray(fsig, np.int32)
         if self.fix_budget:
             # feedback: every tick's pre-settle is the full program
-            narrow = self.full
+            narrow = self.full[:4] + (self.full_runs,)
         else:
             varies = ((FV != FV[0]).any(axis=0) |
                       (FU != FU[0]).any(axis=0))

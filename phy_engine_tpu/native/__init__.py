@@ -108,9 +108,9 @@ def get_digital_lib():
             u64p = ctypes.POINTER(ctypes.c_uint64)
             lib.pe_digital_run.argtypes = [
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u64p,
-                i32p, i32p, i32p, i32p, ctypes.c_int32,
-                i32p, i32p, i32p, i32p, ctypes.c_int32,
-                i32p, i32p, i32p, i32p, ctypes.c_int32,
+                i32p, i32p, i32p, i32p, i32p, ctypes.c_int32,
+                i32p, i32p, i32p, i32p, i32p, ctypes.c_int32,
+                i32p, i32p, i32p, i32p, i32p, ctypes.c_int32,
                 i32p, i32p, i32p, i32p, i32p, ctypes.c_int32,
                 ctypes.c_int32,
                 i32p, i32p, i32p, i32p, i32p, i32p,
@@ -129,7 +129,7 @@ def digital_run(plan, st, narrow, fsig, FV, FU, HV, HU) -> None:
     """One native call running len(FV) ticks of a NativePlan.
 
     ``st``: uint64[K] packed state (v | u<<32), updated in place;
-    ``narrow``: (op, a, b, o) cone tables for ticks 1..T-1."""
+    ``narrow``: (op, a, b, o, runs) cone tables for ticks 1..T-1."""
     lib = get_digital_lib()
     i32p = ctypes.POINTER(ctypes.c_int32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -146,9 +146,11 @@ def digital_run(plan, st, narrow, fsig, FV, FU, HV, HU) -> None:
         return a.ctypes.data_as(u32p)
 
     scratch = np.zeros(max(1, 6 * plan.max_seg), np.uint64)
-    c_op, c_a, c_b, c_o = plan.cone
-    n_op, n_a, n_b, n_o = narrow
-    f_op, f_a, f_b, f_o = plan.full
+    c_op, c_a, c_b, c_o, _ = plan.cone
+    c_runs = plan.cone_runs
+    n_op, n_a, n_b, n_o, n_runs = narrow
+    f_op, f_a, f_b, f_o, _ = plan.full
+    f_runs = plan.full_runs
     cy_op, cy_a, cy_b, cy_o = plan.cyc
     fix = int(getattr(plan, "fix_budget", 0))
     snap = np.zeros(plan.K if fix else 1, np.uint64)
@@ -156,9 +158,12 @@ def digital_run(plan, st, narrow, fsig, FV, FU, HV, HU) -> None:
     lib.pe_digital_run(
         np.int32(plan.K), np.int32(plan.S), np.int32(FV.shape[0]),
         st.ctypes.data_as(u64p),
-        ip(c_op), ip(c_a), ip(c_b), ip(c_o), np.int32(len(c_op)),
-        ip(n_op), ip(n_a), ip(n_b), ip(n_o), np.int32(len(n_op)),
-        ip(f_op), ip(f_a), ip(f_b), ip(f_o), np.int32(len(f_op)),
+        ip(c_op), ip(c_a), ip(c_b), ip(c_o), ip(c_runs),
+        np.int32(len(c_runs) - 1),
+        ip(n_op), ip(n_a), ip(n_b), ip(n_o), ip(n_runs),
+        np.int32(len(n_runs) - 1),
+        ip(f_op), ip(f_a), ip(f_b), ip(f_o), ip(f_runs),
+        np.int32(len(f_runs) - 1),
         ip(cy_op), ip(cy_a), ip(cy_b), ip(cy_o),
         ip(plan.cyc_seg), np.int32(len(plan.cyc_seg) - 1),
         np.int32(fix),
