@@ -265,7 +265,15 @@ class Circuit:
 
         for w in wires:
             self._connect(w)
-        self.component_count = sum(1 for i in self._insts if i is not None)
+        # Component indices span every non-ground element (matching the
+        # sample layouts): VERILOG_NETLIST elements have no ModelInstance
+        # but still occupy a component slot with their port pins
+        # (dll_api.h treats code 301 as an ordinary element).
+        self._live = [ei for ei, inst in enumerate(self._insts)
+                      if inst is not None or
+                      self._elements[ei].normalized_code() !=
+                      ElementCode.GROUND]
+        self.component_count = len(self._live)
 
     def _build_verilog_netlist(self, el: Element):
         """code 301: synthesize to primitive gates; top ports become the
@@ -357,10 +365,13 @@ class Circuit:
         inst.set_attribute("boolean", float(int(value)))
 
     def _component(self, index: int) -> ModelInstance:
-        live = [i for i in self._insts if i is not None]
-        if not (0 <= index < len(live)):
+        if not (0 <= index < len(self._live)):
             raise PhyEngineError(f"bad component index {index}")
-        return live[index]
+        inst = self._insts[self._live[index]]
+        if inst is None:
+            raise PhyEngineError(
+                f"component {index} has no settable model")
+        return inst
 
     # -- analysis -----------------------------------------------------------
     def analyze(self) -> None:
