@@ -280,7 +280,7 @@ class Circuit:
         element's pins (1-bit ports)."""
         from .verilog import (compile_source, build_design, elaborate,
                               find_module)
-        from .verilog.synth import synthesize_to_netlist
+        from .verilog.synth import synthesize_to_netlist, SynthOptions
         nl = self._core.nl
         mods = compile_source(el.verilog_source)
         design = build_design(mods)
@@ -294,7 +294,17 @@ class Circuit:
             nets = [ops.create_node(nl) for _ in range(sig.width)]
             port_nets[pname] = nets
             pin_nodes.append(nets[0])      # LSB is the exposed pin
-        synthesize_to_netlist(nl, design, inst_state, port_nets)
+        g = _SYNTH_CONFIG
+        so = SynthOptions(
+            opt_level=g.opt_level,
+            assume_binary_inputs=g.assume_binary_inputs,
+            allow_inout=g.allow_inout,
+            allow_multi_driver=g.allow_multi_driver,
+            optimize_wires=g.optimize_wires,
+            optimize_mul2=g.optimize_mul2,
+            optimize_adders=g.optimize_adders,
+            loop_unroll_limit=g.loop_unroll_limit)
+        synthesize_to_netlist(nl, design, inst_state, port_nets, so)
         return None, [_FakePin(n) for n in pin_nodes]
 
     def _pin_node(self, ei: int, pi: int):
@@ -363,6 +373,15 @@ class Circuit:
         if isinstance(value, bool):
             value = DigitalState.H if value else DigitalState.L
         inst.set_attribute("boolean", float(int(value)))
+
+    def set_model_double(self, component_index: int, attr_index: int,
+                         value: float) -> None:
+        """Set an attribute by positional index (the reference's
+        set_property(model, attribute_index, value) used by
+        analyze_circuit, dll_main.cpp:2923-2924)."""
+        inst = self._component(component_index)
+        if not inst.set_attribute(int(attr_index), float(value)):
+            raise PhyEngineError(f"no attribute index {attr_index}")
 
     def _component(self, index: int) -> ModelInstance:
         if not (0 <= index < len(self._live)):
@@ -679,6 +698,8 @@ class VerilogRuntime:
         from .verilog.preprocess import PreprocessOptions
         opts = PreprocessOptions(include_resolver=include_resolver) \
             if include_resolver else None
+        from .verilog.preprocess import preprocess
+        self.preprocessed = preprocess(source, opts)
         mods = compile_source(source, opts)
         self._design = build_design(mods)
         self._top = find_module(self._design, top) if top else mods[-1]
@@ -709,6 +730,20 @@ class VerilogRuntime:
 
     def signals(self) -> List[str]:
         return list(self._inst.signals)
+
+    def modules(self) -> List[str]:
+        """Compiled module names (verilog_runtime_module_count/
+        copy_module_name, dll_api.h:290-301)."""
+        return list(self._design.modules)
+
+    def get_tick(self) -> int:
+        return self._tick
+
+    def step_at(self, tick: int, process_sequential: bool = True) -> None:
+        """Simulate at an explicit tick value (verilog_runtime_step)."""
+        from .verilog import simulate
+        self._tick = int(tick)
+        simulate(self._rt, self._tick, process_sequential)
 
     def tick(self) -> int:
         from .verilog import simulate
@@ -767,22 +802,34 @@ class VerilogRuntime:
 
 @dataclass
 class VerilogSynthConfig:
-    opt_level: int = 1
-    loop_unroll_limit: int = 4096
+    """Process-global defaults consumed by code-301 (VERILOG_NETLIST)
+    element builds — dll_main.cpp's g_verilog_synth_* snapshot
+    (dll_api.h:253-268).  Defaults mirror the reference's dll surface:
+    opt_level 0, every policy flag permissive, loop unroll 64."""
+    opt_level: int = 0
+    assume_binary_inputs: bool = False
+    allow_inout: bool = True
+    allow_multi_driver: bool = True
+    optimize_wires: bool = True
+    optimize_mul2: bool = True
+    optimize_adders: bool = True
+    loop_unroll_limit: int = 64
 
 
 _SYNTH_CONFIG = VerilogSynthConfig()
 
+_SYNTH_FIELDS = ("opt_level", "assume_binary_inputs", "allow_inout",
+                 "allow_multi_driver", "optimize_wires",
+                 "optimize_mul2", "optimize_adders",
+                 "loop_unroll_limit")
+
 
 def get_verilog_synth_config(**_kw) -> VerilogSynthConfig:
-    return VerilogSynthConfig(_SYNTH_CONFIG.opt_level,
-                              _SYNTH_CONFIG.loop_unroll_limit)
+    return VerilogSynthConfig(
+        **{f: getattr(_SYNTH_CONFIG, f) for f in _SYNTH_FIELDS})
 
 
-def set_verilog_synth_config(opt_level: Optional[int] = None,
-                             loop_unroll_limit: Optional[int] = None,
-                             **_kw) -> None:
-    if opt_level is not None:
-        _SYNTH_CONFIG.opt_level = opt_level
-    if loop_unroll_limit is not None:
-        _SYNTH_CONFIG.loop_unroll_limit = loop_unroll_limit
+def set_verilog_synth_config(**kw) -> None:
+    for f in _SYNTH_FIELDS:
+        if kw.get(f) is not None:
+            setattr(_SYNTH_CONFIG, f, kw[f])

@@ -106,6 +106,11 @@ def circuit_set_temperature(c, t: float) -> int:
     return 0
 
 
+def circuit_set_tnom(c, t: float) -> int:
+    c.set_tnom(t)
+    return 0
+
+
 def circuit_set_model_double_by_name(c, comp: int, name: str,
                                      value: float) -> int:
     c.set_model_double_by_name(comp, name, value)
@@ -155,6 +160,29 @@ def circuit_sample_u8(c) -> List[list]:
     return [volts, curs, digs]
 
 
+def analyze_circuit(c, changed_ele: Sequence[int],
+                    changed_ind: Sequence[int],
+                    changed_prop: Sequence[float]) -> List[list]:
+    """Property updates + analyze + sample in one call
+    (dll_api.h:237-252): changed_ele[i] is a component index,
+    changed_ind[i] an attribute index, changed_prop[i] the new value."""
+    for e, i, p in zip(changed_ele, changed_ind, changed_prop):
+        c.set_model_double(int(e), int(i), float(p))
+    c.analyze()
+    return circuit_sample_u8(c)
+
+
+# -- global verilog synth defaults (dll_api.h:253-268) ------------------------
+
+def verilog_synth_set(name: str, value: int) -> int:
+    api.set_verilog_synth_config(**{name: int(value)})
+    return 0
+
+
+def verilog_synth_get(name: str) -> int:
+    return int(getattr(api.get_verilog_synth_config(), name))
+
+
 # -- verilog runtime ---------------------------------------------------------
 
 def verilog_runtime_create(src: str, top: str):
@@ -188,6 +216,44 @@ def verilog_runtime_port_dir(rt, i: int) -> int:
 
 def verilog_runtime_signal_count(rt) -> int:
     return len(rt.signals())
+
+
+def verilog_runtime_signal_name(rt, i: int) -> str:
+    return rt.signals()[i]
+
+
+def verilog_runtime_get_signal_value(rt, i: int) -> int:
+    return rt.get_value(rt.signals()[i])
+
+
+def verilog_runtime_get_signal_state(rt, i: int) -> int:
+    return rt.get_state(rt.signals()[i])
+
+
+def verilog_runtime_set_signal_value(rt, i: int, state: int) -> int:
+    rt.set_state(rt.signals()[i], state)
+    return 0
+
+
+def verilog_runtime_module_count(rt) -> int:
+    return len(rt.modules())
+
+
+def verilog_runtime_module_name(rt, i: int) -> str:
+    return rt.modules()[i]
+
+
+def verilog_runtime_preprocessed(rt) -> str:
+    return rt.preprocessed
+
+
+def verilog_runtime_get_tick(rt) -> int:
+    return rt.get_tick()
+
+
+def verilog_runtime_step(rt, tick: int, process_sequential: int) -> int:
+    rt.step_at(tick, bool(process_sequential))
+    return 0
 
 
 def verilog_runtime_top_module_name(rt) -> str:

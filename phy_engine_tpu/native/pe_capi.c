@@ -255,6 +255,10 @@ int circuit_set_temperature(void* c, double t) {
     return call_int("circuit_set_temperature", "(Od)", (PyObject*)c, t);
 }
 
+int circuit_set_tnom(void* c, double t) {
+    return call_int("circuit_set_tnom", "(Od)", (PyObject*)c, t);
+}
+
 int circuit_set_model_double_by_name(void* c, size_t vec_pos,
                                      size_t chunk_pos,
                                      char const* name,
@@ -359,6 +363,124 @@ int circuit_sample_u8(void* c, size_t* vec_pos, size_t* chunk_pos,
                        digital, digital_ord, comp_size, 0);
 }
 
+int circuit_sample(void* c, size_t* vec_pos, size_t* chunk_pos,
+                   size_t comp_size, double* voltage,
+                   size_t* voltage_ord, double* current,
+                   size_t* current_ord, _Bool* digital,
+                   size_t* digital_ord) {
+    /* bool variant of circuit_sample_u8 (dll_api.h:196): _Bool is one
+     * byte on every supported ABI, so the u8 0/1 writer is reusable */
+    (void)vec_pos;
+    (void)chunk_pos;
+    return sample_impl(c, voltage, voltage_ord, current, current_ord,
+                       (unsigned char*)digital, digital_ord, comp_size,
+                       0);
+}
+
+int analyze_circuit(void* c, size_t* vec_pos, size_t* chunk_pos,
+                    size_t comp_size, int* changed_ele,
+                    size_t* changed_ind, double* changed_prop,
+                    size_t prop_size, double* voltage,
+                    size_t* voltage_ord, double* current,
+                    size_t* current_ord, _Bool* digital,
+                    size_t* digital_ord) {
+    /* property updates + analyze + sample in one call
+     * (dll_api.h:237-252, dll_main.cpp:2899-2934) */
+    (void)vec_pos;
+    (void)chunk_pos;
+    (void)comp_size;
+    (void)voltage_ord;
+    (void)current_ord;
+    (void)digital_ord;
+    PyGILState_STATE g = PyGILState_Ensure();
+    PyObject* r = call("analyze_circuit", Py_BuildValue(
+        "(ONNN)", (PyObject*)c,
+        int_list(changed_ele, prop_size),
+        size_list(changed_ind, prop_size),
+        dbl_list(changed_prop, prop_size)));
+    int rc = -1;
+    if (r != NULL && PyList_Check(r) && PyList_Size(r) == 3) {
+        PyObject* vs = PyList_GET_ITEM(r, 0);
+        PyObject* cs = PyList_GET_ITEM(r, 1);
+        PyObject* ds = PyList_GET_ITEM(r, 2);
+        for (Py_ssize_t i = 0; i < PyList_Size(vs); ++i) {
+            voltage[i] = PyFloat_AsDouble(PyList_GET_ITEM(vs, i));
+        }
+        for (Py_ssize_t i = 0; i < PyList_Size(cs); ++i) {
+            current[i] = PyFloat_AsDouble(PyList_GET_ITEM(cs, i));
+        }
+        for (Py_ssize_t i = 0; i < PyList_Size(ds); ++i) {
+            long d = PyLong_AsLong(PyList_GET_ITEM(ds, i));
+            digital[i] = d == 1;
+        }
+        rc = 0;
+    }
+    Py_XDECREF(r);
+    PyGILState_Release(g);
+    return rc;
+}
+
+/* -- global verilog synth defaults (dll_api.h:253-268) --------------------- */
+
+static void synth_set(const char* name, long v) {
+    call_int("verilog_synth_set", "(sl)", name, v);
+}
+
+static long synth_get(const char* name) {
+    return (long)call_int("verilog_synth_get", "(s)", name);
+}
+
+void verilog_synth_set_opt_level(unsigned char level) {
+    synth_set("opt_level", level);
+}
+unsigned char verilog_synth_get_opt_level(void) {
+    long v = synth_get("opt_level");
+    return v < 0 ? 0 : (unsigned char)v;
+}
+void verilog_synth_set_assume_binary_inputs(_Bool v) {
+    synth_set("assume_binary_inputs", v);
+}
+_Bool verilog_synth_get_assume_binary_inputs(void) {
+    return synth_get("assume_binary_inputs") == 1;
+}
+void verilog_synth_set_allow_inout(_Bool v) {
+    synth_set("allow_inout", v);
+}
+_Bool verilog_synth_get_allow_inout(void) {
+    return synth_get("allow_inout") == 1;
+}
+void verilog_synth_set_allow_multi_driver(_Bool v) {
+    synth_set("allow_multi_driver", v);
+}
+_Bool verilog_synth_get_allow_multi_driver(void) {
+    return synth_get("allow_multi_driver") == 1;
+}
+void verilog_synth_set_optimize_wires(_Bool v) {
+    synth_set("optimize_wires", v);
+}
+_Bool verilog_synth_get_optimize_wires(void) {
+    return synth_get("optimize_wires") == 1;
+}
+void verilog_synth_set_optimize_mul2(_Bool v) {
+    synth_set("optimize_mul2", v);
+}
+_Bool verilog_synth_get_optimize_mul2(void) {
+    return synth_get("optimize_mul2") == 1;
+}
+void verilog_synth_set_optimize_adders(_Bool v) {
+    synth_set("optimize_adders", v);
+}
+_Bool verilog_synth_get_optimize_adders(void) {
+    return synth_get("optimize_adders") == 1;
+}
+void verilog_synth_set_loop_unroll_limit(size_t n) {
+    synth_set("loop_unroll_limit", (long)n);
+}
+size_t verilog_synth_get_loop_unroll_limit(void) {
+    long v = synth_get("loop_unroll_limit");
+    return v < 0 ? 0 : (size_t)v;
+}
+
 int circuit_sample_digital_state_u8(
     void* c, size_t* vec_pos, size_t* chunk_pos, size_t comp_size,
     double* voltage, size_t* voltage_ord, double* current,
@@ -434,10 +556,105 @@ static int copy_str(const char* fn, void* rt, size_t idx, char* out,
     return rc;
 }
 
+static size_t str_size(const char* fn, void* rt, size_t idx,
+                       int with_idx) {
+    /* byte length of a glue-returned string (for the *_name_size /
+     * preprocessed_size introspection family) */
+    PyGILState_STATE g = PyGILState_Ensure();
+    PyObject* r = call(fn, with_idx
+                       ? Py_BuildValue("(On)", (PyObject*)rt,
+                                       (Py_ssize_t)idx)
+                       : Py_BuildValue("(O)", (PyObject*)rt));
+    size_t n = 0;
+    if (r != NULL) {
+        Py_ssize_t sz = 0;
+        if (PyUnicode_AsUTF8AndSize(r, &sz) != NULL) {
+            n = (size_t)sz;
+        }
+        Py_DECREF(r);
+    }
+    PyGILState_Release(g);
+    return n;
+}
+
 int verilog_runtime_copy_port_name(void* rt, size_t i, char* out,
                                    size_t out_size) {
     return copy_str("verilog_runtime_port_name", rt, i, out,
                     out_size, 1);
+}
+
+size_t verilog_runtime_port_name_size(void* rt, size_t i) {
+    return str_size("verilog_runtime_port_name", rt, i, 1);
+}
+
+size_t verilog_runtime_top_module_name_size(void* rt) {
+    return str_size("verilog_runtime_top_module_name", rt, 0, 0);
+}
+
+size_t verilog_runtime_module_count(void* rt) {
+    int n = call_int("verilog_runtime_module_count", "(O)",
+                     (PyObject*)rt);
+    return n < 0 ? 0 : (size_t)n;
+}
+
+size_t verilog_runtime_module_name_size(void* rt, size_t i) {
+    return str_size("verilog_runtime_module_name", rt, i, 1);
+}
+
+int verilog_runtime_copy_module_name(void* rt, size_t i, char* out,
+                                     size_t out_size) {
+    return copy_str("verilog_runtime_module_name", rt, i, out,
+                    out_size, 1);
+}
+
+size_t verilog_runtime_signal_name_size(void* rt, size_t i) {
+    return str_size("verilog_runtime_signal_name", rt, i, 1);
+}
+
+int verilog_runtime_copy_signal_name(void* rt, size_t i, char* out,
+                                     size_t out_size) {
+    return copy_str("verilog_runtime_signal_name", rt, i, out,
+                    out_size, 1);
+}
+
+size_t verilog_runtime_preprocessed_size(void* rt) {
+    return str_size("verilog_runtime_preprocessed", rt, 0, 0);
+}
+
+int verilog_runtime_copy_preprocessed(void* rt, char* out,
+                                      size_t out_size) {
+    return copy_str("verilog_runtime_preprocessed", rt, 0, out,
+                    out_size, 0);
+}
+
+unsigned long long verilog_runtime_get_tick(void* rt) {
+    int n = call_int("verilog_runtime_get_tick", "(O)", (PyObject*)rt);
+    return n < 0 ? 0 : (unsigned long long)n;
+}
+
+int verilog_runtime_step(void* rt, unsigned long long tick,
+                         unsigned char process_sequential) {
+    return call_int("verilog_runtime_step", "(OKb)", (PyObject*)rt,
+                    tick, process_sequential);
+}
+
+unsigned char verilog_runtime_get_signal_value(void* rt, size_t i) {
+    /* multi-bit signals report their integer value truncated to u8;
+     * an unknown value falls back to the 1-bit 4-state code */
+    int v = call_int("verilog_runtime_get_signal_value", "(On)",
+                     (PyObject*)rt, (Py_ssize_t)i);
+    if (v < 0) {
+        phy_engine_clear_error();
+        v = call_int("verilog_runtime_get_signal_state", "(On)",
+                     (PyObject*)rt, (Py_ssize_t)i);
+    }
+    return v < 0 ? 2 : (unsigned char)v;
+}
+
+int verilog_runtime_set_signal_value(void* rt, size_t i,
+                                     unsigned char state) {
+    return call_int("verilog_runtime_set_signal_value", "(Onb)",
+                    (PyObject*)rt, (Py_ssize_t)i, state);
 }
 
 int verilog_runtime_copy_top_module_name(void* rt, char* out,

@@ -126,26 +126,33 @@ class ModelInstance:
     def attribute_names(self) -> List[str]:
         return self.mdef.attr_names(self.params)
 
-    def set_attribute(self, key, value) -> bool:
-        if isinstance(key, int):
-            names = self.attribute_names()
-            if not (0 <= key < len(names)):
-                return False
-            key = names[key]
-        key = self.mdef.attr_aliases.get(key, key)
-        if key not in self.params and not self.mdef.dynamic_params:
-            return False
-        self.params[key] = value
-        return True
-
-    def get_attribute(self, key):
+    def _resolve_attr_key(self, key):
+        """index or name (display names like "Cut Through" match the
+        canonical param key case/space-insensitively)."""
         if isinstance(key, int):
             names = self.attribute_names()
             if not (0 <= key < len(names)):
                 return None
             key = names[key]
         key = self.mdef.attr_aliases.get(key, key)
-        return self.params.get(key)
+        if key in self.params or self.mdef.dynamic_params:
+            return key
+        norm = key.lower().replace(" ", "_")
+        for k in self.params:
+            if k.lower().replace(" ", "_") == norm:
+                return k
+        return None
+
+    def set_attribute(self, key, value) -> bool:
+        key = self._resolve_attr_key(key)
+        if key is None:
+            return False
+        self.params[key] = value
+        return True
+
+    def get_attribute(self, key):
+        key = self._resolve_attr_key(key)
+        return None if key is None else self.params.get(key)
 
     def __repr__(self):  # pragma: no cover
         return f"<{self.mdef.id_name} {self.name or ('#%d' % self._uid)}>"

@@ -757,7 +757,8 @@ def _fsm_dc_words(bld, leaves: List[int]):
 
 def optimize_o2(nl, protected_ids: Set[int], stats,
                 binary_ok: bool = False, rounds: int = 4,
-                tt_passes: bool = False) -> bool:
+                tt_passes: bool = False, adders: bool = True,
+                mul2: bool = True) -> bool:
     """The O2/O3 graph tiers: normalize -> constant/identity/absorption
     folding -> tree factoring + XOR extraction (to fixpoint) ->
     [O3, binary inputs only: truth-table sweep] -> primitive selection
@@ -852,7 +853,7 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
                                                 rounds=1), out_map)
         out_map = staged("factor2", factor_rounds, out_map)
 
-    best_g = macro_extract(best_g, stats)
+    best_g = macro_extract(best_g, stats, adders=adders, mul2=mul2)
     after = instance_count(best_g)
     if after >= before:
         return False
@@ -1478,7 +1479,8 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
                   verify: bool = False,
                   cost_model: str = "gate_count",
                   weights: Optional[Dict[str, float]] = None,
-                  seed: int = 0) -> bool:
+                  seed: int = 0, adders: bool = True,
+                  mul2: bool = True) -> bool:
     """Multi-start graph optimization: each restart runs the pass
     pipeline with a different TT seed and stage order; the best graph by
     the chosen cost model is (optionally verified then) emitted."""
@@ -1562,7 +1564,7 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
         f"verify_rejected={stats.omax_verify_rejected}")
     if best_g is None:
         return False
-    best_g = macro_extract(best_g, stats)
+    best_g = macro_extract(best_g, stats, adders=adders, mul2=mul2)
     emit(nl, best_g, stats)
     stats.graph_gates_saved += int(base_cost - best_cost)
     return True
@@ -1576,7 +1578,10 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
 # c = a&b  /  cout = (a&b) | (cin & (a^b)) — so the rewrite is bit-exact
 # in 4-state semantics, not just for binary inputs.
 
-def macro_extract(g: GateGraph, stats) -> GateGraph:
+def macro_extract(g: GateGraph, stats, adders: bool = True,
+                  mul2: bool = True) -> GateGraph:
+    if not (adders or mul2):
+        return g
     live = g.live_set()
     nodes = g.nodes
 
@@ -1601,7 +1606,7 @@ def macro_extract(g: GateGraph, stats) -> GateGraph:
     repl: Dict[int, Tuple[str, Tuple[int, ...]]] = {}
 
     # full adders first (their parts would otherwise match half adders)
-    for (xa, xb), x in list(xors.items()):
+    for (xa, xb), x in (list(xors.items()) if adders else []):
         and_ab = ands.get((xa, xb))
         if and_ab is None:
             continue
@@ -1626,7 +1631,7 @@ def macro_extract(g: GateGraph, stats) -> GateGraph:
     # 2x2 multipliers (pe_synth optimize_mul2): the exact gate web the
     # MUL2 block computes — p0=a0b0, p1=a1b0^a0b1, c1=a1b0&a0b1,
     # p2=a1b1^c1, p3=a1b1&c1
-    for (t1, t2), p1 in list(xors.items()):
+    for (t1, t2), p1 in (list(xors.items()) if mul2 else []):
         if p1 in repl or t1 == t2:
             continue
         n1, n2 = nodes[t1], nodes[t2]
@@ -1667,7 +1672,7 @@ def macro_extract(g: GateGraph, stats) -> GateGraph:
         stats.mul2_extracted += 1
 
     # half adders: XOR + AND sharing fanins (skip FA-consumed nodes)
-    for key, x in xors.items():
+    for key, x in (xors.items() if adders else []):
         if x in repl:
             continue
         a = ands.get(key)

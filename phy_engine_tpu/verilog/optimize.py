@@ -351,7 +351,10 @@ def strash(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
 def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
                      max_rounds: int = 50,
                      binary_ok: bool = False,
-                     omax: Optional[dict] = None) -> OptStats:
+                     omax: Optional[dict] = None,
+                     wires: bool = True,
+                     adders: bool = True,
+                     mul2: bool = True) -> OptStats:
     """Run the optimization pipeline to fixpoint.
 
     O1: netlist-local passes (const-prop, YES/NOT fusion, strash, DCE).
@@ -367,7 +370,8 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
         for _ in range(max_rounds):
             changed = False
             changed |= const_prop(nl, protected, stats)
-            changed |= yes_fuse(nl, protected, stats)
+            if wires:
+                changed |= yes_fuse(nl, protected, stats)
             changed |= not_fuse(nl, protected, stats)
             changed |= strash(nl, protected, stats)
             changed |= dce(nl, protected, stats)
@@ -406,7 +410,7 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
         # (observed 2431 -> 2224 on the atomic-vector-assign case)
         for _ in range(2):
             if not optimize_o2(nl, protected, stats, binary_ok,
-                               tt_passes=tt):
+                               tt_passes=tt, adders=adders, mul2=mul2):
                 break
             o1_fixpoint()
             consider()
@@ -416,6 +420,7 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
             # its base cost and emits only strict improvements
             from .opt_graph import optimize_omax
             if optimize_omax(nl, protected, stats, binary_ok,
+                             adders=adders, mul2=mul2,
                              **(omax or {})):
                 o1_fixpoint()
                 consider()

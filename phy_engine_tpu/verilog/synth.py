@@ -54,6 +54,16 @@ class SynthOptions:
     omax_cost_model: str = "gate_count"     # or "weighted"
     omax_weights: Optional[dict] = None
     omax_seed: int = 0
+    # Gate-level policy flags (pe_synth_options:110-146).  The raw
+    # reference struct defaults every one of these to false; the
+    # user-facing C surface (dll_main.cpp verilog_synth_options_
+    # snapshot) defaults them all true, which is what we mirror —
+    # strict mode is opt-out.
+    allow_inout: bool = True                # inout top ports legal
+    allow_multi_driver: bool = True         # RESOLVE2 chains vs error
+    optimize_wires: bool = True             # YES-buffer removal
+    optimize_mul2: bool = True              # MUL2 macro extraction
+    optimize_adders: bool = True            # HA/FA macro extraction
 
 
 @dataclass
@@ -1220,6 +1230,12 @@ def synthesize_to_netlist(nl: Netlist, design, top_inst: InstanceState,
     """
     opt = options or SynthOptions()
     ctx = SynthContext(nl, opt)
+    if not opt.allow_inout:
+        for pname in top_inst.signals:
+            sig = top_inst.signals[pname]
+            if getattr(sig.decl, "direction", None) == "inout":
+                raise CompileError(
+                    f"synth: inout port {pname!r} (allow_inout off)")
     _synth_instance(ctx, top_inst, port_nets)
     _resolve_multi_drivers(ctx)
     ctx.report.gate_count_pre_opt = ctx.report.gate_count
@@ -1231,6 +1247,9 @@ def synthesize_to_netlist(nl: Netlist, design, top_inst: InstanceState,
         stats = optimize_netlist(
             nl, protected, opt.opt_level,
             binary_ok=opt.assume_binary_inputs,
+            wires=opt.optimize_wires,
+            adders=opt.optimize_adders,
+            mul2=opt.optimize_mul2,
             omax={"restarts": opt.omax_restarts,
                   "time_budget_s": opt.omax_time_budget_s,
                   "verify": opt.omax_verify,
@@ -1379,6 +1398,9 @@ def _resolve_multi_drivers(ctx: SynthContext):
                and p.model.mdef.digital_op not in ("INPUT", "INPUT8")]
         if len(drv) < 2:
             continue
+        if not ctx.opt.allow_multi_driver:
+            raise CompileError(
+                "synth: multi-driven net (allow_multi_driver off)")
         subnets = []
         for p in drv:
             n2 = ops.create_node(nl)
