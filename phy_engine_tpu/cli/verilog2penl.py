@@ -7,9 +7,10 @@ CLI parity with ``src/verilog2penl.cpp:64-120``:
                  [--loop-unroll N]
 
 ``--module`` embeds the design as a VERILOG_MODULE device (event-driven
-runtime); ``--synth`` (default) lowers to primitive gates.  Optimization
-levels above O0 currently run the O0 pipeline (the optimization passes
-land in a later milestone) — the flags are accepted for compatibility.
+runtime); ``--synth`` (default) lowers to primitive gates and runs the
+optimization pipeline at the selected level (O1 netlist-local passes,
+O2/O3 the graph tier, O4/O5/Omax the budgeted multi-start search —
+see verilog/optimize.py and QOR.md for the recorded gate counts).
 """
 
 from __future__ import annotations
@@ -18,6 +19,70 @@ import argparse
 import os
 import sys
 import time
+
+
+def add_budget_flags(ap) -> None:
+    """Per-pass budget / DC / guard flags shared by both CLIs
+    (verilog2penl.cpp:107-120 flag family)."""
+    ap.add_argument("--qm-max-vars", type=int, default=None,
+                    help="2-level minimize budget (0 disables)")
+    ap.add_argument("--qm-exact-vars", type=int, default=None)
+    ap.add_argument("--qm-max-gates", type=int, default=None)
+    ap.add_argument("--qm-max-targets", type=int, default=None)
+    ap.add_argument("--sop-max-vars", type=int, default=None)
+    ap.add_argument("--resub-max-targets", type=int, default=None,
+                    help="resub budget (0 disables)")
+    ap.add_argument("--resub-max-divisors", type=int, default=None)
+    ap.add_argument("--sweep-max-pairs", type=int, default=None,
+                    help="equivalence-sweep budget (0 disables)")
+    ap.add_argument("--rewrite-max-candidates", type=int, default=None,
+                    help="cut-rewrite budget (0 = unlimited)")
+    ap.add_argument("--techmap-max-cut", type=int, default=None)
+    ap.add_argument("--decomp-min-vars", type=int, default=None)
+    ap.add_argument("--decomp-max-vars", type=int, default=None,
+                    help="decomposition window (0 disables)")
+    ap.add_argument("--no-dc-xz", action="store_true",
+                    help="disable X/Z don't-care inference")
+    ap.add_argument("--no-dc-fsm", action="store_true",
+                    help="disable FSM reachable-state don't-cares")
+    ap.add_argument("--no-dc-odc", action="store_true",
+                    help="disable observability don't-cares")
+    ap.add_argument("--dc-fsm-max-bits", type=int, default=None)
+    ap.add_argument("--max-total-models", type=int, default=None,
+                    help="global growth guard (0 disables)")
+    ap.add_argument("--max-total-logic-gates", type=int, default=None)
+
+
+def budgets_from_args(args):
+    """PassBudgets from parsed CLI flags (None = tuned default)."""
+    from phy_engine_tpu.verilog.optimize import PassBudgets
+    b = PassBudgets()
+    for flag, field in (
+            ("qm_max_vars", "qm_max_vars"),
+            ("qm_exact_vars", "qm_exact_vars"),
+            ("qm_max_gates", "qm_max_gates"),
+            ("qm_max_targets", "qm_max_targets"),
+            ("sop_max_vars", "sop_max_vars"),
+            ("resub_max_targets", "resub_max_targets"),
+            ("resub_max_divisors", "resub_max_divisors"),
+            ("sweep_max_pairs", "sweep_max_pairs"),
+            ("rewrite_max_candidates", "rewrite_max_candidates"),
+            ("techmap_max_cut", "techmap_max_cut"),
+            ("decomp_min_vars", "decomp_min_vars"),
+            ("decomp_max_vars", "decomp_max_vars"),
+            ("dc_fsm_max_bits", "dc_fsm_max_bits"),
+            ("max_total_models", "max_total_models"),
+            ("max_total_logic_gates", "max_total_logic_gates")):
+        v = getattr(args, flag, None)
+        if v is not None:
+            setattr(b, field, v)
+    if getattr(args, "no_dc_xz", False):
+        b.infer_dc_from_xz = False
+    if getattr(args, "no_dc_fsm", False):
+        b.infer_dc_from_fsm = False
+    if getattr(args, "no_dc_odc", False):
+        b.infer_dc_from_odc = False
+    return b
 
 
 def make_resolver(base_dir: str):
@@ -56,6 +121,13 @@ def main(argv=None) -> int:
     ap.add_argument("--omax-seed", type=int, default=0)
     ap.add_argument("--time", dest="timing", action="store_true")
     ap.add_argument("--report", action="store_true")
+    # export options (reference: --layout file|dir, --mode, --no-io)
+    ap.add_argument("--layout", choices=("file", "dir"), default="file")
+    ap.add_argument("--mode", choices=("full", "structure",
+                                       "checkpoint"), default="full")
+    ap.add_argument("--no-io", action="store_true",
+                    help="do not generate INPUT/OUTPUT models")
+    add_budget_flags(ap)
     args = ap.parse_args(argv)
 
     import phy_engine_tpu as pe
@@ -77,6 +149,8 @@ def main(argv=None) -> int:
         for pi, (pname, pdir, _w) in enumerate(ports):
             node = netops.create_node(nl, pname)
             netops.add_to_node(nl, vm, pi, node)
+            if args.no_io:
+                continue
             io = OUTPUT if pdir == "output" else INPUT
             m = netops.add_model(nl, io, name=pname)
             netops.add_to_node(nl, m, 0, node)
@@ -99,6 +173,8 @@ def main(argv=None) -> int:
             nets = [netops.create_node(nl, f"{pname}[{i}]")
                     for i in range(sig.width)]
             port_nets[pname] = nets
+            if args.no_io:
+                continue
             io = OUTPUT if sig.decl.direction == "output" else INPUT
             for i, n in enumerate(nets):
                 m = netops.add_model(nl, io, name=f"{pname}[{i}]")
@@ -112,9 +188,14 @@ def main(argv=None) -> int:
                          omax_time_budget_s=args.omax_budget,
                          omax_verify=args.opt_verify,
                          omax_cost_model=args.opt_cost,
-                         omax_seed=args.omax_seed))
+                         omax_seed=args.omax_seed,
+                         budgets=budgets_from_args(args)))
 
-    save(args.output, nl)
+    from phy_engine_tpu.io.penl import SaveOptions
+    mode = {"full": "full", "structure": "structure_only",
+            "checkpoint": "runtime_only"}[args.mode]
+    layout = "directory" if args.layout == "dir" else "single_file"
+    save(args.output, nl, SaveOptions(mode=mode, layout=layout))
     dt = time.perf_counter() - t0
     if args.report and report is not None:
         print(f"gates: {report.gate_count}  ffs: {report.ff_count}",

@@ -45,6 +45,8 @@ def main(argv=None) -> int:
                          " + occupancy grid + force refinement)")
     ap.add_argument("--time", dest="timing", action="store_true")
     ap.add_argument("--report", action="store_true")
+    from .verilog2penl import add_budget_flags, budgets_from_args
+    add_budget_flags(ap)
     args = ap.parse_args(argv)
 
     import phy_engine_tpu as pe
@@ -86,7 +88,8 @@ def main(argv=None) -> int:
                      omax_time_budget_s=args.omax_budget,
                      omax_verify=args.opt_verify,
                      omax_cost_model=args.opt_cost,
-                     omax_seed=args.omax_seed))
+                     omax_seed=args.omax_seed,
+                     budgets=budgets_from_args(args)))
     from phy_engine_tpu.io.plsav import ExportOptions
     ex = circuit_to_experiment(
         nl, options=ExportOptions(layout=args.layout),

@@ -708,6 +708,15 @@ def _stash_fsm(nl, bld) -> None:
     bld.fsm_states = dict(getattr(nl, "_fsm_states", {}))
 
 
+def _apply_dc_gates(bld, b) -> None:
+    """Install the DC-inference policy (infer_dc_from_* flags) on the
+    builder; passes read these via getattr with permissive defaults."""
+    bld.use_fsm_dc = b.infer_dc_from_fsm
+    bld.use_odc = b.infer_dc_from_odc
+    bld.use_xz_dc = b.infer_dc_from_xz
+    bld.fsm_max_bits = b.dc_fsm_max_bits
+
+
 def _fsm_dc_words(bld, leaves: List[int]):
     """Packed don't-care minterms for a cone from FSM reachable-state
     tags: a minterm is DC when, for some tagged register group with
@@ -734,7 +743,7 @@ def _fsm_dc_words(bld, leaves: List[int]):
     m = np.arange(npat, dtype=np.uint64)
     dc = None
     for gid, mem in groups.items():
-        if len(mem) < 2:
+        if len(mem) < 2 or len(mem) > getattr(bld, "fsm_max_bits", 16):
             continue
         states = bld.fsm_states.get(gid)
         if not states:
@@ -758,11 +767,13 @@ def _fsm_dc_words(bld, leaves: List[int]):
 def optimize_o2(nl, protected_ids: Set[int], stats,
                 binary_ok: bool = False, rounds: int = 4,
                 tt_passes: bool = False, adders: bool = True,
-                mul2: bool = True) -> bool:
+                mul2: bool = True, budgets=None) -> bool:
     """The O2/O3 graph tiers: normalize -> constant/identity/absorption
     folding -> tree factoring + XOR extraction (to fixpoint) ->
     [O3, binary inputs only: truth-table sweep] -> primitive selection
     -> re-emit.  Returns True if the netlist changed."""
+    from .optimize import PassBudgets
+    b = budgets or PassBudgets()
     g0 = extract(nl, protected_ids)
     if g0 is None:
         return False
@@ -770,6 +781,7 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
 
     bld = _Builder(binary_ok)
     _stash_fsm(nl, bld)
+    _apply_dc_gates(bld, b)
     mp = _normalize(g0, bld)
     out_map = {k: (net, mp[idx]) for k, (net, idx) in g0.outputs.items()}
 
@@ -832,25 +844,54 @@ def optimize_o2(nl, protected_ids: Set[int], stats,
     out_map = staged("factor", factor_rounds, out_map)
     if tt_passes and binary_ok:
         from .opt_map import cut_rewrite, resub
-        out_map = staged("tt_sweep",
-                         lambda om: tt_sweep(bld, om, stats), out_map)
-        out_map = staged("rewrite",
-                         lambda om: cut_rewrite(bld, om, stats),
-                         out_map)
-        out_map = staged("resub",
-                         lambda om: resub(bld, om, stats), out_map)
-        out_map = staged("qm_2lvl",
-                         lambda om: qm_cones(bld, om, stats), out_map)
+        if b.sweep_max_pairs:
+            out_map = staged("tt_sweep",
+                             lambda om: tt_sweep(
+                                 bld, om, stats,
+                                 max_pairs=b.sweep_max_pairs), out_map)
+        if b.techmap_max_cut:
+            out_map = staged("rewrite",
+                             lambda om: cut_rewrite(
+                                 bld, om, stats,
+                                 max_cut=b.techmap_max_cut,
+                                 max_candidates=b.rewrite_max_candidates),
+                             out_map)
+        if b.resub_max_targets:
+            out_map = staged("resub",
+                             lambda om: resub(
+                                 bld, om, stats,
+                                 max_divisors=b.resub_max_divisors,
+                                 max_targets=b.resub_max_targets),
+                             out_map)
+        if b.qm_max_vars:
+            out_map = staged("qm_2lvl",
+                             lambda om: qm_cones(
+                                 bld, om, stats,
+                                 max_support=b.qm_max_vars,
+                                 exact_support=b.qm_exact_vars,
+                                 max_cone=b.qm_max_gates), out_map)
         from .opt_map import sop_rewrite, bdd_decompose
-        out_map = staged("qm_deep",
-                         lambda om: sop_rewrite(bld, om, stats),
-                         out_map)
-        out_map = staged("bdd_decomp",
-                         lambda om: bdd_decompose(bld, om, stats),
-                         out_map)
-        out_map = staged("rewrite2",
-                         lambda om: cut_rewrite(bld, om, stats,
-                                                rounds=1), out_map)
+        if b.qm_max_vars and b.sop_max_vars:
+            out_map = staged("qm_deep",
+                             lambda om: sop_rewrite(
+                                 bld, om, stats,
+                                 max_vars=b.sop_max_vars,
+                                 exact_vars=b.qm_exact_vars,
+                                 max_targets=b.qm_max_targets),
+                             out_map)
+        if b.decomp_max_vars:
+            out_map = staged("bdd_decomp",
+                             lambda om: bdd_decompose(
+                                 bld, om, stats,
+                                 min_vars=b.decomp_min_vars,
+                                 max_vars=b.decomp_max_vars), out_map)
+        if b.techmap_max_cut:
+            out_map = staged("rewrite2",
+                             lambda om: cut_rewrite(
+                                 bld, om, stats, rounds=1,
+                                 max_cut=b.techmap_max_cut,
+                                 max_candidates=b.rewrite_max_candidates),
+                             out_map)
         out_map = staged("factor2", factor_rounds, out_map)
 
     best_g = macro_extract(best_g, stats, adders=adders, mul2=mul2)
@@ -1480,11 +1521,13 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
                   cost_model: str = "gate_count",
                   weights: Optional[Dict[str, float]] = None,
                   seed: int = 0, adders: bool = True,
-                  mul2: bool = True) -> bool:
+                  mul2: bool = True, budgets=None) -> bool:
     """Multi-start graph optimization: each restart runs the pass
     pipeline with a different TT seed and stage order; the best graph by
     the chosen cost model is (optionally verified then) emitted."""
     import time as _time
+    from .optimize import PassBudgets
+    b = budgets or PassBudgets()
     t0 = _time.monotonic()
     g0 = extract(nl, protected_ids)
     if g0 is None:
@@ -1509,7 +1552,8 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
         # rewrites legitimately differ on unreachable states, so the
         # DC tier is disabled under verify (the candidates would only
         # be rejected after the work was spent)
-        bld.use_fsm_dc = not verify
+        _apply_dc_gates(bld, b)
+        bld.use_fsm_dc = b.infer_dc_from_fsm and not verify
         mp = _normalize(g0, bld)
         out_map = {k: (net, mp[idx])
                    for k, (net, idx) in g0.outputs.items()}
@@ -1534,19 +1578,32 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
         for stage in orders[r % len(orders)]:
             if stage == "factor":
                 out_map = factor(out_map)
-            elif stage == "tt" and binary_ok:
-                out_map = tt_sweep(bld, out_map, stats, seed=seed + r)
-            elif stage == "rewrite" and binary_ok:
+            elif stage == "tt" and binary_ok and b.sweep_max_pairs:
+                out_map = tt_sweep(bld, out_map, stats, seed=seed + r,
+                                   max_pairs=b.sweep_max_pairs)
+            elif stage == "rewrite" and binary_ok and b.techmap_max_cut:
                 from .opt_map import cut_rewrite
-                out_map = cut_rewrite(bld, out_map, stats, rounds=1)
-            elif stage == "sop" and binary_ok:
+                out_map = cut_rewrite(
+                    bld, out_map, stats, rounds=1,
+                    max_cut=b.techmap_max_cut,
+                    max_candidates=b.rewrite_max_candidates)
+            elif stage == "sop" and binary_ok and b.qm_max_vars and \
+                    b.sop_max_vars:
                 from .opt_map import sop_rewrite
-                out_map = sop_rewrite(bld, out_map, stats)
-            elif stage == "bdd" and binary_ok:
+                out_map = sop_rewrite(bld, out_map, stats,
+                                      max_vars=b.sop_max_vars,
+                                      exact_vars=b.qm_exact_vars,
+                                      max_targets=b.qm_max_targets)
+            elif stage == "bdd" and binary_ok and b.decomp_max_vars:
                 from .opt_map import bdd_decompose
-                out_map = bdd_decompose(bld, out_map, stats)
-            elif stage == "qm" and binary_ok:
-                out_map = qm_cones(bld, out_map, stats)
+                out_map = bdd_decompose(bld, out_map, stats,
+                                        min_vars=b.decomp_min_vars,
+                                        max_vars=b.decomp_max_vars)
+            elif stage == "qm" and binary_ok and b.qm_max_vars:
+                out_map = qm_cones(bld, out_map, stats,
+                                   max_support=b.qm_max_vars,
+                                   exact_support=b.qm_exact_vars,
+                                   max_cone=b.qm_max_gates)
             g = _to_gategraph(bld, out_map)
             c = graph_cost(g, cost_model, weights)
             stats.omax_trace.append((r, stage, c))

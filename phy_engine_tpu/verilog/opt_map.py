@@ -615,7 +615,12 @@ def sop_rewrite(bld, out_map, stats, min_vars: int = 4,
         on, dc = kleene_tt(bld, idx, leaves, npat, pattmap)
         on = on & ones
         dc = dc & ones
-        if dc_mine and idx not in root_set:
+        if not getattr(bld, "use_xz_dc", True):
+            # X/Z-driven minterms lose their DC license: minimize to
+            # the strict 0/1 projection (infer_dc_from_xz off)
+            dc = np.zeros_like(dc)
+        if dc_mine and idx not in root_set and \
+                getattr(bld, "use_odc", True):
             odc = odc_mask(bld, idx, fan_parents, supp, None,
                            pattmap, set(leaves))
             if odc is not None:

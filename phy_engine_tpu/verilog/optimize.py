@@ -4,8 +4,9 @@ The first tier of the reference's pe_synth pipeline
 (pe_synth.h:17595-17625 pass gating): YES-wire removal, double-inverter
 fusion, constant propagation (4-state-safe), structural hashing
 (strash), and dead-code elimination — run to fixpoint.  The heavier
-passes (QM/Espresso/resub/techmap, pe_synth.h:10202+) are later
-milestones.
+passes (QM/Espresso/resub/rewrite/decompose) live in opt_graph.py /
+opt_map.py and are driven from here at O2+, budgeted by
+:class:`PassBudgets`.
 
 Passes operate directly on the gate netlist produced by synth.py.
 Protected nets (ports) are never deleted; when a pass would merge into a
@@ -14,6 +15,7 @@ protected net it re-drives the protected node instead.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Set, Tuple
 
 from ..netlist.netlist import Netlist, Node, ModelInstance
@@ -348,13 +350,45 @@ def strash(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
     return changed
 
 
+@dataclass
+class PassBudgets:
+    """Per-pass budgets, DC-inference gates, and growth guards
+    (pe_synth_options:146-186 role: qm_max_*/resub_max_*/sweep_max_*/
+    rewrite_max_candidates/decomp_*/infer_dc_from_*/dc_fsm_max_bits/
+    max_total_*).  Field defaults are the pipeline's tuned values;
+    per the reference convention a 0 budget disables that pass family.
+    The budget axes map onto THIS pipeline's pass structure: our sweep/
+    resub are global signature passes (bounded by pair/target counts,
+    with exhaustive proofs over joint supports) rather than the
+    reference's fixed truth-table windows."""
+    qm_max_vars: int = 14          # output-cone 2-level max support
+    qm_exact_vars: int = 10        # exhaustive QM+Petrick at/below this
+    qm_max_gates: int = 300        # max gates per minimized cone
+    qm_max_targets: int = 4000     # internal-SOP targets per round
+    sop_max_vars: int = 10         # internal-cone SOP window
+    resub_max_targets: int = 3000  # 0 disables resub
+    resub_max_divisors: int = 20
+    sweep_max_pairs: int = 4000    # 0 disables the equivalence sweep
+    rewrite_max_candidates: int = 0  # 0 = unlimited candidate roots
+    techmap_max_cut: int = 4       # cut size for rewrite/mapping
+    decomp_min_vars: int = 9       # functional decomposition window
+    decomp_max_vars: int = 14      # 0 disables decomposition
+    infer_dc_from_xz: bool = True
+    infer_dc_from_fsm: bool = True
+    infer_dc_from_odc: bool = True
+    dc_fsm_max_bits: int = 16      # max tagged state bits per cone
+    max_total_models: int = 0      # growth guards; 0 disables
+    max_total_logic_gates: int = 0
+
+
 def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
                      max_rounds: int = 50,
                      binary_ok: bool = False,
                      omax: Optional[dict] = None,
                      wires: bool = True,
                      adders: bool = True,
-                     mul2: bool = True) -> OptStats:
+                     mul2: bool = True,
+                     budgets: Optional[PassBudgets] = None) -> OptStats:
     """Run the optimization pipeline to fixpoint.
 
     O1: netlist-local passes (const-prop, YES/NOT fusion, strash, DCE).
@@ -379,6 +413,7 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
                 return
 
     o1_fixpoint()
+    bgt = budgets or PassBudgets()
     if level >= 2:
         from .opt_graph import optimize_o2
         tt = level >= 3 and binary_ok
@@ -410,7 +445,8 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
         # (observed 2431 -> 2224 on the atomic-vector-assign case)
         for _ in range(2):
             if not optimize_o2(nl, protected, stats, binary_ok,
-                               tt_passes=tt, adders=adders, mul2=mul2):
+                               tt_passes=tt, adders=adders, mul2=mul2,
+                               budgets=bgt):
                 break
             o1_fixpoint()
             consider()
@@ -420,11 +456,21 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
             # its base cost and emits only strict improvements
             from .opt_graph import optimize_omax
             if optimize_omax(nl, protected, stats, binary_ok,
-                             adders=adders, mul2=mul2,
+                             adders=adders, mul2=mul2, budgets=bgt,
                              **(omax or {})):
                 o1_fixpoint()
                 consider()
-        if gate_count() > best_count:
+        # growth guards (max_total_* rollback role, pe_synth.h:178-181):
+        # the best-seen snapshot is restored whenever the final netlist
+        # regressed or breached a cap the best still satisfies
+        def n_models():
+            return sum(1 for _ in nl.live_models())
+        exceeded = (
+            (bgt.max_total_logic_gates and
+             gate_count() > bgt.max_total_logic_gates) or
+            (bgt.max_total_models and
+             n_models() > bgt.max_total_models))
+        if gate_count() > best_count or exceeded:
             nl.state_restore(best_snap)
             stats.rounds_rolled_back += 1
     return stats

@@ -64,6 +64,11 @@ class SynthOptions:
     optimize_wires: bool = True             # YES-buffer removal
     optimize_mul2: bool = True              # MUL2 macro extraction
     optimize_adders: bool = True            # HA/FA macro extraction
+    support_always_comb: bool = True        # pe_synth_options:112-113
+    support_always_ff: bool = True
+    # per-pass budgets / DC-inference gates / growth guards
+    # (optimize.PassBudgets; None = the pipeline's tuned defaults)
+    budgets: Optional[object] = None
 
 
 @dataclass
@@ -1250,6 +1255,7 @@ def synthesize_to_netlist(nl: Netlist, design, top_inst: InstanceState,
             wires=opt.optimize_wires,
             adders=opt.optimize_adders,
             mul2=opt.optimize_mul2,
+            budgets=opt.budgets,
             omax={"restarts": opt.omax_restarts,
                   "time_budget_s": opt.omax_time_budget_s,
                   "verify": opt.omax_verify,
@@ -1329,8 +1335,16 @@ def _synth_instance(ctx: SynthContext, inst: InstanceState,
     for ab in inst.always_blocks:
         if ab.sensitivity is not None and any(
                 e in ("pos", "neg") for e, _ in ab.sensitivity):
+            if not ctx.opt.support_always_ff:
+                raise CompileError(
+                    "synth: always_ff blocks disabled "
+                    "(support_always_ff off)")
             _synth_ff_block(ctx, bs, ab, sigbits)
         else:
+            if not ctx.opt.support_always_comb:
+                raise CompileError(
+                    "synth: always_comb blocks disabled "
+                    "(support_always_comb off)")
             _synth_comb_block(ctx, bs, ab, sigbits)
 
     # children
