@@ -21,6 +21,24 @@ import sys
 import time
 
 
+_WEIGHT_OPS = ("NOT", "AND", "OR", "XOR", "XNOR", "NAND", "NOR",
+               "IMP", "NIMP", "YES", "CASE_EQ", "IS_UNKNOWN")
+
+
+def add_weight_flags(ap) -> None:
+    """--opt-weight-<OP> N (verilog2penl.cpp:95-106): per-primitive
+    weights for the Omax weighted cost model."""
+    for op in _WEIGHT_OPS:
+        ap.add_argument(f"--opt-weight-{op}", dest=f"w_{op}",
+                        type=float, default=None, metavar="N")
+
+
+def weights_from_args(args):
+    w = {op: getattr(args, f"w_{op}") for op in _WEIGHT_OPS
+         if getattr(args, f"w_{op}", None) is not None}
+    return w or None
+
+
 def add_budget_flags(ap) -> None:
     """Per-pass budget / DC / guard flags shared by both CLIs
     (verilog2penl.cpp:107-120 flag family)."""
@@ -128,6 +146,7 @@ def main(argv=None) -> int:
     ap.add_argument("--no-io", action="store_true",
                     help="do not generate INPUT/OUTPUT models")
     add_budget_flags(ap)
+    add_weight_flags(ap)
     args = ap.parse_args(argv)
 
     import phy_engine_tpu as pe
@@ -188,6 +207,7 @@ def main(argv=None) -> int:
                          omax_time_budget_s=args.omax_budget,
                          omax_verify=args.opt_verify,
                          omax_cost_model=args.opt_cost,
+                         omax_weights=weights_from_args(args),
                          omax_seed=args.omax_seed,
                          budgets=budgets_from_args(args)))
 

@@ -45,8 +45,10 @@ def main(argv=None) -> int:
                          " + occupancy grid + force refinement)")
     ap.add_argument("--time", dest="timing", action="store_true")
     ap.add_argument("--report", action="store_true")
-    from .verilog2penl import add_budget_flags, budgets_from_args
+    from .verilog2penl import (add_budget_flags, add_weight_flags,
+                               budgets_from_args, weights_from_args)
     add_budget_flags(ap)
+    add_weight_flags(ap)
     args = ap.parse_args(argv)
 
     import phy_engine_tpu as pe
@@ -88,6 +90,7 @@ def main(argv=None) -> int:
                      omax_time_budget_s=args.omax_budget,
                      omax_verify=args.opt_verify,
                      omax_cost_model=args.opt_cost,
+                     omax_weights=weights_from_args(args),
                      omax_seed=args.omax_seed,
                      budgets=budgets_from_args(args)))
     from phy_engine_tpu.io.plsav import ExportOptions
