@@ -180,9 +180,10 @@ endmodule
 
 
 def test_synth_config_globals():
+    prev = get_verilog_synth_config().opt_level
     set_verilog_synth_config(opt_level=3)
     assert get_verilog_synth_config().opt_level == 3
-    set_verilog_synth_config(opt_level=1)
+    set_verilog_synth_config(opt_level=prev)
 
 
 def test_property_arity_table():
