@@ -145,6 +145,10 @@ def main(argv=None) -> int:
                                        "checkpoint"), default="full")
     ap.add_argument("--no-io", action="store_true",
                     help="do not generate INPUT/OUTPUT models")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="overwrite an existing output file "
+                         "(reference verilog2penl.cpp:64-120 semantics:"
+                         " refuse by default)")
     add_budget_flags(ap)
     add_weight_flags(ap)
     args = ap.parse_args(argv)
@@ -215,6 +219,10 @@ def main(argv=None) -> int:
     mode = {"full": "full", "structure": "structure_only",
             "checkpoint": "runtime_only"}[args.mode]
     layout = "directory" if args.layout == "dir" else "single_file"
+    if os.path.exists(args.output) and not args.overwrite:
+        print(f"error: output exists: {args.output} (use --overwrite)",
+              file=sys.stderr)
+        return 1
     save(args.output, nl, SaveOptions(mode=mode, layout=layout))
     dt = time.perf_counter() - t0
     if args.report and report is not None:
