@@ -1662,31 +1662,12 @@ def macro_extract(g: GateGraph, stats, adders: bool = True,
 
     repl: Dict[int, Tuple[str, Tuple[int, ...]]] = {}
 
-    # full adders first (their parts would otherwise match half adders)
-    for (xa, xb), x in (list(xors.items()) if adders else []):
-        and_ab = ands.get((xa, xb))
-        if and_ab is None:
-            continue
-        # sum node: XOR(x, cin)
-        for key, s in list(xors.items()):
-            if x not in key or s == x:
-                continue
-            cin = key[0] if key[1] == x else key[1]
-            if cin == x:
-                continue
-            and_cx = ands.get((min(cin, x), max(cin, x)))
-            if and_cx is None:
-                continue
-            cout = ors.get((min(and_ab, and_cx), max(and_ab, and_cx)))
-            if cout is None:
-                continue
-            fan = (xa, xb, cin)
-            repl[s] = ("FA_S", fan)
-            repl[cout] = ("FA_C", fan)
-            stats.adders_extracted += 1
-
-    # 2x2 multipliers (pe_synth optimize_mul2): the exact gate web the
-    # MUL2 block computes — p0=a0b0, p1=a1b0^a0b1, c1=a1b0&a0b1,
+    # 2x2 multipliers FIRST (the reference's pass order: wires -> mul2
+    # -> adders, verilog2penl --report; adder extraction would
+    # otherwise consume the XOR/AND halves of each MUL2 web — seen on
+    # the mul2-structured 8x8 multiplier corpus case)
+    # pe_synth optimize_mul2: the exact gate web the MUL2 block
+    # computes — p0=a0b0, p1=a1b0^a0b1, c1=a1b0&a0b1,
     # p2=a1b1^c1, p3=a1b1&c1
     for (t1, t2), p1 in (list(xors.items()) if mul2 else []):
         if p1 in repl or t1 == t2:
@@ -1727,6 +1708,34 @@ def macro_extract(g: GateGraph, stats, adders: bool = True,
         repl[p2] = ("M2_P2", fan)
         repl[p3] = ("M2_P3", fan)
         stats.mul2_extracted += 1
+
+    # full adders next (their parts would otherwise match half adders;
+    # skip nodes a MUL2 web already claimed)
+    for (xa, xb), x in (list(xors.items()) if adders else []):
+        if x in repl:
+            continue
+        and_ab = ands.get((xa, xb))
+        if and_ab is None:
+            continue
+        # sum node: XOR(x, cin)
+        for key, s in list(xors.items()):
+            if x not in key or s == x:
+                continue
+            if s in repl:
+                continue
+            cin = key[0] if key[1] == x else key[1]
+            if cin == x:
+                continue
+            and_cx = ands.get((min(cin, x), max(cin, x)))
+            if and_cx is None:
+                continue
+            cout = ors.get((min(and_ab, and_cx), max(and_ab, and_cx)))
+            if cout is None or cout in repl:
+                continue
+            fan = (xa, xb, cin)
+            repl[s] = ("FA_S", fan)
+            repl[cout] = ("FA_C", fan)
+            stats.adders_extracted += 1
 
     # half adders: XOR + AND sharing fanins (skip FA-consumed nodes)
     for key, x in (xors.items() if adders else []):

@@ -427,9 +427,17 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
         # best-seen netlist (identity-preserving, so the caller's
         # port/model references survive a restore), and restore the
         # best at the end — QoR is then monotone in level.
+        # the rollback metric is the reference's own optimization cost
+        # (count_logic_gates, pe_synth.h:420-437): pure logic ops only —
+        # macro blocks (adders/MUL2/FF/latch) are free, exactly as in
+        # the reference's per-pass accounting; model bloat is bounded
+        # separately by max_total_models
+        _LOGIC = ("AND", "OR", "XOR", "XNOR", "NOT", "NAND", "NOR",
+                  "IMP", "NIMP", "YES")
+
         def gate_count():
             return sum(1 for m in nl.live_models()
-                       if m.mdef.digital_op not in ("INPUT", "OUTPUT"))
+                       if m.mdef.digital_op in _LOGIC)
 
         best_count = gate_count()
         best_snap = nl.state_save()
@@ -439,6 +447,17 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
             c = gate_count()
             if c < best_count:
                 best_count, best_snap = c, nl.state_save()
+
+        # At O3+ the truth-table sweep can rewrite macro-extractable
+        # webs (MUL2/adder patterns) before extraction sees them, so
+        # seed the snapshot history with one O2-grade round first —
+        # QoR is then monotone across levels by construction.
+        if tt:
+            if optimize_o2(nl, protected, stats, binary_ok,
+                           tt_passes=False, adders=adders, mul2=mul2,
+                           budgets=bgt):
+                o1_fixpoint()
+                consider()
 
         # two rounds at every tier: the emit + O1-fixpoint between
         # graph rounds unlocks reductions a single pass misses

@@ -697,12 +697,53 @@ class BitSynth:
         return q, rem
 
     def _mul(self, a: List[NetT], b: List[NetT], w: int) -> List[NetT]:
+        # digit lowering pays off once the graph tier's MUL2 extraction
+        # runs (O2+); below that the shift-add form is smaller (its
+        # adders are emitted as macro blocks already)
+        if (self.ctx.opt.optimize_mul2 and self.ctx.opt.opt_level >= 2
+                and len(a) >= 2 and len(b) >= 2):
+            return self._mul_digits(a, b, w)
         acc: List[NetT] = [C0] * w
         for i, bi in enumerate(b):
             if bi is C0 or i >= w:
                 continue
             part = [C0] * i + [self.ctx.g_and(x, bi) for x in a[:w - i]]
             acc = self._add(acc, _resize_bits(part, w, False), w)
+        return acc
+
+    def _mul_digits(self, a: List[NetT], b: List[NetT],
+                    w: int) -> List[NetT]:
+        """School multiplication over 2-bit digits: each digit product
+        is the exact 8-gate MUL2 web (p0=a0b0, p1=a1b0^a0b1,
+        c1=a1b0&a0b1, p2=a1b1^c1, p3=a1b1&c1) so the optimizer's MUL2
+        extraction collapses it into one macro — the reference's own
+        `*` lowering shape (pe_synth.h optimize_mul2_in_pe_netlist:1368
+        finds 16 such webs in its 8x8 multiply)."""
+        g = self.ctx
+        acc: List[NetT] = [C0] * w
+        da = a + [C0] * (len(a) & 1)
+        db = b + [C0] * (len(b) & 1)
+        for i in range(0, len(da), 2):
+            if i >= w:
+                break
+            a0, a1 = da[i], da[i + 1]
+            for j in range(0, len(db), 2):
+                sh = i + j
+                if sh >= w:
+                    break
+                b0, b1 = db[j], db[j + 1]
+                if (a0 is C0 and a1 is C0) or (b0 is C0 and b1 is C0):
+                    continue
+                t1 = g.g_and(a1, b0)
+                t2 = g.g_and(a0, b1)
+                p0 = g.g_and(a0, b0)
+                p1 = g.g_xor(t1, t2)
+                c1 = g.g_and(t1, t2)
+                t3 = g.g_and(a1, b1)
+                p2 = g.g_xor(t3, c1)
+                p3 = g.g_and(t3, c1)
+                part = [C0] * sh + [p0, p1, p2, p3]
+                acc = self._add(acc, _resize_bits(part, w, False), w)
         return acc
 
     def _lower_call(self, expr, env, ctx_width):

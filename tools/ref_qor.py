@@ -139,7 +139,7 @@ def rv32_case():
     for fn in os.listdir(base):
         if fn.endswith((".vh", ".vi", ".hex")):
             inc[fn] = open(os.path.join(base, fn)).read()
-    return [("0016.risc-v/risc-v", src, "top", inc)]
+    return [("0016.risc-v/risc-v", src, "riscv_top", inc)]
 
 
 def main():
