@@ -448,11 +448,28 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
             if c < best_count:
                 best_count, best_snap = c, nl.state_save()
 
-        # At O3+ the truth-table sweep can rewrite macro-extractable
-        # webs (MUL2/adder patterns) before extraction sees them, so
-        # seed the snapshot history with one O2-grade round first —
-        # QoR is then monotone across levels by construction.
+        # At O3+ macro extraction and the truth-table passes compete
+        # both ways: extraction can claim a web the TT sweep would have
+        # collapsed to almost nothing (the resub_sweep XOR-parity case
+        # — an adder-SUM-shaped SOP that espresso reduces to 2 gates),
+        # and the TT sweep can rewrite a web extraction would have made
+        # free (the digit-lowered mul8x8 MUL2 case).  Neither order
+        # dominates, so run BOTH from the same O1 state and let the
+        # best-logic-gate snapshot pick the winner — QoR is then
+        # monotone across levels by construction.
         if tt:
+            snap0 = nl.state_save()
+            # order A: TT rounds with no macro pre-claim
+            for _ in range(2):
+                if not optimize_o2(nl, protected, stats, binary_ok,
+                                   tt_passes=True, adders=adders,
+                                   mul2=mul2, budgets=bgt):
+                    break
+                o1_fixpoint()
+                consider()
+            # order B: rewind, seed one O2-grade (macro-claiming) round,
+            # then fall through to the TT rounds below
+            nl.state_restore(snap0)
             if optimize_o2(nl, protected, stats, binary_ok,
                            tt_passes=False, adders=adders, mul2=mul2,
                            budgets=bgt):

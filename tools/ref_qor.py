@@ -47,10 +47,51 @@ LEVELS = (("-O1", 1, False), ("-O2", 2, False), ("-O3", 3, True),
           ("-Omax", 4, True))
 
 
+SHADOW = os.path.join(BUILD, "shadow")
+
+
+def _shadow_include() -> str:
+    """Symlink-farm copy of the reference include tree with ONE header
+    patched: g++ 12 lacks P2448 (constexpr functions whose body is not
+    constexpr-evaluable are ill-formed), so `update_digital_clk_define`
+    in verilog_module.h fails on `shared_ptr == nullptr`; the patched
+    copy drops that single `constexpr`.  A symlink farm (not -isystem
+    tricks) is required because phy_engine.h pulls its subheaders with
+    QUOTED relative includes, which resolve against the including
+    file's own (symlinked) directory."""
+    inc = os.path.join(SHADOW, "include")
+    if not os.path.isdir(inc):
+        os.makedirs(SHADOW, exist_ok=True)
+        subprocess.run(
+            ["cp", "-rs", os.path.join(REF_SRC, "include"), inc],
+            check=True)
+    rel = "phy_engine/model/models/digital/verilog_module.h"
+    patched = os.path.join(inc, rel)
+    if os.path.islink(patched):
+        src = open(os.path.join(REF_SRC, "include", rel)).read()
+        os.unlink(patched)
+        open(patched, "w").write(src.replace(
+            "inline constexpr ::phy_engine::digital::"
+            "need_operate_analog_node_t update_digital_clk_define",
+            "inline ::phy_engine::digital::"
+            "need_operate_analog_node_t update_digital_clk_define", 1))
+    # shadow src dir too: the reference CMake hard-codes
+    # include_directories(${CMAKE_SOURCE_DIR}/../include), which would
+    # win the -I order over any CMAKE_CXX_FLAGS injection — configuring
+    # from the shadow src makes ../include resolve to the patched tree
+    sdir = os.path.join(SHADOW, "src")
+    if not os.path.isdir(sdir):
+        subprocess.run(
+            ["cp", "-rs", os.path.join(REF_SRC, "src"), sdir],
+            check=True)
+    return inc
+
+
 def build_reference() -> None:
     os.makedirs(BUILD, exist_ok=True)
+    _shadow_include()
     subprocess.run(
-        ["cmake", "-S", os.path.join(REF_SRC, "src"), "-B", BUILD,
+        ["cmake", "-S", os.path.join(SHADOW, "src"), "-B", BUILD,
          "-DCMAKE_BUILD_TYPE=Release",
          "-DPHY_ENGINE_ENABLE_OPENMP=OFF"],
         check=True)
