@@ -1021,9 +1021,26 @@ class DigitalEngine:
                     hv.append(HV)
                     hu.append(HU)
                 return _np.stack(hv), _np.stack(hu)
-            mode = "turbo_xla"   # toolchain missing: MXU fallback
+            mode = "flash"       # toolchain missing: device fallback
         if mode == "native":
-            mode = "turbo_xla"   # mesh/vmods: device path required
+            mode = "flash"       # mesh/vmods: device path required
+        if mode == "flash" and turbo.eligible(self.ir) \
+                and watch is not None:
+            from . import flash
+            fs_np = _np.asarray(forced_sig, _np.int32)
+            key = ("flash", fs_np.tobytes())
+            plans = getattr(self, "_turbo_plans", None)
+            if plans is None:
+                plans = self._turbo_plans = {}
+            plan = plans.get(key)
+            if plan is None:
+                plan = plans[key] = flash.FlashPlan(self.ir, fs_np)
+            return flash.run_batched(
+                plan, self.sv, self.su, self.seq_state,
+                _np.asarray(FV, _np.uint32), _np.asarray(FU, _np.uint32),
+                watch, mesh=mesh, axis=axis)
+        if mode == "flash":
+            mode = "turbo_xla"   # ineligible/full-history: older paths
         if mode in ("turbo", "turbo_xla") and turbo.eligible(self.ir) \
                 and watch is not None:
             fs_np = _np.asarray(forced_sig, _np.int32)

@@ -760,38 +760,36 @@ def backend() -> str:
 
     ``native`` (host C++ sweep — the latency-optimal single-trace
     path), ``turbo`` (Pallas MXU whole-tick program), ``turbo_xla``
-    (same core as plain XLA), ``levels`` (levelled XLA engine), or
+    (same core as plain XLA), ``flash`` (batched fast-gather engine,
+    digital/flash.py), ``levels`` (levelled XLA engine), or
     ``auto``: native on TPU-attached hosts (sequential single-trace
     clocking is dispatch-latency-bound, so the host engine wins; the
     TPU carries the batched axes via run_ticks_batched), levels
     elsewhere (CPU tests exercise the XLA path)."""
     mode = os.environ.get("PE_TPU_DIGITAL", "auto")
-    if mode in ("native", "turbo", "turbo_xla", "levels"):
+    if mode in ("native", "turbo", "turbo_xla", "flash", "levels"):
         return mode
     return "auto"
 
 
 def pick_auto_batch(ir, batch: int) -> str:
     """auto policy for the batched-instances axis, from the measured
-    crossover (bench_digital.py turbo_batch, BASELINE round 3): on
-    DEEP designs (RV32-class) the vmapped turbo core's aggregate is
-    flat in batch (~8M gate-evals/s at B=32 and B=64 — the sequential
-    per-tick chunk chain dominates), while the native host engine
-    looped over instances sustains 27-35M — so deep designs route to
-    'native' (engine.run_ticks_batched loops it), shallow designs at
-    modest batch route to the turbo core, and the levelled vmap engine
-    covers everything else."""
+    round-4 crossover (bench_digital.py turbo_batch / BASELINE): the
+    fast-gather 'flash' engine (digital/flash.py) pads its column
+    count to the XLA vectorized-gather threshold, so its wall-time is
+    flat in batch — on TPU it wins the aggregate from B>=8 at any
+    design depth (2-3.7 G gate-evals/s at B=128-256 on RV32 vs the
+    native host engine's 27-35M looped).  Tiny batches stay on the
+    native loop (per-row gather latency isn't amortized); CPU hosts
+    keep the levelled vmap engine for test coverage."""
     try:
         plat = jax.devices()[0].platform
     except Exception:
         plat = "cpu"
     if plat == "tpu" and eligible(ir):
-        deep = ir is not None and (len(ir.levels) >= 48 or
-                                   ir.n_signals >= 4096)
-        if deep:
-            return "native"
         if batch >= 8:
-            return "turbo_xla"
+            return "flash"
+        return "native"
     return "levels"
 
 

@@ -607,3 +607,144 @@ def test_sharded_sweeps_match_local():
                                   cb.ac_sweep_results):
         assert wa == wb
         assert np.allclose(xa, xb, rtol=0, atol=0)
+
+
+def test_digital_batch_flash_bit_exact(monkeypatch):
+    """PE_TPU_DIGITAL=flash routes digital_run_batch through the
+    fast-gather engine (digital/flash.py) — bit-exact vs the levels
+    path, including X propagation before reset and DFF_ARSTN async
+    clears, at a batch far below the padded column width."""
+    import numpy as np
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+
+    src = """
+module mixer(input clk, input rst_n, input en, input [3:0] d,
+             output reg [3:0] q, output [4:0] s);
+  wire [3:0] nx = en ? (q ^ d) + 4'd3 : q;
+  assign s = {1'b0, q} + {1'b0, d};
+  always @(posedge clk or negedge rst_n)
+    if (!rst_n) q <= 4'd5; else q <= nx;
+endmodule
+"""
+
+    def build():
+        mods = compile_source(src)
+        design = build_design(mods)
+        topm = find_module(design, "mixer")
+        inst = elaborate(design, topm)
+        c = pe.Circuit()
+        nl = c.nl
+        pn = {p: [netops.create_node(nl)
+                  for _ in range(inst.signals[p].width)]
+              for p in topm.ports}
+        ms = {}
+        for name in ("clk", "rst_n", "en"):
+            m = netops.add_model(nl, INPUT, {"boolean": 0.0})
+            netops.add_to_node(nl, m, 0, pn[name][0])
+            ms[name] = m
+        for i in range(4):
+            m = netops.add_model(nl, INPUT, {"boolean": 0.0})
+            netops.add_to_node(nl, m, 0, pn["d"][i])
+            ms[f"d{i}"] = m
+        synthesize_to_netlist(nl, design, inst, pn,
+                              SynthOptions(opt_level=2))
+        return c, ms, pn
+
+    rng = np.random.default_rng(13)
+    B, CYC = 5, 7
+    enables = rng.integers(0, 2, (B, CYC))
+    data = rng.integers(0, 16, (B, CYC))
+
+    def sched_for(ms, b):
+        s = [{}, {ms["clk"]: 1}, {ms["clk"]: 0}, {ms["rst_n"]: 1}]
+        for k in range(CYC):
+            e = int(enables[b, k])
+            dv = int(data[b, k])
+            lo = {ms["clk"]: 0, ms["rst_n"]: 1, ms["en"]: e}
+            hi = {ms["clk"]: 1, ms["rst_n"]: 1, ms["en"]: e}
+            for i in range(4):
+                lo[ms[f"d{i}"]] = (dv >> i) & 1
+                hi[ms[f"d{i}"]] = (dv >> i) & 1
+            s += [hi, lo]
+        return s
+
+    monkeypatch.setenv("PE_TPU_DIGITAL", "levels")
+    c1, ms1, pn1 = build()
+    ref_q = c1.digital_run_batch([sched_for(ms1, b) for b in range(B)],
+                                 watch_nodes=pn1["q"] + pn1["s"])
+    monkeypatch.setenv("PE_TPU_DIGITAL", "flash")
+    c2, ms2, pn2 = build()
+    got_q = c2.digital_run_batch([sched_for(ms2, b) for b in range(B)],
+                                 watch_nodes=pn2["q"] + pn2["s"])
+    assert ref_q.shape == got_q.shape
+    assert np.array_equal(np.asarray(ref_q), np.asarray(got_q))
+
+
+def test_digital_batch_flash_sharded(monkeypatch):
+    """flash over an 8-device mesh shards the instance axis and stays
+    bit-exact vs the local flash run and the levels engine."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+
+    src = """
+module counter(input clk, input rst_n, input en, output reg [3:0] q);
+  always @(posedge clk or negedge rst_n)
+    if (!rst_n) q <= 4'd0; else if (en) q <= q + 4'd1;
+endmodule
+"""
+
+    def build():
+        mods = compile_source(src)
+        design = build_design(mods)
+        topm = find_module(design, "counter")
+        inst = elaborate(design, topm)
+        c = pe.Circuit()
+        nl = c.nl
+        pn = {p: [netops.create_node(nl)
+                  for _ in range(inst.signals[p].width)]
+              for p in topm.ports}
+        ms = {}
+        for name in ("clk", "rst_n", "en"):
+            m = netops.add_model(nl, INPUT, {"boolean": 0.0})
+            netops.add_to_node(nl, m, 0, pn[name][0])
+            ms[name] = m
+        synthesize_to_netlist(nl, design, inst, pn,
+                              SynthOptions(opt_level=1))
+        return c, ms, pn
+
+    rng = np.random.default_rng(21)
+    B, CYC = 8, 9
+    enables = rng.integers(0, 2, (B, CYC))
+
+    def sched_for(ms, b):
+        s = [{}, {ms["clk"]: 1}, {ms["clk"]: 0}, {ms["rst_n"]: 1}]
+        for k in range(CYC):
+            e = int(enables[b, k])
+            s += [{ms["clk"]: 1, ms["rst_n"]: 1, ms["en"]: e},
+                  {ms["clk"]: 0, ms["rst_n"]: 1, ms["en"]: e}]
+        return s
+
+    monkeypatch.setenv("PE_TPU_DIGITAL", "levels")
+    c1, ms1, pn1 = build()
+    ref = c1.digital_run_batch([sched_for(ms1, b) for b in range(B)],
+                               watch_nodes=pn1["q"])
+    monkeypatch.setenv("PE_TPU_DIGITAL", "flash")
+    c2, ms2, pn2 = build()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    got = c2.digital_run_batch([sched_for(ms2, b) for b in range(B)],
+                               watch_nodes=pn2["q"], mesh=mesh)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
