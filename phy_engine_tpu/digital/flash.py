@@ -440,6 +440,11 @@ def run_batched(plan: FlashPlan, sv, su, seq_state, FV, FU, watch,
             s = jnp.concatenate([jnp.repeat(s0[:, :1], B_loc, 1),
                                  jnp.repeat(s0[:, 1:], B_loc, 1)],
                                 axis=1)
+            try:    # mark the replicated start state device-varying so
+                    # the scan carry type matches (jax >= 0.7 vma check)
+                s = jax.lax.pvary(s, (axis,))
+            except AttributeError:
+                pass
             _st, hist = _run_core(plan, s, xs, watch_new, B_loc, True)
             return hist[None]
 
