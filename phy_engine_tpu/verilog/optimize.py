@@ -457,6 +457,7 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
         # dominates, so run BOTH from the same O1 state and let the
         # best-logic-gate snapshot pick the winner — QoR is then
         # monotone across levels by construction.
+        seeded = True
         if tt:
             snap0 = nl.state_save()
             # order A: TT rounds with no macro pre-claim
@@ -470,22 +471,34 @@ def optimize_netlist(nl: Netlist, protected_nodes, level: int = 1,
             # order B: rewind, seed one O2-grade (macro-claiming) round,
             # then fall through to the TT rounds below
             nl.state_restore(snap0)
-            if optimize_o2(nl, protected, stats, binary_ok,
-                           tt_passes=False, adders=adders, mul2=mul2,
-                           budgets=bgt):
+            seeded = optimize_o2(nl, protected, stats, binary_ok,
+                                 tt_passes=False, adders=adders,
+                                 mul2=mul2, budgets=bgt)
+            if seeded:
                 o1_fixpoint()
                 consider()
+            else:
+                # no macros to claim: the netlist equals snap0, so the
+                # generic loop below would deterministically replay
+                # order A — skip it and continue from order A's best.
+                # Re-save after restoring: state_restore aliases the
+                # snapshot's param dicts into the live models, so the
+                # same snapshot must not be restored twice around
+                # further mutation (the omax tail + final rollback).
+                nl.state_restore(best_snap)
+                best_snap = nl.state_save()
 
         # two rounds at every tier: the emit + O1-fixpoint between
         # graph rounds unlocks reductions a single pass misses
         # (observed 2431 -> 2224 on the atomic-vector-assign case)
-        for _ in range(2):
-            if not optimize_o2(nl, protected, stats, binary_ok,
-                               tt_passes=tt, adders=adders, mul2=mul2,
-                               budgets=bgt):
-                break
-            o1_fixpoint()
-            consider()
+        if seeded:
+            for _ in range(2):
+                if not optimize_o2(nl, protected, stats, binary_ok,
+                                   tt_passes=tt, adders=adders,
+                                   mul2=mul2, budgets=bgt):
+                    break
+                o1_fixpoint()
+                consider()
         if level >= 4:
             # the multi-start search runs after (and competes against)
             # the O3 result: omax re-extracts the current netlist as

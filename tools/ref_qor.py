@@ -69,12 +69,19 @@ def _shadow_include() -> str:
     patched = os.path.join(inc, rel)
     if os.path.islink(patched):
         src = open(os.path.join(REF_SRC, "include", rel)).read()
-        os.unlink(patched)
-        open(patched, "w").write(src.replace(
+        out = src.replace(
             "inline constexpr ::phy_engine::digital::"
             "need_operate_analog_node_t update_digital_clk_define",
             "inline ::phy_engine::digital::"
-            "need_operate_analog_node_t update_digital_clk_define", 1))
+            "need_operate_analog_node_t update_digital_clk_define", 1)
+        if out == src:
+            raise RuntimeError(
+                f"constexpr patch no-op: reference header drifted ({rel})")
+        tmp = patched + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(out)
+        os.unlink(patched)       # drop the symlink, then atomic-replace
+        os.replace(tmp, patched)
     # shadow src dir too: the reference CMake hard-codes
     # include_directories(${CMAKE_SOURCE_DIR}/../include), which would
     # win the -I order over any CMAKE_CXX_FLAGS injection — configuring
