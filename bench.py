@@ -55,9 +55,11 @@ def tpu_run():
     t0 = jnp.asarray(0.0, jnp.float64)
     dt = jnp.asarray(DT, jnp.float64)
 
+    solver = os.environ.get("PE_BENCH_SOLVER", "frozen")
+
     def run(params_b, x_b, st_b):
         x2, st2, ok, _ = analog.transient_batched(
-            ir, params_b, x_b, st_b, env, t0, dt, STEPS, solver="delta")
+            ir, params_b, x_b, st_b, env, t0, dt, STEPS, solver=solver)
         return jnp.sum(x2), jnp.all(ok), jnp.max(jnp.abs(x2))
 
     fn = jax.jit(run)

@@ -300,6 +300,29 @@ def newton_solve(ir: AnalogIR, params, x0, states0, ctx: StampCtx,
 # are frozen by masking, mirroring the reference's per-circuit loop.
 # ---------------------------------------------------------------------------
 
+def _equil_dense32(rows, cols, vals, n: int, npad: int):
+    """Per-lane power-of-two row/col equilibration + scaled dense-f32
+    scatter (shared by the delta and frozen Newton paths).  Returns
+    (A32 (npad, npad), rs (n,) f32, cs (n,) f32)."""
+    v32 = jnp.abs(vals).astype(jnp.float32)
+    tiny = jnp.float32(1e-30)
+    rmax = jnp.maximum(jnp.zeros(n + 1, jnp.float32).at[rows].max(v32),
+                       tiny)
+    rs = jnp.exp2(-jnp.floor(jnp.log2(rmax)))            # (n+1,)
+    v32r = (vals.astype(jnp.float32)) * rs[rows]
+    cmax = jnp.maximum(
+        jnp.zeros(n + 1, jnp.float32).at[cols].max(jnp.abs(v32r)), tiny)
+    cs = jnp.exp2(-jnp.floor(jnp.log2(cmax)))            # (n+1,)
+    v32rc = v32r * cs[cols]
+    rows_p = jnp.where(rows >= n, jnp.int32(npad), rows.astype(jnp.int32))
+    cols_p = jnp.where(cols >= n, jnp.int32(npad), cols.astype(jnp.int32))
+    A32 = jnp.zeros((npad + 1, npad + 1), jnp.float32)
+    A32 = A32.at[rows_p, cols_p].add(v32rc)
+    pad_d = jnp.arange(n, npad)
+    A32 = A32.at[pad_d, pad_d].set(1.0)
+    return A32[:npad, :npad], rs[:n], cs[:n]
+
+
 def _delta_solve_prep(ir: AnalogIR, params, x, states, ctx, drives,
                       dtype, npad: int):
     """Per-lane (vmapped) prep: sparse assembly, f64 residual, power-of-2
@@ -406,6 +429,388 @@ def newton_solve_batched(ir: AnalogIR, params_b, x0_b, states0_b,
                         lambda: gauss_path())
 
 
+FROZEN_STALL = 16    # frozen-preconditioner refactor cadence (iters)
+FROZEN_RATE = 0.85   # refactor when residual contraction is worse
+                     # (one refactor costs ~13 stale iterations)
+
+
+def frozen_fac_init(B: int, n: int, npad: int, dtype=jnp.float64):
+    """Empty factor carry for `newton_solve_frozen` (valid=False)."""
+    return (jnp.zeros((B, npad, npad), jnp.float32),
+            jnp.ones((B, n), jnp.float32),
+            jnp.ones((B, n), jnp.float32),
+            jnp.full((B, n), jnp.inf, dtype),
+            jnp.bool_(False))
+
+
+def _frozen_resid(ir: AnalogIR, params, x, states, ctx, drives, dtype):
+    """Per-lane stamps + O(nnz) f64 residual (NO dense build).
+
+    Must stay a single per-lane function so the batched caller vmaps
+    assembly and scatter together — splitting them hands the scatter
+    per-lane-varying index arrays and XLA falls off the shared-index
+    segment-sum path (measured 30x slower on TPU)."""
+    n = ir.n_unknowns
+    rows, cols, vals, Z, st2 = assemble_sparse(
+        ir, params, x, states, ctx, drives, dtype)
+    x_ext = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    ax = jnp.zeros(n + 1, dtype).at[rows].add(vals * x_ext[cols])
+    return Z - ax[:n], st2
+
+
+def _frozen_cache(ir: AnalogIR, params, x, states, ctx, drives, dtype):
+    """Per-lane, once per Newton call: everything that is constant
+    across the call's iterations — LINEAR family stamp values (their
+    stamps are pure in (P, state, ctx) by the engine's linear-device
+    contract: newton_solve single-solves linear circuits), the gmin
+    diagonal, the drive-slot extension, and the static part of Z.
+
+    Returns (parts: {family: flat A vals}, Z_stat (n,), tail_vals)
+    mirroring assemble_sparse's value ordering exactly.  The ROW/COL
+    index pattern is deliberately NOT part of this cache — when drives
+    are absent it is lane-invariant and must stay unbatched so the
+    residual scatter keeps XLA's shared-index fast path (see
+    `_frozen_resid`)."""
+    n = ir.n_unknowns
+    x_ext = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    Z = jnp.zeros(n + 1, dtype)
+    parts = {}
+    for fam in ir.families:
+        if fam.mdef.nonlinear:
+            continue
+        key = fam.mdef.id_name
+        P = params[key]
+        st = states.get(key, {})
+        vp = x_ext[jnp.asarray(fam.pin_nodes)]
+        vb = x_ext[jnp.asarray(fam.br_idx)]
+
+        def one(Pr, vr, br, sr, _stamp=fam.mdef.stamp):
+            return _stamp(Pr, vr, br, sr, ctx)
+
+        a_vals, z_vals, _st2 = jax.vmap(one)(P, vp, vb, st)
+        msk = getattr(fam, "mask", None)
+        if msk is not None:
+            m = jnp.asarray(msk, dtype)
+            a_vals = a_vals * m[:, None]
+            if fam.z_rows.size:
+                z_vals = z_vals * m[:, None]
+        if fam.a_rows.size:
+            parts[key] = a_vals.astype(dtype).reshape(-1)
+        if fam.z_rows.size:
+            Z = Z.at[jnp.asarray(fam.z_rows)].add(z_vals.astype(dtype))
+    gmin = ctx.env.get("g_min", 0.0)
+    parts["__gmin__"] = jnp.full(ir.n_nodes, gmin, dtype)
+    tail_vals = jnp.zeros(0, dtype)
+    if ir.n_drive_slots:
+        k = ir.n_drive_slots
+        base = ir.n_nodes + ir.n_branches
+        drows = jnp.arange(base, base + k, dtype=jnp.int32)
+        if drives is None:
+            active = jnp.zeros(k, dtype)
+            dv = jnp.zeros(k, dtype)
+        else:
+            active = drives["active"].astype(dtype)
+            dv = drives["v"].astype(dtype)
+        tail_vals = jnp.concatenate([active, active, 1.0 - active])
+        Z = Z.at[drows].add(active * dv)
+    return parts, Z[:n], tail_vals
+
+
+def _frozen_pattern(ir: AnalogIR, drives, dtype):
+    """COO index pattern incl. the drive-slot extension.  Lane-invariant
+    when ``drives`` is None (the caller then keeps it unbatched)."""
+    n = ir.n_unknowns
+    s_rows, s_cols = _sparse_pattern(ir)
+    rows = jnp.asarray(s_rows)
+    cols = jnp.asarray(s_cols)
+    if ir.n_drive_slots:
+        k = ir.n_drive_slots
+        base = ir.n_nodes + ir.n_branches
+        drows = jnp.arange(base, base + k, dtype=jnp.int32)
+        if drives is None:
+            node = jnp.full(k, n, jnp.int32)
+        else:
+            node = jnp.where(drives["active"] > 0.5,
+                             drives["node"].astype(jnp.int32),
+                             jnp.int32(n))
+        rows = jnp.concatenate([rows, node, drows, drows])
+        cols = jnp.concatenate([cols, drows, node, drows])
+    return rows, cols
+
+
+def _frozen_resid_cached(ir: AnalogIR, params, x, states, ctx, dtype,
+                         rows, cols, cache):
+    """Per-lane per-iteration work with the static cache: re-stamp only
+    NONLINEAR families, splice their values into the cached pattern,
+    and accumulate the O(nnz) f64 residual."""
+    parts, Z_stat, tail_vals = cache
+    n = ir.n_unknowns
+    x_ext = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    Z = jnp.zeros(n + 1, dtype)
+    val_parts = []
+    new_states = {}
+    for fam in ir.families:
+        key = fam.mdef.id_name
+        if not fam.mdef.nonlinear:
+            if key in parts:
+                val_parts.append(parts[key])
+            new_states[key] = states.get(key, {})
+            continue
+        P = params[key]
+        st = states.get(key, {})
+        vp = x_ext[jnp.asarray(fam.pin_nodes)]
+        vb = x_ext[jnp.asarray(fam.br_idx)]
+
+        def one(Pr, vr, br, sr, _stamp=fam.mdef.stamp):
+            return _stamp(Pr, vr, br, sr, ctx)
+
+        a_vals, z_vals, st2 = jax.vmap(one)(P, vp, vb, st)
+        msk = getattr(fam, "mask", None)
+        if msk is not None:
+            m = jnp.asarray(msk, dtype)
+            a_vals = a_vals * m[:, None]
+            if fam.z_rows.size:
+                z_vals = z_vals * m[:, None]
+        if fam.a_rows.size:
+            val_parts.append(a_vals.astype(dtype).reshape(-1))
+        if fam.z_rows.size:
+            Z = Z.at[jnp.asarray(fam.z_rows)].add(z_vals.astype(dtype))
+        new_states[key] = st2
+    val_parts.append(parts["__gmin__"])
+    if tail_vals.shape[0]:
+        val_parts.append(tail_vals)
+    vals = jnp.concatenate(val_parts)
+    Zf = Z[:n] + Z_stat
+    ax = jnp.zeros(n + 1, dtype).at[rows].add(vals * x_ext[cols])
+    return Zf - ax[:n], new_states, vals, Zf
+
+
+def _frozen_factor(ir: AnalogIR, params, x, states, ctx, drives, dtype,
+                   npad: int):
+    """Per-lane stamps + equilibrated dense f32 target + the row-wise
+    f64 residual tolerances frozen alongside the factor."""
+    n = ir.n_unknowns
+    rows, cols, vals, Z, st2 = assemble_sparse(
+        ir, params, x, states, ctx, drives, dtype)
+    A32, rs, cs = _equil_dense32(rows, cols, vals, n, npad)
+    x_ext = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    sc = jnp.zeros(n + 1, dtype).at[rows].add(
+        jnp.abs(vals * x_ext[cols]))
+    ia_ = ctx.env["i_abstol"]
+    ir_ = ctx.env["i_reltol"]
+    tol = ia_ + ir_ * (sc[:n] + jnp.abs(Z))
+    return A32, rs, cs, tol
+
+
+def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
+                        ctx: StampCtx, drives_b=None, dtype=jnp.float64,
+                        fac=None, max_iter: int = MAX_NEWTON_ITER,
+                        stall: int = FROZEN_STALL):
+    """Frozen-preconditioner Newton (the round-4 TPU hot path).
+
+    Each iteration prices only O(nnz) f64 work (device stamps + sparse
+    residual) plus ONE batched f32 matvec against a stored explicit
+    inverse M^-1 = J(x_f)^-1 computed by `ops.gj.gj_inverse32` at
+    refactor points (first iteration without a valid carry, then every
+    ``stall`` iterations while unconverged).  Because the residual is
+    f64, the fixpoint is f64-accurate regardless of how stale M is —
+    stale factors only cost extra (cheap) iterations, exactly the
+    inexact-Newton / Shamanskii trade.  The factor carry ``fac``
+    survives across transient steps (threaded by transient_batched
+    solver='frozen'), so slowly-varying Jacobians refactor every few
+    steps instead of every Newton iteration — the reference refactors
+    SparseLU every iteration of every step (circuit.h:1484-1524).
+
+    Returns (x, states, ok, fac).
+    """
+    from ..ops.gj import gj_inverse32, gj_solve32, NB
+
+    dr_axes = None if drives_b is None else 0
+    B = x0_b.shape[0]
+    n = ir.n_unknowns
+    npad = max(NB, ((n + NB - 1) // NB) * NB)
+    if fac is None:
+        fac = frozen_fac_init(B, n, npad)
+
+    cache_b = jax.vmap(
+        lambda p, x, s, d: _frozen_cache(ir, p, x, s, ctx, d, dtype),
+        in_axes=(0, 0, 0, dr_axes))
+    cache = cache_b(params_b, x0_b, states0_b, drives_b)
+    if drives_b is None:
+        rows, cols = _frozen_pattern(ir, None, dtype)
+        pat_axes = (None, None)
+    else:
+        rows, cols = jax.vmap(
+            lambda d: _frozen_pattern(ir, d, dtype))(drives_b)
+        pat_axes = (0, 0)
+    resid_b = jax.vmap(
+        lambda p, x, s, r_, c_, c: _frozen_resid_cached(
+            ir, p, x, s, ctx, dtype, r_, c_, c),
+        in_axes=(0, 0, 0) + pat_axes + (0,))
+    ia_ = ctx.env["i_abstol"]
+    ir_ = ctx.env["i_reltol"]
+
+    def _tol1(v_, Z_, x_, r_, c_):
+        x_ext = jnp.concatenate([x_, jnp.zeros(1, x_.dtype)])
+        sc = jnp.zeros(n + 1, dtype).at[r_].add(
+            jnp.abs(v_ * x_ext[c_]))
+        return ia_ + ir_ * (sc[:n] + jnp.abs(Z_))
+
+    def _dense1(v_, rs_, cs_, r_, c_):
+        """Dense f32 scatter with GIVEN (stale) equilibration scales —
+        the Newton-Schulz refresh must build A in the SAME scaled basis
+        the stored inverse lives in."""
+        rsx = jnp.concatenate([rs_, jnp.ones(1, rs_.dtype)])
+        csx = jnp.concatenate([cs_, jnp.ones(1, cs_.dtype)])
+        v32 = (v_.astype(jnp.float32) * rsx[jnp.minimum(r_, n)]
+               * csx[jnp.minimum(c_, n)])
+        rows_p = jnp.where(r_ >= n, jnp.int32(npad), r_.astype(jnp.int32))
+        cols_p = jnp.where(c_ >= n, jnp.int32(npad), c_.astype(jnp.int32))
+        A32 = jnp.zeros((npad + 1, npad + 1), jnp.float32)
+        A32 = A32.at[rows_p, cols_p].add(v32)
+        pad_d = jnp.arange(n, npad)
+        A32 = A32.at[pad_d, pad_d].set(1.0)
+        return A32[:npad, :npad]
+
+    if drives_b is None:
+        equil_b = jax.vmap(lambda v: _equil_dense32(rows, cols, v, n,
+                                                    npad))
+        tol_b = jax.vmap(lambda v, Z, x: _tol1(v, Z, x, rows, cols),
+                         in_axes=(0, 0, 0))
+        dense_b = jax.vmap(
+            lambda v, rs_, cs_: _dense1(v, rs_, cs_, rows, cols),
+            in_axes=(0, 0, 0))
+    else:
+        equil_b = jax.vmap(
+            lambda r_, c_, v: _equil_dense32(r_, c_, v, n, npad),
+            in_axes=(0, 0, 0))
+        tol_b = jax.vmap(_tol1, in_axes=(0, 0, 0, 0, 0))
+        dense_b = jax.vmap(_dense1, in_axes=(0, 0, 0, 0, 0))
+    conv_fn = jax.vmap(lambda xo, xn: _converged(xo, xn, ir.n_nodes,
+                                                 ctx.env))
+    devconv_fn = jax.vmap(lambda p, x, s: _device_converged(ir, p, x, s))
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def _ns_refresh(Minv, A32, steps: int = 2):
+        """Newton-Schulz inverse refresh: X <- X(2I - A X), quadratic.
+        Two batched MXU GEMM pairs (~0.6 ms at B=256/n=256) replace the
+        ~7 ms serial re-inversion whenever the stale inverse is still
+        in the contraction basin (||I - A X|| < 1)."""
+        eye = jnp.eye(npad, dtype=jnp.float32)
+        for _ in range(steps):
+            AX = jax.lax.dot_general(
+                A32, Minv, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=hp)
+            Minv = jax.lax.dot_general(
+                Minv, 2.0 * eye - AX, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=hp)
+        return Minv
+
+    def cond(c):
+        _x, _st, it, conv, ok, *_f = c
+        return jnp.any((~conv) & ok) & (it < max_iter)
+
+    def body(c):
+        x, st, it, conv, ok, Minv, rs, cs, tol, valid, last, prev_rn = c
+        active = (~conv) & ok
+        r, st2, vals, Zf = resid_b(params_b, x, st, rows, cols, cache)
+        rn = jnp.max(jnp.abs(r), axis=1)
+        # refresh policy: an active lane's residual contraction worse
+        # than FROZEN_RATE (or the stall cadence) triggers a refresh.
+        # A refresh is normally the cheap Newton-Schulz GEMM pair on
+        # the stored inverse — valid only inside its contraction basin
+        # (||I - A X|| < 1, i.e. the residual still SHRANK) — while
+        # outright residual GROWTH forces the full serial re-inversion
+        # (fresh Newton).
+        grew = active & (rn > FROZEN_RATE * prev_rn)
+        need = (~valid) | (it - last >= jnp.int32(stall)) | \
+            jnp.any(grew)
+        # outright residual GROWTH = outside every stale/NS basin:
+        # run a fresh full-Newton iteration (direct solve, ~half an
+        # inversion) and invalidate the carry; the first
+        # converging-again iteration re-inverts once at burst exit
+        burst = jnp.any(active & (rn > prev_rn))
+        need_full = (~valid) & ~burst
+
+        def refac(_):
+            # reuse THIS iteration's stamped values — no second
+            # assembly pass for the factor
+            if drives_b is None:
+                A32, rs2, cs2 = equil_b(vals)
+            else:
+                A32, rs2, cs2 = equil_b(rows, cols, vals)
+            tol2 = tol_b(vals, Zf, x)
+            return gj_inverse32(A32), rs2, cs2, tol2, it
+
+        def refresh(_):
+            # stale-scaled dense rebuild + 2 Newton-Schulz steps
+            if drives_b is None:
+                A32 = dense_b(vals, rs, cs)
+            else:
+                A32 = dense_b(vals, rs, cs, rows, cols)
+            return _ns_refresh(Minv, A32), rs, cs, tol, it
+
+        def keep(_):
+            return Minv, rs, cs, tol, last
+
+        Minv2, rs2, cs2, tol2, last2 = jax.lax.cond(
+            need_full, refac,
+            lambda _: jax.lax.cond(need & ~burst, refresh, keep, 0), 0)
+        # row-wise f64 residual criterion (KCL): the delta-x rule alone
+        # is unsafe for inexact Newton — a diverged stale-factor step
+        # inflates |x| and with it the relative tolerance
+        resid_ok = jnp.all(jnp.abs(r) <= tol2, axis=1)
+
+        def delta_solve(_):
+            # burst iteration: fresh Jacobian, direct factor-solve
+            if drives_b is None:
+                A32, rs2, cs2 = equil_b(vals)
+            else:
+                A32, rs2, cs2 = equil_b(rows, cols, vals)
+            rr = jnp.zeros((B, npad), jnp.float32).at[:, :n].set(
+                (r * rs2.astype(dtype)).astype(jnp.float32))
+            d = gj_solve32(A32, rr)
+            return d[:, :n].astype(dtype) * cs2.astype(dtype)
+
+        def delta_apply(_):
+            rr = jnp.zeros((B, npad), jnp.float32).at[:, :n].set(
+                (r * rs2.astype(dtype)).astype(jnp.float32))
+            d32 = jnp.einsum("bij,bj->bi", Minv2, rr,
+                             precision=jax.lax.Precision.HIGHEST)
+            return d32[:, :n].astype(dtype) * cs2.astype(dtype)
+
+        delta = jax.lax.cond(burst, delta_solve, delta_apply, 0)
+        x_new = x + delta
+        ok_new = jnp.all(jnp.isfinite(x_new), axis=1)
+        # fresh-Jacobian iterations use the classical delta-x rule (the
+        # delta solver's criterion); stale iterations additionally
+        # require the f64 residual gate
+        conv_new = conv_fn(x, x_new) & ok_new & (resid_ok | burst)
+        conv_new = conv_new & devconv_fn(params_b, x_new, st2)
+        take = active & ok_new
+        x_next = jnp.where(take[:, None], x_new, x)
+
+        def merge(a, b):
+            m = take.reshape((B,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, b, a)
+
+        st_next = jax.tree_util.tree_map(merge, st, st2)
+        conv = jnp.where(active, conv_new, conv)
+        ok = ok & (ok_new | ~active)
+        return (x_next, st_next, it + 1, conv, ok,
+                Minv2, rs2, cs2, tol2, ~burst, last2,
+                jnp.where(active, rn, prev_rn))
+
+    init = (x0_b, states0_b, jnp.int32(0), jnp.zeros(B, bool),
+            jnp.ones(B, bool)) + tuple(fac[:4]) + (
+                jnp.asarray(fac[4], bool), jnp.int32(0),
+                jnp.full(B, jnp.inf, dtype))
+    out = jax.lax.while_loop(cond, body, init)
+    x, st, _it, conv, ok, Minv, rs, cs, tol, valid, _last, _rn = out
+    return x, st, conv & ok, (Minv, rs, cs, tol, valid)
+
+
 def _newton_loop_batched(ir, params_b, x0_b, states0_b, ctx, solve_once,
                          max_iter, linear_iters: int):
     """Shared masked batched Newton outer loop."""
@@ -460,6 +865,36 @@ def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
     """
     step_update_b = jax.vmap(step_update_all,
                              in_axes=(None, 0, 0, 0, None, None))
+
+    if solver == "frozen":
+        # frozen-preconditioner Newton with the factor carry threaded
+        # across steps: slowly-varying Jacobians refactor every few
+        # STEPS, not every iteration (see newton_solve_frozen)
+        from ..ops.gj import NB
+        B = x0_b.shape[0]
+        n = ir.n_unknowns
+        npad = max(NB, ((n + NB - 1) // NB) * NB)
+
+        def step_f(carry, i):
+            x, x_prev, st, ok_all, fac = carry
+            t = t0 + (i + 1.0) * dt
+            st = step_update_b(ir, params_b, x, st, dt, t)
+            ctx = StampCtx(mode="tr", t=t, dt=dt, env=env)
+            # linear predictor: extrapolated warm start cuts the Newton
+            # iteration count on smooth waveforms (fixed-step valid)
+            x_guess = x + (x - x_prev)
+            x_new, st2, ok, fac = newton_solve_frozen(
+                ir, params_b, x_guess, st, ctx, drives_b, dtype,
+                fac=fac)
+            x_keep = jnp.where(ok[:, None], x_new, x)
+            out = x_keep if keep_trace else 0
+            return (x_keep, x, st2, ok_all & ok, fac), out
+
+        idx = jnp.arange(num_steps, dtype=dtype)
+        init = (x0_b, x0_b, states0_b, jnp.ones(B, bool),
+                frozen_fac_init(B, n, npad, dtype))
+        (x, _xp, st, ok, _fac), xs = jax.lax.scan(step_f, init, idx)
+        return x, st, ok, (xs if keep_trace else x)
 
     def step(carry, i):
         x, st, ok_all = carry

@@ -277,6 +277,140 @@ def _gj_core_T(ablocks, rhs, n: int, nb: int = NB, mb: int = MB):
     return jnp.concatenate(xs, axis=1)
 
 
+def _gj_core_T_multi(ablocks, rhs, n: int, nb: int = NB, mb: int = MB):
+    """`_gj_core_T` generalized to an (B, m, n) RHS block; returns the
+    full (B, n, m) solution matrix.  With RHS = I this yields A^-1 —
+    the frozen-preconditioner Newton path (engine/analog.py 'frozen')
+    factors once into an explicit batched inverse so every subsequent
+    iteration is a single MXU matvec."""
+    ablocks = list(ablocks)
+    B = ablocks[0].shape[0]
+    dt = ablocks[0].dtype
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    rows_lane = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, mb, 1), 1)
+    krow = jnp.full((B, n), -1, jnp.int32)
+    pivd = jnp.ones((B, n), dt)
+    n_ablk = n // nb
+    nmicro = nb // mb
+
+    def bdot(x, y, cx, cy):
+        return jax.lax.dot_general(
+            x, y, (((cx,), (cy,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=hp)
+
+    for kb in range(n_ablk):
+        k0 = kb * nb
+        done = []
+        for mi in range(nmicro):
+            c0 = ablocks[kb][:, mi * mb:(mi + 1) * mb, :]
+            for ot_i, g_i in done:
+                sel = bdot(c0, ot_i, 2, 2)
+                c0 = c0 - bdot(sel, g_i, 2, 1).astype(dt)
+
+            def step(j2, carry, _kbase=k0 + mi * mb):
+                c, krow, pivd = carry
+                smask = sub_iota == j2
+                col = jnp.sum(jnp.where(smask, c, f32(0)), axis=1,
+                              dtype=f32)
+                m = jnp.where(krow < 0, jnp.abs(col), f32(-3e38))
+                mmax = jnp.max(m, axis=1, keepdims=True)
+                cand = jnp.where(m == mmax, rows_lane, jnp.int32(2**30))
+                r = jnp.min(cand, axis=1, keepdims=True)
+                onehot = (rows_lane == r).astype(dt)
+                pivval = jnp.sum(onehot * col, axis=1, dtype=f32)
+                pivrow = jnp.sum(c * onehot[:, None, :], axis=2,
+                                 dtype=f32)
+                f = col / pivval[:, None] * (f32(1) - onehot)
+                c = c - pivrow[:, :, None] * f[:, None, :]
+                c = jnp.where(smask, f[:, None, :], c)
+                krow = jnp.where(onehot > f32(0.5),
+                                 jnp.int32(_kbase) + j2, krow)
+                pivd = pivd + onehot * (pivval[:, None] - f32(1))
+                return c, krow, pivd
+
+            c0, krow, pivd = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(mb), step, (c0, krow, pivd))
+            ks = (k0 + mi * mb) + jax.lax.broadcasted_iota(
+                jnp.int32, (1, mb, 1), 1)
+            ot_i = (ks == krow[:, None, :]).astype(dt)
+            done.append((ot_i, c0))
+
+        def apply_panel(t):
+            for ot_i, g_i in done:
+                sel = bdot(t, ot_i, 2, 2)
+                t = t - bdot(sel, g_i, 2, 1).astype(dt)
+            return t
+
+        for tb in range(kb + 1, n_ablk):
+            ablocks[tb] = apply_panel(ablocks[tb])
+        rhs = apply_panel(rhs)
+
+    y = rhs / pivd[:, None, :]                            # (B, m, n)
+    xs = []
+    for kb in range(n_ablk):
+        ks = kb * nb + jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+        ot = (ks == krow[:, None, :]).astype(dt)
+        xs.append(bdot(ot, y, 2, 2).astype(dt))           # (B, nb, m)
+    return jnp.concatenate(xs, axis=1)                    # (B, n, m)
+
+
+@functools.partial(jax.jit, static_argnames=("bt",))
+def _gj_inv_pallas(A32, bt: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = A32.shape
+    mb = int(os.environ.get("PE_TPU_GJ_MB", str(MB)))
+
+    def kernel(a_ref, x_ref):
+        At = jnp.swapaxes(a_ref[...], 1, 2)
+        blocks = [At[:, k0:k0 + NB, :] for k0 in range(0, n, NB)]
+        # identity via int32 iota (jnp.eye builds int64 iotas under
+        # x64 mode, which Mosaic cannot lower)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+        eye = jnp.broadcast_to((ri == ci).astype(jnp.float32),
+                               (At.shape[0], n, n))
+        x_ref[...] = _gj_core_T_multi(blocks, eye, n, mb=mb)
+
+    z = lambda i: jnp.zeros((), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[pl.BlockSpec((bt, n, n), lambda i: (i, z(i), z(i)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bt, n, n), lambda i: (i, z(i), z(i)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * n * n * n, transcendentals=0,
+            bytes_accessed=2 * B * n * n * 4),
+    )(A32)
+
+
+def gj_inverse32(A32):
+    """Batched f32 inverse via one-hot-pivot GJ; A (B, n, n), n % 128 == 0.
+
+    Singular lanes yield NaN/Inf entries (callers residual-check)."""
+    B, n, _ = A32.shape
+    if _backend() == "pallas":
+        cap_mb = int(os.environ.get("PE_TPU_GJ_VMEM_MB", "16"))
+        slab = 3 * n * n * 4            # A + I/RHS + out
+        bt = max(1, (cap_mb << 20) // max(slab, 1))
+        bt = 1 << (bt.bit_length() - 1)
+        while B % bt:
+            bt //= 2
+        return _gj_inv_pallas(A32, max(bt, 1))
+    At = jnp.swapaxes(A32, 1, 2)
+    blocks = [At[:, k0:k0 + NB, :] for k0 in range(0, n, NB)]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (B, n, n))
+    return _gj_core_T_multi(blocks, eye, n)
+
+
 def _to_blocks_T(A32, b32, nb: int = NB, mb: int = MB):
     """Transposed block layout for `_gj_core_T`."""
     B, n, _ = A32.shape

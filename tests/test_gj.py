@@ -191,3 +191,42 @@ def test_linear_circuit_delta_path():
             analog.initial_state(ir)), ctx, solver="delta")
     assert bool(ok.all())
     assert np.allclose(np.asarray(x[:, 1]), 2.0, atol=1e-9)
+
+
+def test_gj_inverse_matches_solve():
+    """gj_inverse32 (the frozen-Newton factor) reproduces per-lane
+    numpy inverses to f32 accuracy on well-conditioned batches."""
+    import numpy as np
+    import jax.numpy as jnp
+    from phy_engine_tpu.ops.gj import gj_inverse32
+
+    rng = np.random.default_rng(3)
+    B, n = 4, 256
+    A = rng.standard_normal((B, n, n)).astype(np.float32)
+    A += np.eye(n, dtype=np.float32) * 30.0
+    Minv = np.asarray(gj_inverse32(jnp.asarray(A)))
+    for b in range(B):
+        err = np.abs(Minv[b] @ A[b] - np.eye(n)).max()
+        assert err < 5e-4, (b, err)
+
+
+def test_gj_inverse_pivots_structural_zero_diag():
+    """MNA voltage-source rows have zero diagonals; the one-hot pivot
+    search must still factor them (no-pivot schemes die here)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from phy_engine_tpu.ops.gj import gj_inverse32
+
+    rng = np.random.default_rng(4)
+    n = 128
+    A = rng.standard_normal((1, n, n)).astype(np.float32)
+    A += np.eye(n, dtype=np.float32) * 20.0
+    # voltage-source border: zero diagonal at the last row
+    A[0, n - 1, :] = 0.0
+    A[0, :, n - 1] = 0.0
+    A[0, n - 1, 0] = 1.0
+    A[0, 0, n - 1] = 1.0
+    A[0, n - 1, n - 1] = 0.0
+    Minv = np.asarray(gj_inverse32(jnp.asarray(A)))
+    err = np.abs(Minv[0] @ A[0] - np.eye(n)).max()
+    assert err < 5e-4, err

@@ -204,3 +204,35 @@ def test_tr_adaptive_nonlinear_diode():
     assert c2.analyze()
     assert np.isclose(c1.node_voltage(n1).real,
                       c2.node_voltage(n2).real, atol=0.15)
+
+
+def test_frozen_newton_matches_delta_and_gauss():
+    """solver='frozen' (frozen-preconditioner Newton with the factor
+    carry threaded across TR steps + f64 KCL-residual convergence gate)
+    reproduces the delta and gauss trajectories to <=1e-6 rel on the
+    bench-family nonlinear diode ladder."""
+    import numpy as np
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.parallel.batch import (batch_params, batch_state,
+                                               batch_x)
+
+    ir = g._build_diode_ladder(63, 100.0, 1e-9)
+    env = g._env()
+    B, STEPS = 6, 25
+    x_b = batch_x(ir, B)
+    st_b = batch_state(ir, B)
+    pb = batch_params(ir, B, jitter={"R": {"r": 0.05}})
+    t0 = jnp.asarray(0.0, jnp.float64)
+    dt = jnp.asarray(5e-8, jnp.float64)
+    out = {}
+    for solver in ("delta", "frozen"):
+        x, st, ok, tr = analog.transient_batched(
+            ir, pb, x_b, st_b, env, t0, dt, STEPS, solver=solver,
+            keep_trace=True)
+        assert bool(ok.all()), solver
+        out[solver] = np.asarray(tr)
+    scale = np.abs(out["delta"]).max()
+    diff = np.abs(out["delta"] - out["frozen"]).max()
+    assert diff / scale < 1e-6, diff / scale
