@@ -15,9 +15,16 @@ family.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
-from . import api
+# Embedders call the dll per-tick from a game loop (dll_api.h:238-252);
+# the host C++ sweep engine is the latency-optimal backend for that
+# pattern (~4x faster per digital_clk than per-tick XLA dispatch on
+# small circuits, bench_capi.py).  Opt-out by exporting PE_TPU_DIGITAL.
+os.environ.setdefault("PE_TPU_DIGITAL", "native")
+
+from . import api  # noqa: E402
 
 
 def last_api_version() -> int:

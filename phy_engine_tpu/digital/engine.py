@@ -719,6 +719,14 @@ class DigitalEngine:
 
     def _forced_arrays(self):
         """Pack INPUT/INPUT8 attribute values into forced-signal arrays."""
+        fs, fv, fu = self._forced_arrays_np()
+        return jnp.asarray(fs), jnp.asarray(fv), jnp.asarray(fu)
+
+    def _forced_arrays_np(self):
+        """Numpy variant of `_forced_arrays` — the per-tick native path
+        must stay off the device (each jnp.asarray is a ~100us
+        device_put, dominating small-circuit tick latency through the
+        C ABI)."""
         sigs, vs, us = [], [], []
         for inst, out_sigs in self.ir.inputs:
             if inst.mdef.digital_op == "INPUT":
@@ -735,9 +743,8 @@ class DigitalEngine:
                     sigs.append(s)
                     vs.append(FULL if (val >> bit) & 1 else 0)
                     us.append(0)
-        return (jnp.asarray(np.array(sigs, np.int32)),
-                jnp.asarray(np.array(vs, np.uint32)),
-                jnp.asarray(np.array(us, np.uint32)))
+        return (np.array(sigs, np.int32), np.array(vs, np.uint32),
+                np.array(us, np.uint32))
 
     def _samp_map(self):
         """sig -> (analog node index, ll, hl) for threshold-sampled nets."""
@@ -797,10 +804,8 @@ class DigitalEngine:
         if self.ir is None:
             return None
         if self._native_tick_ok():
-            fs, fv, fu = self._forced_arrays()
-            self._run_ticks_native(np.asarray(fs),
-                                   np.asarray(fv)[None],
-                                   np.asarray(fu)[None])
+            fs, fv, fu = self._forced_arrays_np()
+            self._run_ticks_native(fs, fv[None], fu[None])
             return None
         fs, fv, fu = self._forced_arrays()
         us = self._unsteady_forced()
@@ -926,11 +931,13 @@ class DigitalEngine:
         HV, HU = plan.run(st, np.asarray(forced_sig, np.int32),
                           np.asarray(FV, np.uint32),
                           np.asarray(FU, np.uint32))
-        self.sv = jnp.asarray(
-            (st[:plan.S] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-        self.su = jnp.asarray(
-            (st[:plan.S] >> np.uint64(32)).astype(np.uint32))
-        self.seq_state = plan.commit_seq_state(st, self.seq_state)
+        # keep planes/seq-state as numpy: consumers (jit args, turbo
+        # pack, persistence) accept either, and device_put per tick
+        # would dominate the C-ABI per-tick latency
+        self.sv = (st[:plan.S] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        self.su = (st[:plan.S] >> np.uint64(32)).astype(np.uint32)
+        self.seq_state = plan.commit_seq_state(st, self.seq_state,
+                                               as_numpy=True)
         self._writeback()
         return (HV, HU)
 

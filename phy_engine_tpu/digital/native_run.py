@@ -186,15 +186,19 @@ class NativePlan:
                            << np.uint64(32)))
         return st
 
-    def commit_seq_state(self, st: np.ndarray, seq_state: Dict) -> Dict:
+    def commit_seq_state(self, st: np.ndarray, seq_state: Dict,
+                         as_numpy: bool = False) -> Dict:
+        """``as_numpy``: the per-tick C-ABI path keeps leaves as numpy
+        (consumers accept either; device_put per tick is ~100us)."""
         import jax.numpy as jnp
+        conv = np.asarray if as_numpy else jnp.asarray
         v = (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         u = (st >> np.uint64(32)).astype(np.uint32)
         out = dict(seq_state)
         for op, q, lc in self.ff_meta:
-            out[op] = {"q_v": jnp.asarray(v[q]), "q_u": jnp.asarray(u[q]),
-                       "lc_v": jnp.asarray(v[lc]),
-                       "lc_u": jnp.asarray(u[lc])}
+            out[op] = {"q_v": conv(v[q]), "q_u": conv(u[q]),
+                       "lc_v": conv(v[lc]),
+                       "lc_u": conv(u[lc])}
         return out
 
     def _narrow(self, varying: np.ndarray):

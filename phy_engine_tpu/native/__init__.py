@@ -125,54 +125,89 @@ def get_digital_lib():
         return _dlib
 
 
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_U32P = ctypes.POINTER(ctypes.c_uint32)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+
+
+def _pin_i32(keep, a):
+    a = np.ascontiguousarray(a, np.int32)
+    keep.append(a)
+    return a.ctypes.data_as(_I32P)
+
+
+def _plan_static_args(plan):
+    """Per-plan cached static argument tail: converted int32 tables +
+    their ctypes pointers (pinned on the plan).  Re-marshalling these
+    36 arrays per call dominated per-tick C-ABI latency."""
+    cached = getattr(plan, "_cargs", None)
+    if cached is not None:
+        return cached
+    keep = []
+    ip = lambda a: _pin_i32(keep, a)
+    c_op, c_a, c_b, c_o, _ = plan.cone
+    f_op, f_a, f_b, f_o, _ = plan.full
+    cy_op, cy_a, cy_b, cy_o = plan.cyc
+    args = (
+        (ip(c_op), ip(c_a), ip(c_b), ip(c_o), ip(plan.cone_runs),
+         np.int32(len(plan.cone_runs) - 1)),
+        (ip(f_op), ip(f_a), ip(f_b), ip(f_o), ip(plan.full_runs),
+         np.int32(len(plan.full_runs) - 1)),
+        (ip(cy_op), ip(cy_a), ip(cy_b), ip(cy_o),
+         ip(plan.cyc_seg), np.int32(len(plan.cyc_seg) - 1)),
+        (ip(plan.ff_d), ip(plan.ff_c), ip(plan.ff_r), ip(plan.ff_q),
+         ip(plan.ff_lc), ip(plan.ff_ren),
+         ip(plan.seg), np.int32(len(plan.seg) - 1)),
+    )
+    plan._cargs = (args, keep)
+    return plan._cargs
+
+
 def digital_run(plan, st, narrow, fsig, FV, FU, HV, HU) -> None:
     """One native call running len(FV) ticks of a NativePlan.
 
     ``st``: uint64[K] packed state (v | u<<32), updated in place;
     ``narrow``: (op, a, b, o, runs) cone tables for ticks 1..T-1."""
     lib = get_digital_lib()
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    u32p = ctypes.POINTER(ctypes.c_uint32)
-    u64p = ctypes.POINTER(ctypes.c_uint64)
+    (cone_a, full_a, cyc_a, ff_a), _pins = _plan_static_args(plan)
 
-    keep = []                     # pin converted temporaries until the call
+    # narrow tables come from plan._narrow_cache (or are plan.full) —
+    # cache their pointers keyed by the table object identity
+    ncache = getattr(plan, "_cnarrow", None)
+    if ncache is None:
+        ncache = plan._cnarrow = {}
+    nkey = id(narrow[1])
+    nargs = ncache.get(nkey)
+    if nargs is None:
+        keep = []
+        ip = lambda a: _pin_i32(keep, a)
+        n_op, n_a, n_b, n_o, n_runs = narrow
+        nargs = ncache[nkey] = (
+            (ip(n_op), ip(n_a), ip(n_b), ip(n_o), ip(n_runs),
+             np.int32(len(n_runs) - 1)), keep)
+    keep = []                     # pin per-call temporaries
+    ip = lambda a: _pin_i32(keep, a)
 
-    def ip(a):
-        a = np.ascontiguousarray(a, np.int32)
-        keep.append(a)
-        return a.ctypes.data_as(i32p)
-
-    def up(a):
-        return a.ctypes.data_as(u32p)
-
-    scratch = np.zeros(max(1, 6 * plan.max_seg), np.uint64)
-    c_op, c_a, c_b, c_o, _ = plan.cone
-    c_runs = plan.cone_runs
-    n_op, n_a, n_b, n_o, n_runs = narrow
-    f_op, f_a, f_b, f_o, _ = plan.full
-    f_runs = plan.full_runs
-    cy_op, cy_a, cy_b, cy_o = plan.cyc
     fix = int(getattr(plan, "fix_budget", 0))
-    snap = np.zeros(plan.K if fix else 1, np.uint64)
-    cy_tmp = np.zeros(max(1, plan.max_cyc_seg), np.uint64)
+    bufs = getattr(plan, "_cbufs", None)
+    if bufs is None:
+        # native-side scratch: contents are overwritten before use
+        # each call, so reusing the buffers across calls is safe
+        bufs = plan._cbufs = (
+            np.zeros(max(1, 6 * plan.max_seg), np.uint64),
+            np.zeros(plan.K if fix else 1, np.uint64),
+            np.zeros(max(1, plan.max_cyc_seg), np.uint64))
+    scratch, snap, cy_tmp = bufs
     lib.pe_digital_run(
         np.int32(plan.K), np.int32(plan.S), np.int32(FV.shape[0]),
-        st.ctypes.data_as(u64p),
-        ip(c_op), ip(c_a), ip(c_b), ip(c_o), ip(c_runs),
-        np.int32(len(c_runs) - 1),
-        ip(n_op), ip(n_a), ip(n_b), ip(n_o), ip(n_runs),
-        np.int32(len(n_runs) - 1),
-        ip(f_op), ip(f_a), ip(f_b), ip(f_o), ip(f_runs),
-        np.int32(len(f_runs) - 1),
-        ip(cy_op), ip(cy_a), ip(cy_b), ip(cy_o),
-        ip(plan.cyc_seg), np.int32(len(plan.cyc_seg) - 1),
-        np.int32(fix),
-        ip(plan.ff_d), ip(plan.ff_c), ip(plan.ff_r), ip(plan.ff_q),
-        ip(plan.ff_lc), ip(plan.ff_ren),
-        ip(plan.seg), np.int32(len(plan.seg) - 1),
-        ip(fsig), np.int32(FV.shape[1]), up(FV), up(FU),
-        up(HV), up(HU), scratch.ctypes.data_as(u64p),
-        snap.ctypes.data_as(u64p), cy_tmp.ctypes.data_as(u64p))
+        st.ctypes.data_as(_U64P),
+        *cone_a, *nargs[0], *full_a, *cyc_a,
+        np.int32(fix), *ff_a,
+        ip(fsig), np.int32(FV.shape[1]),
+        FV.ctypes.data_as(_U32P), FU.ctypes.data_as(_U32P),
+        HV.ctypes.data_as(_U32P), HU.ctypes.data_as(_U32P),
+        scratch.ctypes.data_as(_U64P),
+        snap.ctypes.data_as(_U64P), cy_tmp.ctypes.data_as(_U64P))
 
 
 _CSRC = os.path.join(_DIR, "pe_capi.c")

@@ -2,9 +2,10 @@
 
 Runs the reference's test/0007.verilog + test/0015.verilog_compile
 sources (extracted as data) through compile -> elaborate -> behavioral
-simulate -> synthesize -> gate-level cross-check.  Gate: >= 90% of the
-corpus passing (the harness itself reports per-case detail when run
-standalone: ``python tests/conformance.py --verbose``).
+simulate -> synthesize -> gate-level cross-check.  Gate: the EXACT
+pass set is pinned — every corpus case must pass (104/104 record,
+round 3); the harness reports per-case detail when run standalone:
+``python tests/conformance.py --verbose``.
 """
 
 import os
@@ -33,10 +34,8 @@ def test_corpus_pass_rate():
             passed += 1
         else:
             fails.append((name, err))
-    rate = passed / max(1, total)
     detail = "\n".join(f"  {n}: {e}" for n, e in fails)
-    assert rate >= 0.90, (f"corpus pass rate {rate:.1%} "
-                          f"({passed}/{total})\n{detail}")
-    # track the current level so regressions are visible, not silent
-    assert rate >= 0.99, (f"pass rate regressed to {rate:.1%}"
-                          f" ({passed}/{total})\n{detail}")
+    # the record is 104/104 (round 3) — pin the EXACT set: any single
+    # case regressing fails, and new corpus cases must pass too
+    assert not fails, (f"conformance regression "
+                       f"({passed}/{total}):\n{detail}")
