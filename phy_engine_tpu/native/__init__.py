@@ -19,9 +19,16 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "pe_tt.cpp")
-_LIB = os.path.join(_DIR, "libpe_tt.so")
 _DSRC = os.path.join(_DIR, "pe_digital.cpp")
-_DLIB = os.path.join(_DIR, "libpe_digital.so")
+# ASan/UBSan build variant (tools/sanitize_native.py): separate .so
+# names so sanitized and plain builds never collide in the cache.
+# The driving process must LD_PRELOAD libasan/libubsan.
+_SAN = bool(os.environ.get("PE_TPU_NATIVE_SANITIZE"))
+_SANFLAGS = (["-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+              "-g", "-fno-omit-frame-pointer"] if _SAN else [])
+_suffix = "_asan" if _SAN else ""
+_LIB = os.path.join(_DIR, f"libpe_tt{_suffix}.so")
+_DLIB = os.path.join(_DIR, f"libpe_digital{_suffix}.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -34,7 +41,7 @@ OP_LEAF, OP_NOT, OP_AND, OP_OR, OP_XOR, OP_CONST0, OP_CONST1 = range(7)
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-           "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+           "-fPIC", "-std=c++17"] + _SANFLAGS + ["-o", _LIB, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -98,8 +105,8 @@ def get_digital_lib():
                      os.path.getmtime(_DLIB) >= os.path.getmtime(_DSRC))
             if not fresh:
                 cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
-                       "-shared", "-fPIC", "-std=c++17",
-                       "-o", _DLIB, _DSRC]
+                       "-shared", "-fPIC", "-std=c++17"] + _SANFLAGS + \
+                      ["-o", _DLIB, _DSRC]
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=120)
             lib = ctypes.CDLL(_DLIB)

@@ -22,7 +22,10 @@ from .ast import AlwaysBlock, FunctionDef, TaskDef
 from .parser import CompileError
 from .elaborate import InstanceState, Signal
 
-MAX_LOOP = 1 << 20          # runaway-loop guard (reference uses budgets)
+MAX_LOOP = 1 << 16          # runaway-loop guard (reference uses budgets);
+                            # fuzz finding: at 1<<20 an unbounded while in
+                            # an always block spins >10s of interpreted
+                            # work before tripping — an effective hang
 MAX_DELTA = 1024            # comb settle budget per tick
 
 

@@ -95,6 +95,24 @@ def test_fuzz_token_soup():
         _try_pipeline(src)
 
 
+def test_fuzz_corpus_replay():
+    """Replay the checked-in fuzz corpus (tools/fuzz_verilog.py):
+    regressions/ holds minimized past crashers (must now be handled),
+    interesting/ holds novel-signature mutants."""
+    import os
+    base = os.path.join(os.path.dirname(__file__), "fuzz_corpus")
+    n = 0
+    for sub in ("regressions", "interesting"):
+        d = os.path.join(base, sub)
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            src = open(os.path.join(d, fn)).read()
+            _try_pipeline(src)
+            n += 1
+    assert n > 0, "fuzz corpus missing"
+
+
 def test_fuzz_pathological_inputs():
     cases = [
         "",
