@@ -432,6 +432,10 @@ def newton_solve_batched(ir: AnalogIR, params_b, x0_b, states0_b,
 FROZEN_STALL = 16    # frozen-preconditioner refactor cadence (iters)
 FROZEN_RATE = 0.85   # refactor when residual contraction is worse
                      # (one refactor costs ~13 stale iterations)
+FROZEN_GROW_FRAC = 0.25   # refresh when > this fraction of active
+                          # lanes contracts worse than FROZEN_RATE
+FROZEN_BAD_FRAC = 0.1     # escalate refresh -> full refactor when >
+                          # this fraction sits outside the NS basin
 
 
 def frozen_fac_init(B: int, n: int, npad: int, dtype=jnp.float64):
@@ -605,7 +609,8 @@ def _frozen_factor(ir: AnalogIR, params, x, states, ctx, drives, dtype,
 def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
                         ctx: StampCtx, drives_b=None, dtype=jnp.float64,
                         fac=None, max_iter: int = MAX_NEWTON_ITER,
-                        stall: int = FROZEN_STALL):
+                        stall: int = FROZEN_STALL,
+                        return_iters: bool = False):
     """Frozen-preconditioner Newton (the round-4 TPU hot path).
 
     Each iteration prices only O(nnz) f64 work (device stamps + sparse
@@ -698,14 +703,23 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         ~7 ms serial re-inversion whenever the stale inverse is still
         in the contraction basin (||I - A X|| < 1)."""
         eye = jnp.eye(npad, dtype=jnp.float32)
+        X = Minv
+        e = None
         for _ in range(steps):
             AX = jax.lax.dot_general(
-                A32, Minv, (((2,), (1,)), ((0,), (0,))),
+                A32, X, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=hp)
-            Minv = jax.lax.dot_general(
-                Minv, 2.0 * eye - AX, (((2,), (1,)), ((0,), (0,))),
+            if e is None:
+                # per-lane basin guard: ||I - A X||_inf >= 1 means NS
+                # would square a divergent error (measured: corrupts
+                # the factor at diode switching) — those lanes keep
+                # the old inverse; the caller escalates to a full
+                # refactor when too many lanes are outside the basin
+                e = jnp.max(jnp.sum(jnp.abs(eye - AX), axis=2), axis=1)
+            X = jax.lax.dot_general(
+                X, 2.0 * eye - AX, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=hp)
-        return Minv
+        return jnp.where((e < 0.9)[:, None, None], X, Minv), e
 
     def cond(c):
         _x, _st, it, conv, ok, *_f = c
@@ -724,8 +738,17 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         # outright residual GROWTH forces the full serial re-inversion
         # (fresh Newton).
         grew = active & (rn > FROZEN_RATE * prev_rn)
-        need = (~valid) | (it - last >= jnp.int32(stall)) | \
-            jnp.any(grew)
+        n_act = jnp.maximum(jnp.sum(active), 1)
+        # population trigger, not any-lane: with hundreds of MC lanes
+        # one straggler would otherwise fire a refresh every iteration
+        frac_grew = jnp.sum(grew) / n_act
+        # per-step hygiene: always NS-refresh on entry with a carried
+        # factor — the Jacobian moved a whole time step; paying the
+        # GEMM pair up front beats rediscovering staleness two (f64
+        # stamp) iterations later
+        need = (~valid) | (valid & (it == 0)) | \
+            (it - last >= jnp.int32(stall)) | \
+            (frac_grew > FROZEN_GROW_FRAC)
         # outright residual GROWTH = outside every stale/NS basin:
         # run a fresh full-Newton iteration (direct solve, ~half an
         # inversion) and invalidate the carry; the first
@@ -744,12 +767,20 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
             return gj_inverse32(A32), rs2, cs2, tol2, it
 
         def refresh(_):
-            # stale-scaled dense rebuild + 2 Newton-Schulz steps
+            # stale-scaled dense rebuild + 2 guarded Newton-Schulz
+            # steps; when too many active lanes sit OUTSIDE the NS
+            # basin (||I - A X||_inf >= 0.9 — the Jacobian moved a lot,
+            # e.g. diode switching), escalate to the full refactor:
+            # one inversion beats ~10 slow-contracting stale iterations
             if drives_b is None:
                 A32 = dense_b(vals, rs, cs)
             else:
                 A32 = dense_b(vals, rs, cs, rows, cols)
-            return _ns_refresh(Minv, A32), rs, cs, tol, it
+            X2, e = _ns_refresh(Minv, A32)
+            frac_bad = jnp.sum((e >= 0.9) & active) / n_act
+            return jax.lax.cond(
+                frac_bad > FROZEN_BAD_FRAC, refac,
+                lambda _: (X2, rs, cs, tol, it), 0)
 
         def keep(_):
             return Minv, rs, cs, tol, last
@@ -808,7 +839,10 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
                 jnp.full(B, jnp.inf, dtype))
     out = jax.lax.while_loop(cond, body, init)
     x, st, _it, conv, ok, Minv, rs, cs, tol, valid, _last, _rn = out
-    return x, st, conv & ok, (Minv, rs, cs, tol, valid)
+    fac_out = (Minv, rs, cs, tol, valid)
+    if return_iters:
+        return x, st, conv & ok, fac_out, _it
+    return x, st, conv & ok, fac_out
 
 
 def _newton_loop_batched(ir, params_b, x0_b, states0_b, ctx, solve_once,
@@ -876,24 +910,26 @@ def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
         npad = max(NB, ((n + NB - 1) // NB) * NB)
 
         def step_f(carry, i):
-            x, x_prev, st, ok_all, fac = carry
+            x, st, ok_all, fac = carry
             t = t0 + (i + 1.0) * dt
             st = step_update_b(ir, params_b, x, st, dt, t)
             ctx = StampCtx(mode="tr", t=t, dt=dt, env=env)
-            # linear predictor: extrapolated warm start cuts the Newton
-            # iteration count on smooth waveforms (fixed-step valid)
-            x_guess = x + (x - x_prev)
+            # warm start = previous solution, NO extrapolation: a
+            # linear predictor overshoots exponential-device knees
+            # into the vlimit walk (measured: mean Newton iterations
+            # 5.5 -> 4.4 and the per-step spikes 15-20 -> 6-10 on the
+            # diode-ladder bench when extrapolation is dropped)
             x_new, st2, ok, fac = newton_solve_frozen(
-                ir, params_b, x_guess, st, ctx, drives_b, dtype,
+                ir, params_b, x, st, ctx, drives_b, dtype,
                 fac=fac)
             x_keep = jnp.where(ok[:, None], x_new, x)
             out = x_keep if keep_trace else 0
-            return (x_keep, x, st2, ok_all & ok, fac), out
+            return (x_keep, st2, ok_all & ok, fac), out
 
         idx = jnp.arange(num_steps, dtype=dtype)
-        init = (x0_b, x0_b, states0_b, jnp.ones(B, bool),
+        init = (x0_b, states0_b, jnp.ones(B, bool),
                 frozen_fac_init(B, n, npad, dtype))
-        (x, _xp, st, ok, _fac), xs = jax.lax.scan(step_f, init, idx)
+        (x, st, ok, _fac), xs = jax.lax.scan(step_f, init, idx)
         return x, st, ok, (xs if keep_trace else x)
 
     def step(carry, i):

@@ -57,8 +57,8 @@ def panel_factor(panel, krow, pivd, k0: int):
     instead of the raw one.
     """
     B, n, nb = panel.shape
-    dt = panel.dtype
-    f32 = jnp.float32
+    dt = panel.dtype        # accumulation dtype follows the panel (f32
+    # fast path; the dist validated-reject fallback factors in f64)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
     k0 = jnp.asarray(k0, jnp.int32)
@@ -66,21 +66,21 @@ def panel_factor(panel, krow, pivd, k0: int):
     def step(j, carry):
         panel, krow, pivd = carry
         mask_j = lane_iota == j
-        col = jnp.sum(jnp.where(mask_j, panel, f32(0)), axis=2,
-                      dtype=f32)
+        col = jnp.sum(jnp.where(mask_j, panel, dt.type(0)), axis=2,
+                      dtype=dt)
         avail = krow < 0
-        m = jnp.where(avail, jnp.abs(col), f32(-3e38))
+        m = jnp.where(avail, jnp.abs(col), dt.type(-3e38))
         mmax = jnp.max(m, axis=1, keepdims=True)
         cand = jnp.where(m == mmax, rows_iota, jnp.int32(2**30))
         r = jnp.min(cand, axis=1, keepdims=True)
         onehot = (rows_iota == r).astype(dt)
-        pivval = jnp.sum(onehot * col, axis=1, dtype=f32)
-        pivrow = jnp.sum(onehot[:, :, None] * panel, axis=1, dtype=f32)
-        f = col / pivval[:, None] * (f32(1) - onehot)
+        pivval = jnp.sum(onehot * col, axis=1, dtype=dt)
+        pivrow = jnp.sum(onehot[:, :, None] * panel, axis=1, dtype=dt)
+        f = col / pivval[:, None] * (dt.type(1) - onehot)
         panel = panel - f[:, :, None] * pivrow[:, None, :]
         panel = jnp.where(mask_j, f[:, :, None], panel)
-        krow = jnp.where(onehot > f32(0.5), k0 + j, krow)
-        pivd = pivd + onehot * (pivval[:, None] - f32(1))
+        krow = jnp.where(onehot > dt.type(0.5), k0 + j, krow)
+        pivd = pivd + onehot * (pivval[:, None] - dt.type(1))
         return panel, krow, pivd
 
     return jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), step,
@@ -91,12 +91,16 @@ def trailing_update(O, G, T):
     """MXU rank-nb update  T -= G · (Oᵀ · T)  for one trailing block.
 
     O: (B, n, nb) one-hot pivot selectors, G: (B, n, nb) factor panel,
-    T: (B, n, m) trailing column block (or RHS block)."""
+    T: (B, n, m) trailing column block (or RHS block).  Accumulation
+    follows T's dtype (f32 MXU fast path; f64 validated-reject
+    fallback in dist_gj)."""
+    acc = T.dtype
     R = jax.lax.dot_general(O, T, (((1,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32,
+                            preferred_element_type=acc,
                             precision=jax.lax.Precision.HIGHEST)
-    upd = jax.lax.dot_general(G, R, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32,
+    upd = jax.lax.dot_general(G.astype(acc), R,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=acc,
                               precision=jax.lax.Precision.HIGHEST)
     return T - upd.astype(T.dtype)
 

@@ -55,25 +55,30 @@ def _block_cyclic_perm(n: int, D: int) -> np.ndarray:
 def _x_from(krow, pivd, rhs, n: int):
     """Recover x (original index space) blockwise: x[k] = y[r] with
     krow[r] == k, y = b_final / pivot."""
-    f32 = jnp.float32
+    fdt = rhs.dtype
     bfin = rhs[:, :, 0]
     y = bfin / pivd
     xs = []
     for kb in range(n // NB):
         ks = kb * NB + jax.lax.broadcasted_iota(jnp.int32, (1, 1, NB), 2)
-        ot = (krow[:, :, None] == ks).astype(f32)        # (B, n, NB)
+        ot = (krow[:, :, None] == ks).astype(fdt)        # (B, n, NB)
         xs.append(jax.lax.dot_general(
             ot, y[:, :, None], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
+            preferred_element_type=fdt))
     return jnp.concatenate([x[:, :, 0] for x in xs], axis=1)
 
 
-def _dist_local(Aloc, b, axis: str, D: int, refine: int):
+def _dist_local(Aloc, b, axis: str, D: int, refine: int,
+                factor_dtype=jnp.float32, validate: bool = False):
     """Shard-local body. Aloc: (B, n, n/D) work-dtype block-cyclic
-    column shard; b: (B, n) replicated. Returns x replicated."""
+    column shard; b: (B, n) replicated. Returns x replicated — or
+    (x, rel) when ``validate``, rel the per-lane relative residual
+    max|b - A x| / (max|A||x| + max|b|) computed distributed in the
+    work dtype.  ``factor_dtype`` is f32 for the MXU fast path; the
+    validated-reject fallback refactors in the work dtype."""
     B, n, nloc = Aloc.shape
     work = Aloc.dtype
-    f32 = jnp.float32
+    f32 = factor_dtype
     d = jax.lax.axis_index(axis)
     npl = nloc // NB
     npan = n // NB
@@ -136,7 +141,29 @@ def _dist_local(Aloc, b, axis: str, D: int, refine: int):
         _, rrhs, _, _ = one_pass(panels, rrhs, krow, pivd, False)
         dx = _x_from(krow, pivd, rrhs, n).astype(work)
         x = x + dx
-    return x
+    if not validate:
+        return x
+    # validated reject (cuda_sparse_lu.h:1617-1620 diag-boost role):
+    # the distributed work-dtype residual exposes silent f32-factor
+    # failures (element growth, near-singular lanes) that refinement
+    # cannot repair — callers reject and refactor in the work dtype
+    if not refine:
+        li_iota = jnp.repeat(jnp.arange(npl, dtype=jnp.int32), NB)
+        off = jnp.tile(jnp.arange(NB, dtype=jnp.int32), npl)
+        gcols = (li_iota * jnp.int32(D) + d) * jnp.int32(NB) + off
+    xloc = jnp.take(x, gcols, axis=1)
+    contrib = jnp.einsum("bnj,bj->bn", Aloc, xloc)
+    r = b - jax.lax.psum(contrib, axis)
+    anorm = jax.lax.psum(jnp.max(jnp.abs(Aloc), axis=(1, 2)), axis)
+    xnorm = jnp.max(jnp.abs(x), axis=1)
+    scale = anorm * xnorm + jnp.max(jnp.abs(b), axis=1)
+    rel = jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
+        scale, jnp.asarray(1e-300 if work == jnp.float64 else 1e-30,
+                           work))
+    # a NaN/Inf lane must read as rejected, not slip through a NaN
+    # comparison
+    rel = jnp.where(jnp.isfinite(rel), rel, jnp.inf)
+    return x, rel
 
 
 _DELTA_CACHE = {}
@@ -155,6 +182,11 @@ def make_dist_delta_solver(mesh: Mesh, n: int, npad: int, axis=None,
     iterative-refinement passes against the work-dtype panels recover
     full precision (ops/gj solve_batched's f32-factor + f64-residual
     recipe, distributed).
+
+    Returns ``(x, rel)`` — ``rel`` is the work-dtype relative residual
+    of the linear solve (inf on NaN lanes).  Newton callers gate on it
+    (the validated-reject path): a dx whose linear system was
+    mis-solved must not masquerade as a converged iteration.
 
     Cached per (mesh, axes, n, npad, refine); Newton callers hit the
     same compiled executable every iteration.
@@ -194,26 +226,38 @@ def make_dist_delta_solver(mesh: Mesh, n: int, npad: int, axis=None,
         prow = jnp.where(gcol >= n, gcol, jnp.int32(npad))
         Aloc = Aloc.at[0, prow, lpos].add(
             jnp.where(gcol >= n, 1.0, 0.0).astype(work), mode="drop")
-        x = _dist_local(Aloc, b[None].astype(work),
-                        axis=aname, D=D, refine=refine)
-        return x[0]
+        x, rel = _dist_local(Aloc, b[None].astype(work),
+                             axis=aname, D=D, refine=refine,
+                             validate=True)
+        return x[0], rel[0]
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(), P(), P(), P()),
-        out_specs=P(), check_vma=False))
+        out_specs=(P(), P()), check_vma=False))
     _DELTA_CACHE[key] = fn
     return fn
 
 
-def dist_solve(mesh: Mesh, A, b, axis=None, refine: int = 2):
+def dist_solve(mesh: Mesh, A, b, axis=None, refine: int = 2,
+               validate: bool = True, tol: float = None):
     """Solve A x = b with A's columns sharded over ``mesh``.
 
     A: (B, n, n) or (n, n); n must be a multiple of 128·D.  ``axis``
     defaults to all mesh axes (flattened).  The matrix is permuted into
     block-cyclic column order, placed with its column axis sharded
-    (each device holds (B, n, n/D)), factored cooperatively, and
-    refined with f64 residuals when x64 is on.  Returns x replicated,
-    shaped like b.
+    (each device holds (B, n, n/D)), factored cooperatively in f32, and
+    refined with work-dtype residuals.  Returns x replicated, shaped
+    like b.
+
+    ``validate`` (default on): the distributed work-dtype residual is
+    checked against ``tol`` (relative; default 1e-9 under x64, 1e-4
+    else).  Lanes the f32 factor mis-solved — f32 element growth can
+    silently corrupt the factor without any NaN (e.g. Wilkinson-type
+    growth matrices; the MNA analogue is the structural-zero-diagonal
+    voltage-source regime outside equilibration's reach) — trigger ONE
+    fallback refactorization in the work dtype (f64 under x64; the
+    cuda_sparse_lu.h:1617-1620 diag-boost role).  Raises
+    ``RuntimeError`` if the fallback still fails validation.
     """
     squeeze = A.ndim == 2
     A = jnp.asarray(A)[None] if squeeze else jnp.asarray(A)
@@ -225,6 +269,8 @@ def dist_solve(mesh: Mesh, A, b, axis=None, refine: int = 2):
     if n % (NB * D):
         raise ValueError(f"n={n} must be a multiple of {NB * D}")
     work = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if tol is None:
+        tol = 1e-9 if work == jnp.float64 else 1e-4
     A = A.astype(work)
     b = b.astype(work)
 
@@ -250,11 +296,31 @@ def dist_solve(mesh: Mesh, A, b, axis=None, refine: int = 2):
     b = jax.device_put(b, repl)
 
     aname = axes[0] if len(axes) == 1 else axes
-    local = functools.partial(_dist_local, axis=aname, D=D,
-                              refine=refine)
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(None, None, shard_axes), P()),
-                       out_specs=P(), check_vma=False)
-    x = jax.jit(fn)(A_bc, b)
+
+    def run(factor_dtype):
+        local = functools.partial(_dist_local, axis=aname, D=D,
+                                  refine=refine,
+                                  factor_dtype=factor_dtype,
+                                  validate=validate)
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(P(None, None, shard_axes), P()),
+                           out_specs=(P(), P()) if validate else P(),
+                           check_vma=False)
+        return jax.jit(fn)(A_bc, b)
+
+    if not validate:
+        x = run(jnp.float32)
+        return (x * cs)[0] if squeeze else x * cs
+    x, rel = run(jnp.float32)
+    if bool(jnp.any(rel > tol)):
+        x2, rel2 = run(work)
+        keep = (rel2 < rel)[:, None]
+        x = jnp.where(keep, x2, x)
+        rel = jnp.minimum(rel, rel2)
+        if bool(jnp.any(rel > tol)):
+            raise RuntimeError(
+                f"dist_solve: validated reject — relative residual "
+                f"{float(jnp.max(rel)):.3e} > tol {tol:.1e} after the "
+                f"work-dtype fallback (singular or pathological lane)")
     x = x * cs
     return x[0] if squeeze else x

@@ -98,10 +98,13 @@ def _make_delta_step(ir: AnalogIR, ir2: AnalogIR, solver, env,
         cs = jnp.exp2(-jnp.floor(jnp.log2(cmax)))
         vrc = vr * cs[cols]
         rp = jnp.zeros(npad, dtype).at[:n].set(r * rs[:n])
-        dxs = solver(rows.astype(jnp.int32), cols.astype(jnp.int32),
-                     vrc, rp)
+        dxs, rel = solver(rows.astype(jnp.int32), cols.astype(jnp.int32),
+                          vrc, rp)
         dx = dxs[:n] * cs[:n]
-        ok = jnp.all(jnp.isfinite(dx))
+        # validated reject: a mis-solved linear system (f32 element
+        # growth, near-singular iterate) must not produce a dx that
+        # masquerades as a Newton step — treat like non-finite
+        ok = jnp.all(jnp.isfinite(dx)) & (rel < 1e-3)
         x_new = jnp.where(ok, x + dx, x)
         conv = analog._converged(x, x_new, ir.n_nodes, env) & ok
         conv = conv & analog._device_converged(ir2, p, x_new, st2)

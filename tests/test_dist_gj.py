@@ -241,3 +241,58 @@ def test_transient_dist_matches_local():
         assert np.allclose(wl, wd, rtol=1e-9, atol=1e-12)
     # transient clock advanced identically
     assert np.isclose(c_dist.tr_duration, c_local.tr_duration)
+
+
+def test_dist_solve_validated_reject_ill_conditioned():
+    """cond(A) ~ 1e9 defeats the f32 factor: iterative refinement's
+    contraction factor is cond*eps_f32 ~ 64 > 1, so the f32 pass
+    returns garbage with no NaN to flag it.  Before the
+    validated-reject path dist_solve returned that garbage silently;
+    now the work-dtype residual rejects it and the f64 fallback
+    (contraction 1e9*eps_f64 ~ 2e-7) recovers the solution.
+
+    (A Wilkinson growth matrix does NOT defeat this solver: the
+    one-hot pivot takes the max-|value| row per column, which is
+    stronger than partial pivoting and kills the classic 2^(n-1)
+    growth construction — verified while building this test.)"""
+    devs = np.array(jax.devices()[:2])
+    mesh = Mesh(devs, ("d",))
+    n = 2 * NB
+    rng = np.random.default_rng(3)
+    q1, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    q2, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = (q1 * np.logspace(0, -9, n)) @ q2
+    b = rng.standard_normal(n) / np.sqrt(n)
+    x = dist_solve(mesh, A[None], b[None], refine=2)
+    # fallback error floor is cond * eps_f64 * iterations ~ 1e-5
+    assert _relerr(x, A[None], b[None]) < 1e-4
+    # sanity: the unvalidated f32 path really does mis-solve this
+    x_raw = dist_solve(mesh, A[None], b[None], refine=2,
+                       validate=False)
+    assert _relerr(x_raw, A[None], b[None]) > 1e-2
+
+
+def test_dist_solve_mna_voltage_source_zero_diag():
+    """MNA border blocks: structural-zero diagonals on voltage-source
+    branch rows (SURVEY §7 hard-part).  The one-hot pivot search scans
+    every available row, so the equilibrated-MNA regime factors without
+    cross-panel exchange; validation confirms rather than rejects."""
+    devs = np.array(jax.devices()[:2])
+    mesh = Mesh(devs, ("d",))
+    n = 2 * NB
+    kv = 16           # branch-current unknowns (zero diagonal)
+    nn = n - kv
+    rng = np.random.default_rng(7)
+    A = np.zeros((n, n))
+    # node conductance block: diagonally dominant Laplacian-like
+    G = rng.uniform(0.5, 2.0, (nn, nn)) * (rng.random((nn, nn)) < 0.05)
+    G = G + G.T
+    A[:nn, :nn] = np.diag(G.sum(1) + rng.uniform(1e-3, 1.0, nn)) - G
+    # incidence columns/rows, zero diagonal border
+    for k in range(kv):
+        a, bnode = 2 * k, 2 * k + 1
+        A[nn + k, a], A[nn + k, bnode] = 1.0, -1.0
+        A[a, nn + k], A[bnode, nn + k] = 1.0, -1.0
+    b = rng.standard_normal(n)
+    x = dist_solve(mesh, A[None], b[None], refine=2)
+    assert _relerr(x, A[None], b[None]) < 1e-8
