@@ -420,6 +420,26 @@ class Circuit:
         params = self._params()
         grid = self._omega_grid()
         nw = len(grid)
+        if self.mesh is not None and (
+                nw < int(self.mesh.devices.size)
+                or os.environ.get("PE_TPU_AC_DIST")):
+            # cooperative single-system AC: too few omegas to occupy
+            # the mesh as a sweep axis — factor each omega's 2n-real
+            # block system with its COLUMNS sharded over the mesh
+            # instead (parallel/dist_newton.ac_solve_dist; validated
+            # residual + fallback)
+            from ..parallel.dist_newton import ac_solve_dist
+            try:
+                xs = ac_solve_dist(ir, self.mesh, params, self._states,
+                                   grid, self.dtype)
+            except RuntimeError:
+                return False
+            if not np.all(np.isfinite(xs.view(np.float64))):
+                return False
+            self.ac_sweep_results = [(float(w), xs[i])
+                                     for i, w in enumerate(grid)]
+            self._writeback_complex(xs[-1])
+            return True
         if self.mesh is not None:
             # shard the sweep grid over the mesh (the embarrassingly
             # parallel DCN/ICI fan-out axis of SURVEY §2.5) — pad to

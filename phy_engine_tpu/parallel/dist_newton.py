@@ -183,3 +183,42 @@ def transient_dist(ir: AnalogIR, mesh: Mesh, params, x0, states0, env,
             return x, st, False, np.asarray(hist)
         hist.append(np.asarray(x))
     return x, st, True, np.asarray(hist)
+
+
+def ac_solve_dist(ir: AnalogIR, mesh: Mesh, params, states, omegas,
+                  dtype=jnp.float64):
+    """Cooperative single-system AC: each omega's complex MNA is solved
+    as the 2n-real block system [[Ar, -Ai], [Ai, Ar]] with its columns
+    block-cyclic over ``mesh`` (dist_gj.dist_solve, validated residual
+    + work-dtype fallback).  This is the scale path for AC on circuits
+    too large for one chip — the grid-sharded path
+    (Circuit._analyze_ac mesh branch) covers the embarrassingly
+    parallel many-omega regime instead; the reference's AC loop is
+    serial on one host (circuit.h:399-428).
+
+    Assembly is replicated (dense (n, n) per omega — the current
+    limit; a tp-sharded AC assembly would mirror mesh.tp_assemble) and
+    the factorization is what distributes.  Returns (n_omega, n)
+    complex solutions.
+    """
+    from .dist_gj import dist_solve
+
+    n = ir.n_unknowns
+    D = int(mesh.devices.size)
+    m = 2 * n
+    mpad = -(-m // (NB * D)) * (NB * D)
+    outs = []
+    for w in np.asarray(omegas):
+        Ar, Ai, Zr, Zi = analog.assemble_ac(
+            ir, params, states, jnp.asarray(w, dtype), dtype)
+        M = jnp.zeros((mpad, mpad), dtype)
+        M = M.at[:n, :n].set(Ar)
+        M = M.at[:n, n:m].set(-Ai)
+        M = M.at[n:m, :n].set(Ai)
+        M = M.at[n:m, n:m].set(Ar)
+        pad = jnp.arange(m, mpad)
+        M = M.at[pad, pad].set(1.0)
+        rhs = jnp.zeros(mpad, dtype).at[:n].set(Zr).at[n:m].set(Zi)
+        x = np.asarray(dist_solve(mesh, M, rhs, refine=2))
+        outs.append(x[:n] + 1j * x[n:m])
+    return np.stack(outs)

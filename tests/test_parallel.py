@@ -748,3 +748,43 @@ endmodule
     got = c2.digital_run_batch([sched_for(ms2, b) for b in range(B)],
                                watch_nodes=pn2["q"], mesh=mesh)
     assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_ac_cooperative_single_system():
+    """Circuit(mesh=) AC with fewer omegas than devices routes through
+    the cooperative column-sharded path (ac_solve_dist) instead of the
+    grid-sharded sweep, and matches the local AC solution (RC filter:
+    |H| = 1/sqrt(2) at omega = 1/RC)."""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import RESISTANCE, VAC, CAPACITOR
+    from phy_engine_tpu.engine.circuit import AnalyzeType, ACSweepType
+
+    def build(mesh=None):
+        c = pe.Circuit(mesh=mesh)
+        nl = c.nl
+        v = netops.add_model(nl, VAC, {"Vp": 1.0, "freq": 1e3})
+        top = netops.create_node(nl)
+        out = netops.create_node(nl)
+        netops.add_to_node(nl, v, 0, top)
+        netops.add_to_node(nl, v, 1, nl.ground_node)
+        r = netops.add_model(nl, RESISTANCE, {"r": 1e3})
+        netops.add_to_node(nl, r, 0, top)
+        netops.add_to_node(nl, r, 1, out)
+        cc = netops.add_model(nl, CAPACITOR, {"C": 1e-6})
+        netops.add_to_node(nl, cc, 0, out)
+        netops.add_to_node(nl, cc, 1, nl.ground_node)
+        c.set_analyze_type(AnalyzeType.ACOP)
+        c.ac.sweep = ACSweepType.SINGLE
+        c.ac.omega = 1.0 / (1e3 * 1e-6)       # corner: |H| = 0.7071
+        return c, out
+
+    mesh = make_mesh()
+    cm, out_m = build(mesh)
+    assert cm.analyze(), "cooperative AC failed"
+    cl, out_l = build(None)
+    assert cl.analyze()
+    hm = cm.node_voltage(out_m)
+    hl = cl.node_voltage(out_l)
+    assert abs(abs(hm) - 1.0 / np.sqrt(2.0)) < 1e-6
+    assert abs(hm - hl) < 1e-8, (hm, hl)
