@@ -1459,12 +1459,130 @@ def _eval_gategraph(g: GateGraph, leaf_words: Dict[int, object],
     return vals
 
 
+_VERIFY_MESH = [None, False]
+
+
+def _verify_mesh():
+    """Optional mesh for deep Omax verification: set
+    PE_TPU_SYNTH_VERIFY_MESH=<ndev> (or assign opt_graph.VERIFY_MESH)
+    to fan the random-vector equivalence TT eval out over the devices
+    (the reference's multi-GPU synth fan-out role)."""
+    import os
+    if _VERIFY_MESH[1]:
+        return _VERIFY_MESH[0]
+    _VERIFY_MESH[1] = True
+    nd = os.environ.get("PE_TPU_SYNTH_VERIFY_MESH")
+    if nd:
+        try:
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+            devs = jax.devices()[:int(nd)]
+            _VERIFY_MESH[0] = Mesh(np.array(devs), ("tt",))
+        except Exception:  # noqa: BLE001 — mesh is best-effort
+            _VERIFY_MESH[0] = None
+    return _VERIFY_MESH[0]
+
+
+def _gategraph_to_tt(g: GateGraph, leaf_row: Dict[int, int],
+                     next_row: int):
+    """Lower a GateGraph to the flat (op, f0, f1) row form of
+    ``native.eval_graph`` / ``parallel.tt_mesh.eval_graph_mesh``,
+    expanding composite ops (NAND/NOR/XNOR/IMP/NIMP/YES) into basic
+    rows.  ``leaf_row`` maps id(net) -> shared leaf row (extended in
+    place so two graphs can share one pattern matrix).  Returns
+    (rows: list[(op, f0, f1)], out_row per graph-output key, next_row).
+    """
+    from ..native import (OP_LEAF, OP_NOT, OP_AND, OP_OR, OP_XOR,
+                          OP_CONST0, OP_CONST1)
+    rows: List[Tuple[int, int, int]] = []
+    row_of: Dict[int, int] = {}
+
+    def alloc(op, a=0, b=0):
+        nonlocal next_row
+        rows.append((op, a, b))
+        r = next_row
+        next_row += 1
+        return r
+
+    for i in _toposort(g, g.live_set()):
+        n = g.nodes[i]
+        if n.op == "PIN":
+            key = id(n.net)
+            if key not in leaf_row:
+                leaf_row[key] = alloc(OP_LEAF)
+            row_of[i] = leaf_row[key]
+            continue
+        if n.op == "CONST":
+            row_of[i] = alloc(OP_CONST1 if n.const == 1 else OP_CONST0)
+            continue
+        f = [row_of[x] for x in n.fanins]
+        if n.op == "AND":
+            row_of[i] = alloc(OP_AND, f[0], f[1])
+        elif n.op == "OR":
+            row_of[i] = alloc(OP_OR, f[0], f[1])
+        elif n.op == "XOR":
+            row_of[i] = alloc(OP_XOR, f[0], f[1])
+        elif n.op == "NAND":
+            row_of[i] = alloc(OP_NOT, alloc(OP_AND, f[0], f[1]))
+        elif n.op == "NOR":
+            row_of[i] = alloc(OP_NOT, alloc(OP_OR, f[0], f[1]))
+        elif n.op == "XNOR":
+            row_of[i] = alloc(OP_NOT, alloc(OP_XOR, f[0], f[1]))
+        elif n.op == "IMP":
+            row_of[i] = alloc(OP_OR, alloc(OP_NOT, f[0]), f[1])
+        elif n.op == "NIMP":
+            row_of[i] = alloc(OP_AND, f[0], alloc(OP_NOT, f[1]))
+        elif n.op == "NOT":
+            row_of[i] = alloc(OP_NOT, f[0])
+        elif n.op == "YES":
+            row_of[i] = row_of[n.fanins[0]]
+        else:  # pragma: no cover
+            raise AssertionError(n.op)
+    outs = {k: row_of[idx] for k, (_, idx) in g.outputs.items()}
+    return rows, outs, next_row
+
+
+def graphs_equivalent_mesh(g0: GateGraph, g1: GateGraph, mesh,
+                           n_words: int = 16384, seed: int = 0) -> bool:
+    """Deep random-vector equivalence with the pattern words sharded
+    over ``mesh`` (parallel/tt_mesh.py — the reference's multi-GPU TT
+    fan-out role, pe_synth_cuda_u64_cones.cu:671-1860).  2^20 patterns
+    (the default) cost the wall-clock of a 2^17 single-device run on an
+    8-way mesh."""
+    import numpy as np
+    from ..parallel.tt_mesh import eval_graph_mesh
+
+    if set(g0.outputs) != set(g1.outputs):
+        return False
+    leaf_row: Dict[int, int] = {}
+    rows0, outs0, nr = _gategraph_to_tt(g0, leaf_row, 0)
+    rows1, outs1, nr = _gategraph_to_tt(g1, leaf_row, nr)
+    # leaf rows were allocated inside rows0/rows1 in order; flatten
+    all_rows = rows0 + rows1
+    op = np.array([r[0] for r in all_rows], np.int32)
+    f0 = np.array([r[1] for r in all_rows], np.int32)
+    f1 = np.array([r[2] for r in all_rows], np.int32)
+    words = np.zeros((nr, n_words), np.uint64)
+    rng = np.random.default_rng(seed)
+    for _key, row in leaf_row.items():
+        words[row] = rng.integers(0, 1 << 63, n_words, dtype=np.uint64)
+    out = eval_graph_mesh(op, f0, f1, words, mesh)
+    for k in outs0:
+        if not bool((out[outs0[k]] == out[outs1[k]]).all()):
+            return False
+    return True
+
+
 def graphs_equivalent(g0: GateGraph, g1: GateGraph,
                       exhaustive_limit: int = 12,
-                      random_words: int = 16, seed: int = 0) -> bool:
+                      random_words: int = 16, seed: int = 0,
+                      mesh=None) -> bool:
     """Binary-domain equivalence of two graphs over the same output
     nets: exhaustive when the combined leaf count is small, else random
-    vectors (the reference's Omax opt-verify scheme)."""
+    vectors (the reference's Omax opt-verify scheme).  With ``mesh``
+    the random-vector tier runs deep (16k words = 2^20 patterns)
+    sharded over the mesh via ``graphs_equivalent_mesh``."""
     import numpy as np
     leaves: Dict[int, object] = {}
     for g in (g0, g1):
@@ -1490,6 +1608,8 @@ def graphs_equivalent(g0: GateGraph, g1: GateGraph,
                 lw[key] = np.where(sel == 1, ~np.uint64(0), np.uint64(0))
         tail = npat if npat < 64 else 0
     else:
+        if mesh is not None:
+            return graphs_equivalent_mesh(g0, g1, mesh, seed=seed)
         n_words = random_words
         rng = np.random.default_rng(seed)
         lw = {key: rng.integers(0, 1 << 63, n_words, dtype=np.uint64)
@@ -1608,7 +1728,8 @@ def optimize_omax(nl, protected_ids: Set[int], stats,
             c = graph_cost(g, cost_model, weights)
             stats.omax_trace.append((r, stage, c))
             if c < best_cost:
-                if verify and not graphs_equivalent(g0, g, seed=seed):
+                if verify and not graphs_equivalent(
+                        g0, g, seed=seed, mesh=_verify_mesh()):
                     stats.omax_verify_rejected += 1
                     continue
                 best_g, best_cost = g, c

@@ -788,3 +788,76 @@ def test_ac_cooperative_single_system():
     hl = cl.node_voltage(out_l)
     assert abs(abs(hm) - 1.0 / np.sqrt(2.0)) < 1e-6
     assert abs(hm - hl) < 1e-8, (hm, hl)
+
+
+def test_tt_eval_mesh_bit_exact():
+    """parallel/tt_mesh.eval_graph_mesh (words axis sharded over the
+    mesh, u64 as 2x u32 planes) is bit-exact vs the native backend."""
+    from phy_engine_tpu.parallel.tt_mesh import eval_graph_mesh
+    from phy_engine_tpu.native import (eval_graph, OP_NOT, OP_AND,
+                                       OP_OR, OP_XOR, OP_CONST0,
+                                       OP_CONST1)
+
+    rng = np.random.default_rng(5)
+    mesh = make_mesh()
+    for trial in range(3):
+        n_leaf = int(rng.integers(1, 8))
+        n_gate = int(rng.integers(1, 200))
+        W = int(rng.integers(1, 40))
+        n = n_leaf + n_gate
+        op = np.zeros(n, np.int32)
+        f0 = np.zeros(n, np.int32)
+        f1 = np.zeros(n, np.int32)
+        for g_ in range(n_leaf, n):
+            op[g_] = rng.choice([OP_NOT, OP_AND, OP_OR, OP_XOR,
+                                 OP_CONST0, OP_CONST1])
+            f0[g_] = rng.integers(0, g_)
+            f1[g_] = rng.integers(0, g_)
+        words = np.zeros((n, W), np.uint64)
+        words[:n_leaf] = rng.integers(0, 2**64, (n_leaf, W),
+                                      dtype=np.uint64)
+        ref = eval_graph(op.copy(), f0, f1, words.copy())
+        out = eval_graph_mesh(op, f0, f1, words, mesh)
+        assert (out == ref).all(), trial
+
+
+def test_graphs_equivalent_mesh_deep_verify():
+    """Deep Omax verification: graphs_equivalent(mesh=) evaluates both
+    graphs over 2^20 random patterns sharded across the mesh — same
+    verdicts as the local tier, and a single flipped gate is caught."""
+    from phy_engine_tpu.verilog.opt_graph import (GateGraph,
+                                                  graphs_equivalent)
+
+    nets = [object() for _ in range(20)]
+    out_net = object()
+
+    def build(xor_form: bool, flip: bool = False):
+        g = GateGraph()
+        leaves = [g.leaf(n) for n in nets]
+        # reduction over 20 leaves: pairwise mix, then tree-OR
+        mixed = []
+        for a, b in zip(leaves[::2], leaves[1::2]):
+            if xor_form:
+                mixed.append(g.gate("XOR", a, b))
+            else:
+                # a^b == (a & ~b) | (~a & b)
+                na = g.gate("NOT", a)
+                nb = g.gate("NOT", b)
+                mixed.append(g.gate("OR", g.gate("AND", a, nb),
+                                    g.gate("AND", na, b)))
+        acc = mixed[0]
+        for m in mixed[1:]:
+            acc = g.gate("OR" if not flip or m is not mixed[-1]
+                         else "AND", acc, m)
+        g.set_output(out_net, acc)
+        return g
+
+    mesh = make_mesh()
+    g_xor = build(True)
+    g_sop = build(False)
+    g_bad = build(True, flip=True)
+    # 20 leaves forces the random tier; mesh routes it deep (2^20)
+    assert graphs_equivalent(g_xor, g_sop, exhaustive_limit=0,
+                             mesh=mesh)
+    assert not graphs_equivalent(g_xor, g_bad, exhaustive_limit=0,
+                                 mesh=mesh)
