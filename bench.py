@@ -201,22 +201,45 @@ def cpu_baseline_sparse():
 
 
 def digital_metric():
-    """Digital gate-evals/s record (BASELINE.md north-star metric b),
-    folded into the same JSON line so the driver captures both.  Runs
-    on the HOST (native sweep engine) — no TPU time is consumed."""
+    """Digital gate-evals/s records (BASELINE.md north-star metric b),
+    folded into the same JSON line so the driver captures both: the
+    host native single-trace rate AND the on-chip batched flash
+    aggregate (the TPU-native record, in its own interpreter so a
+    tunnel hiccup cannot sink the rest)."""
     try:
         import bench_digital as bd
         c, clk, rst, port_nets, report, expect = bd.build()
         n = report.gate_count + report.ff_count
         cpu = bd.cpu_baseline(n)
         rate = bd.tpu_run(c, clk, rst, port_nets, n, expect)
-        return {
+        rec = {
             "digital_gate_evals_per_sec": round(rate, 1),
             "digital_vs_baseline": round(rate / cpu, 2),
             "digital_workload": "rv32 core, bit-exact program result",
         }
     except Exception as e:  # noqa: BLE001 — never sink the analog record
         return {"digital_error": f"{type(e).__name__}: {e}"}
+    try:
+        # batched-instance aggregate on the CHIP (flash engine): the
+        # TPU-native digital record (VERDICT r3 item 1) — B instances
+        # of the core through the fast-gather batched engine
+        import subprocess
+        import sys
+        env2 = dict(os.environ)
+        env2["PE_BENCH_DIGITAL_MODE"] = "turbo_batch"
+        env2.setdefault("PE_BENCH_DIGITAL_BATCH", "512")
+        r = subprocess.run(
+            [sys.executable, "bench_digital.py"], capture_output=True,
+            text=True, timeout=3000, env=env2,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        row = json.loads(r.stdout.strip().splitlines()[-1])
+        rec["digital_batched_gate_evals_per_sec"] = row["value"]
+        rec["digital_batched_batch"] = row["batch"]
+        rec["digital_batched_vs_native_single_trace"] = \
+            row["vs_baseline"]
+    except Exception as e:  # noqa: BLE001
+        rec["digital_batched_error"] = f"{type(e).__name__}: {e}"
+    return rec
 
 
 def _tpu_run_subprocess() -> float:
