@@ -702,13 +702,18 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         Two batched MXU GEMM pairs (~0.6 ms at B=256/n=256) replace the
         ~7 ms serial re-inversion whenever the stale inverse is still
         in the contraction basin (||I - A X|| < 1)."""
+        # DEFAULT matmul precision: NS is a self-correcting
+        # approximate-inverse iteration and the basin norm only gates —
+        # HIGHEST (6-pass f32 emulation on the MXU) measured ~4x the
+        # cost for no Newton-iteration savings
+        ns_prec = jax.lax.Precision.DEFAULT
         eye = jnp.eye(npad, dtype=jnp.float32)
         X = Minv
         e = None
         for _ in range(steps):
             AX = jax.lax.dot_general(
                 A32, X, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=hp)
+                preferred_element_type=jnp.float32, precision=ns_prec)
             if e is None:
                 # per-lane basin guard: ||I - A X||_inf >= 1 means NS
                 # would square a divergent error (measured: corrupts
@@ -718,7 +723,7 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
                 e = jnp.max(jnp.sum(jnp.abs(eye - AX), axis=2), axis=1)
             X = jax.lax.dot_general(
                 X, 2.0 * eye - AX, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=hp)
+                preferred_element_type=jnp.float32, precision=ns_prec)
         return jnp.where((e < 0.9)[:, None, None], X, Minv), e
 
     def cond(c):
@@ -742,12 +747,10 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         # population trigger, not any-lane: with hundreds of MC lanes
         # one straggler would otherwise fire a refresh every iteration
         frac_grew = jnp.sum(grew) / n_act
-        # per-step hygiene: always NS-refresh on entry with a carried
-        # factor — the Jacobian moved a whole time step; paying the
-        # GEMM pair up front beats rediscovering staleness two (f64
-        # stamp) iterations later
-        need = (~valid) | (valid & (it == 0)) | \
-            (it - last >= jnp.int32(stall)) | \
+        # NO unconditional per-step refresh: the NS GEMM pair costs
+        # ~5 ms at B=256 (measured on-chip) while a stale iteration is
+        # ~2 ms — refresh only pays once contraction is measurably poor
+        need = (~valid) | (it - last >= jnp.int32(stall)) | \
             (frac_grew > FROZEN_GROW_FRAC)
         # outright residual GROWTH = outside every stale/NS basin:
         # run a fresh full-Newton iteration (direct solve, ~half an
