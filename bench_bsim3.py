@@ -1,0 +1,198 @@
+"""BSIM3-on-TPU accuracy + throughput bench (VERDICT r3 item 6).
+
+Workload: a Monte-Carlo batch of M-stage BSIM3v3.2 CMOS inverter
+chains (2M BSIM3 devices/lane, explicit load caps) driven rail-to-rail
+by a 100 MHz sine — the inverter/amplifier TR class of the reference's
+bsim3v32 micro-tests (/root/reference/test/0004.solver/,
+/root/reference/test/0012.ac/) scaled into a throughput workload.
+
+Two records in one JSON line:
+  * ``value``   — circuit-steps/s on the accelerator through the
+    frozen-preconditioner Newton path (f32 MXU factor + f64 residual
+    gate — the TPU "f32+refinement" policy).
+  * ``rel_err`` — max relative node-voltage error of the accelerator
+    trace against a pure-f64 per-lane dense-Newton CPU reference
+    (jax CPU, same IR, same lanes) over the full waveform.  Quality
+    gate: <= 1e-6 (BASELINE.md analog waveform gate, now checked ON
+    the TPU path for BSIM3, not just on CPU x64).
+
+The CPU reference runs in a subprocess with JAX_PLATFORMS=cpu (the
+axon TPU plugin ignores the env var alone mid-process, CLAUDE.md), so
+both sides are fresh interpreters.
+
+Env knobs: PE_BENCH_BSIM3_BATCH (256), PE_BENCH_BSIM3_STEPS (100),
+PE_BENCH_BSIM3_STAGES (31), PE_BENCH_BSIM3_REF_LANES (4),
+PE_TPU_FROZEN_MIXED (inherited by the frozen solver).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BATCH = int(os.environ.get("PE_BENCH_BSIM3_BATCH", "256"))
+STEPS = int(os.environ.get("PE_BENCH_BSIM3_STEPS", "100"))
+STAGES = int(os.environ.get("PE_BENCH_BSIM3_STAGES", "31"))
+REF_LANES = int(os.environ.get("PE_BENCH_BSIM3_REF_LANES", "4"))
+VDD, VP, FREQ = 3.0, 1.5, 1e8
+DT = 1e-10
+CLOAD = 2e-14
+NMOS_P = {"Kp": 2e-4, "Vth0": 0.7, "W": 10e-6, "L": 1e-6}
+PMOS_P = {"Kp": 1e-4, "Vth0": 0.7, "W": 20e-6, "L": 1e-6}
+
+
+def build_ir():
+    from phy_engine_tpu import Netlist, netops
+    from phy_engine_tpu.models import (RESISTANCE, CAPACITOR, VDC, VAC,
+                                       BSIM3V32_NMOS, BSIM3V32_PMOS)
+    from phy_engine_tpu.engine.lower import lower_analog
+
+    nl = Netlist()
+    n_vdd = netops.create_node(nl)
+    n_bias = netops.create_node(nl)
+    n_in = netops.create_node(nl)
+    vdd = netops.add_model(nl, VDC, {"V": VDD})
+    netops.add_to_node(nl, vdd, 0, n_vdd)
+    netops.add_to_node(nl, vdd, 1, nl.ground_node)
+    vb = netops.add_model(nl, VDC, {"V": VDD / 2.0})
+    netops.add_to_node(nl, vb, 0, n_bias)
+    netops.add_to_node(nl, vb, 1, nl.ground_node)
+    vin = netops.add_model(nl, VAC, {"Vp": VP, "freq": FREQ})
+    netops.add_to_node(nl, vin, 0, n_in)
+    netops.add_to_node(nl, vin, 1, n_bias)
+
+    gate = n_in
+    for _ in range(STAGES):
+        n_out = netops.create_node(nl)
+        mp = netops.add_model(nl, BSIM3V32_PMOS, dict(PMOS_P))
+        netops.add_to_node(nl, mp, 0, n_out)        # D
+        netops.add_to_node(nl, mp, 1, gate)         # G
+        netops.add_to_node(nl, mp, 2, n_vdd)        # S
+        netops.add_to_node(nl, mp, 3, n_vdd)        # B
+        mn = netops.add_model(nl, BSIM3V32_NMOS, dict(NMOS_P))
+        netops.add_to_node(nl, mn, 0, n_out)
+        netops.add_to_node(nl, mn, 1, gate)
+        netops.add_to_node(nl, mn, 2, nl.ground_node)
+        netops.add_to_node(nl, mn, 3, nl.ground_node)
+        cl = netops.add_model(nl, CAPACITOR, {"C": CLOAD})
+        netops.add_to_node(nl, cl, 0, n_out)
+        netops.add_to_node(nl, cl, 1, nl.ground_node)
+        gate = n_out
+    return lower_analog(nl)
+
+
+def _env():
+    from phy_engine_tpu.engine.environment import Environment
+    from phy_engine_tpu.engine.analog import env_scalars
+    return env_scalars(Environment())
+
+
+def run_accel():
+    """Accelerator pass: batched frozen-Newton transient, full trace."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.parallel.batch import (batch_params, batch_state,
+                                               batch_x)
+
+    ir = build_ir()
+    env = _env()
+    x_b = batch_x(ir, BATCH)
+    st_b = batch_state(ir, BATCH)
+    pb = batch_params(ir, BATCH, jitter={"BSIM3_NMOS": {"Vth0": 0.02},
+                                         "BSIM3_PMOS": {"Vth0": 0.02}})
+    t0 = jnp.asarray(0.0, jnp.float64)
+    dt = jnp.asarray(DT, jnp.float64)
+
+    def run(pb, x_b, st_b):
+        x, st, ok, xs = analog.transient_batched(
+            ir, pb, x_b, st_b, env, t0, dt, STEPS, solver="frozen",
+            keep_trace=True)
+        return xs, jnp.all(ok)
+
+    fn = jax.jit(run)
+    xs, ok = fn(pb, x_b, st_b)
+    _ = float(jnp.sum(xs))                        # compile + warm
+    t_start = time.perf_counter()
+    xs, ok = fn(pb, x_b, st_b)
+    _ = float(jnp.sum(xs))                        # forces completion
+    wall = time.perf_counter() - t_start
+    assert bool(ok), "bsim3 bench transient failed to converge"
+    return np.asarray(xs[:, :REF_LANES, :ir.n_nodes]), BATCH * STEPS / wall
+
+
+def run_ref_lanes():
+    """Pure-f64 per-lane dense-Newton reference on jax CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.parallel.batch import (batch_params, batch_state,
+                                               batch_x)
+
+    ir = build_ir()
+    env = _env()
+    # identical MC draw, truncated to the reference lanes
+    pb = batch_params(ir, BATCH, jitter={"BSIM3_NMOS": {"Vth0": 0.02},
+                                         "BSIM3_PMOS": {"Vth0": 0.02}})
+    pb = jax.tree_util.tree_map(lambda a: a[:REF_LANES], pb)
+    x_b = batch_x(ir, REF_LANES)
+    st_b = batch_state(ir, REF_LANES)
+
+    def one(p, x, st):
+        x2, st2, ok, xs = analog.transient(
+            ir, p, x, st, env, jnp.asarray(0.0, jnp.float64),
+            jnp.asarray(DT, jnp.float64), STEPS, method="dense")
+        return xs, ok
+
+    xs, ok = jax.vmap(one)(pb, x_b, st_b)         # (L, STEPS, n)
+    assert bool(jnp.all(ok))
+    return np.asarray(jnp.transpose(xs, (1, 0, 2))[:, :, :ir.n_nodes])
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "main"
+    if mode == "ref":
+        import numpy as np
+        np.save("/tmp/bsim3_ref.npy", run_ref_lanes())
+        print("ref done")
+        return
+    if mode == "accel":
+        import numpy as np
+        tr, rate = run_accel()
+        np.save("/tmp/bsim3_accel.npy", tr)
+        print(json.dumps({"rate": rate}))
+        return
+
+    import numpy as np
+    env_ref = dict(os.environ)
+    env_ref["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, __file__, "ref"],
+                       capture_output=True, text=True, timeout=3000,
+                       env=env_ref)
+    if r.returncode != 0:
+        raise RuntimeError(f"ref pass failed: {r.stderr[-800:]}")
+    r2 = subprocess.run([sys.executable, __file__, "accel"],
+                        capture_output=True, text=True, timeout=3000,
+                        env=dict(os.environ))
+    if r2.returncode != 0:
+        raise RuntimeError(f"accel pass failed: {r2.stderr[-800:]}")
+    rate = json.loads(r2.stdout.strip().splitlines()[-1])["rate"]
+    ref = np.load("/tmp/bsim3_ref.npy")
+    acc = np.load("/tmp/bsim3_accel.npy")
+    rel = float(np.abs(acc - ref).max() / np.abs(ref).max())
+    print(json.dumps({
+        "metric": "bsim3_tr_circuit_steps_per_sec",
+        "value": round(rate, 1),
+        "unit": "circuit-steps/s",
+        "rel_err_vs_cpu_f64": rel,
+        "quality_gate_1e6": rel <= 1e-6,
+        "workload": f"{STAGES}-stage BSIM3 CMOS inverter chain x "
+                    f"{BATCH} MC lanes, {2 * STAGES} devices/lane",
+    }))
+
+
+if __name__ == "__main__":
+    main()
