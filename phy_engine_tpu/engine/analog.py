@@ -436,33 +436,6 @@ FROZEN_GROW_FRAC = 0.25   # refresh when > this fraction of active
                           # lanes contracts worse than FROZEN_RATE
 FROZEN_BAD_FRAC = 0.1     # escalate refresh -> full refactor when >
                           # this fraction sits outside the NS basin
-COARSE_MAX_ITERS = 16     # mixed-precision: hard cap on f32 iterations
-COARSE_DX_FRAC = 0.9      # flip f32->f64 when this fraction of active
-                          # lanes already passes the delta-x rule
-COARSE_BURST_MULT = 4.0   # coarse burst needs 4x residual growth (the
-                          # f32 noise floor jitters rn near the flip)
-FROZEN_DX_CAP = 10.0      # damped-Newton safeguard: uniformly scale a
-                          # lane's delta so max|delta| <= this (volts).
-                          # A stale-inverse iteration on strong MOS
-                          # nonlinearity can produce unbounded deltas
-                          # (measured: BSIM3 chain blows x non-finite
-                          # within 7 iterations and permanently kills
-                          # the lane); capping preserves the Newton
-                          # direction while keeping stamps evaluable.
-                          # Fresh-Jacobian steps near a solution are
-                          # far below the cap, so the hot path and the
-                          # accepted-fixpoint criteria are unchanged.
-FROZEN_ESCALATE = 12      # unconverged after this many iterations ->
-                          # fresh-Jacobian refactor every iteration
-                          # (= the delta solver).  Cold starts on strong
-                          # MOS nonlinearity defeat every stale-factor
-                          # policy, and LATE escalation is not enough:
-                          # the stale iterations first walk x somewhere
-                          # a fresh-Newton restart needs 40+ iterations
-                          # to recover from (measured: BSIM3 inverter
-                          # chain, escalate@24 fails at 64 iters while
-                          # escalate@0 converges in 34).  Warm transient
-                          # steps converge in 1-6 and never get here.
 
 
 def frozen_fac_init(B: int, n: int, npad: int, dtype=jnp.float64):
@@ -637,43 +610,25 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
                         ctx: StampCtx, drives_b=None, dtype=jnp.float64,
                         fac=None, max_iter: int = MAX_NEWTON_ITER,
                         stall: int = FROZEN_STALL,
-                        return_iters: bool = False,
-                        mixed: Optional[bool] = None):
+                        return_iters: bool = False):
     """Frozen-preconditioner Newton (the round-4 TPU hot path).
 
-    Each iteration prices only O(nnz) work (device stamps + sparse
+    Each iteration prices only O(nnz) f64 work (device stamps + sparse
     residual) plus ONE batched f32 matvec against a stored explicit
     inverse M^-1 = J(x_f)^-1 computed by `ops.gj.gj_inverse32` at
     refactor points (first iteration without a valid carry, then every
-    ``stall`` iterations while unconverged).  Because convergence is
-    only granted on f64-residual-gated iterations, the fixpoint is
-    f64-accurate regardless of how stale M is — stale factors only
-    cost extra (cheap) iterations, exactly the inexact-Newton /
-    Shamanskii trade.  The factor carry ``fac`` survives across
-    transient steps (threaded by transient_batched solver='frozen'),
-    so slowly-varying Jacobians refactor every few steps instead of
-    every Newton iteration — the reference refactors SparseLU every
-    iteration of every step (circuit.h:1484-1524).
-
-    ``mixed`` (default on for f64 nonlinear solves, env override
-    ``PE_TPU_FROZEN_MIXED=0``): run a COARSE phase first where device
-    stamps and the sparse residual are computed in f32 (TPU-emulated
-    f64 is ~50x slower than f32 — the O(nnz) f64 residual+stamps were
-    the measured 1.7 ms/iter hot spot of the round-4 profile), then
-    flip to the f64 FINE phase once the f32 fixpoint is reached (most
-    active lanes pass the delta-x rule, or contraction stalls at the
-    f32 noise floor).  Lanes can only be declared converged by a fine
-    iteration, so the accepted iterate always satisfies the same f64
-    delta-x + row-wise KCL-residual criteria as the pure-f64 path.
+    ``stall`` iterations while unconverged).  Because the residual is
+    f64, the fixpoint is f64-accurate regardless of how stale M is —
+    stale factors only cost extra (cheap) iterations, exactly the
+    inexact-Newton / Shamanskii trade.  The factor carry ``fac``
+    survives across transient steps (threaded by transient_batched
+    solver='frozen'), so slowly-varying Jacobians refactor every few
+    steps instead of every Newton iteration — the reference refactors
+    SparseLU every iteration of every step (circuit.h:1484-1524).
 
     Returns (x, states, ok, fac).
     """
-    import os as _os
     from ..ops.gj import gj_inverse32, gj_solve32, NB
-
-    if mixed is None:
-        mixed = _os.environ.get("PE_TPU_FROZEN_MIXED", "1") != "0"
-    mixed = bool(mixed) and bool(ir.nonlinear) and dtype == jnp.float64
 
     dr_axes = None if drives_b is None else 0
     B = x0_b.shape[0]
@@ -697,39 +652,6 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         lambda p, x, s, r_, c_, c: _frozen_resid_cached(
             ir, p, x, s, ctx, dtype, r_, c_, c),
         in_axes=(0, 0, 0) + pat_axes + (0,))
-
-    def _resid_fine(x, st):
-        r, st2, vals, Zf = resid_b(params_b, x, st, rows, cols, cache)
-        return r, st2, vals.astype(jnp.float32), Zf
-
-    if mixed:
-        f32 = jnp.float32
-
-        def _c32(t):
-            return jax.tree_util.tree_map(
-                lambda a: a.astype(f32)
-                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
-                else a, t)
-
-        params32_b = _c32(params_b)
-        cache32 = _c32(cache)
-        ctx32 = StampCtx(
-            mode=ctx.mode, t=jnp.asarray(ctx.t, f32),
-            dt=jnp.asarray(ctx.dt, f32),
-            env={k: jnp.asarray(v, f32) for k, v in ctx.env.items()})
-        resid32_b = jax.vmap(
-            lambda p, x, s, r_, c_, c: _frozen_resid_cached(
-                ir, p, x, s, ctx32, f32, r_, c_, c),
-            in_axes=(0, 0, 0) + pat_axes + (0,))
-
-        def _resid_coarse(x, st):
-            st32 = _c32(st)
-            r32, st2_32, vals32, Zf32 = resid32_b(
-                params32_b, x.astype(f32), st32, rows, cols, cache32)
-            st2 = jax.tree_util.tree_map(
-                lambda a, b: b.astype(jnp.asarray(a).dtype), st, st2_32)
-            return (r32.astype(dtype), st2, vals32, Zf32.astype(dtype))
-
     ia_ = ctx.env["i_abstol"]
     ir_ = ctx.env["i_reltol"]
 
@@ -780,18 +702,13 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         Two batched MXU GEMM pairs (~0.6 ms at B=256/n=256) replace the
         ~7 ms serial re-inversion whenever the stale inverse is still
         in the contraction basin (||I - A X|| < 1)."""
-        # DEFAULT matmul precision: NS is a self-correcting
-        # approximate-inverse iteration and the basin norm only gates —
-        # HIGHEST (6-pass f32 emulation on the MXU) measured ~4x the
-        # cost for no Newton-iteration savings
-        ns_prec = jax.lax.Precision.DEFAULT
         eye = jnp.eye(npad, dtype=jnp.float32)
         X = Minv
         e = None
         for _ in range(steps):
             AX = jax.lax.dot_general(
                 A32, X, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=ns_prec)
+                preferred_element_type=jnp.float32, precision=hp)
             if e is None:
                 # per-lane basin guard: ||I - A X||_inf >= 1 means NS
                 # would square a divergent error (measured: corrupts
@@ -801,7 +718,7 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
                 e = jnp.max(jnp.sum(jnp.abs(eye - AX), axis=2), axis=1)
             X = jax.lax.dot_general(
                 X, 2.0 * eye - AX, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=ns_prec)
+                preferred_element_type=jnp.float32, precision=hp)
         return jnp.where((e < 0.9)[:, None, None], X, Minv), e
 
     def cond(c):
@@ -809,14 +726,9 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         return jnp.any((~conv) & ok) & (it < max_iter)
 
     def body(c):
-        (x, st, it, conv, ok, Minv, rs, cs, tol, valid, last, prev_rn,
-         fine, stats) = c
+        x, st, it, conv, ok, Minv, rs, cs, tol, valid, last, prev_rn = c
         active = (~conv) & ok
-        if mixed:
-            r, st2, vals, Zf = jax.lax.cond(
-                fine, _resid_fine, _resid_coarse, x, st)
-        else:
-            r, st2, vals, Zf = _resid_fine(x, st)
+        r, st2, vals, Zf = resid_b(params_b, x, st, rows, cols, cache)
         rn = jnp.max(jnp.abs(r), axis=1)
         # refresh policy: an active lane's residual contraction worse
         # than FROZEN_RATE (or the stall cadence) triggers a refresh.
@@ -830,32 +742,19 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         # population trigger, not any-lane: with hundreds of MC lanes
         # one straggler would otherwise fire a refresh every iteration
         frac_grew = jnp.sum(grew) / n_act
-        grew_sig = frac_grew > FROZEN_GROW_FRAC
-        # NO unconditional per-step refresh: the NS GEMM pair costs
-        # ~5 ms at B=256 (measured on-chip) while a stale iteration is
-        # ~2 ms — refresh only pays once contraction is measurably poor.
-        # In the coarse phase a contraction stall means the f32 noise
-        # floor was reached — flip to f64 instead of refreshing.
-        need = (~valid) | (it - last >= jnp.int32(stall)) | \
-            (grew_sig & fine)
+        # per-step hygiene: always NS-refresh on entry with a carried
+        # factor — the Jacobian moved a whole time step; paying the
+        # GEMM pair up front beats rediscovering staleness two (f64
+        # stamp) iterations later
+        need = (~valid) | (valid & (it == 0)) | \
+            (it - last >= jnp.int32(stall)) | \
+            (frac_grew > FROZEN_GROW_FRAC)
         # outright residual GROWTH = outside every stale/NS basin:
-        # refactor THIS iteration (fresh inverse from the values just
-        # stamped) and apply it — a fresh full-Newton iteration that
-        # also leaves a VALID fresh carry.  (The previous design did a
-        # direct solve + carry invalidation instead; measured on the
-        # diode bench that made every switching event pay a solve AND
-        # a full refactor on the next iteration — 46 refactors + 55
-        # bursts per 100 steps.)  Coarse iterations demand 4x growth:
-        # rn jitters at the f32 noise floor near the flip.
-        bmult = jnp.where(fine, 1.0, COARSE_BURST_MULT)
-        # escalation: a cold start on strong MOS nonlinearity defeats
-        # every stale-factor policy (the vlimit walk needs a fresh
-        # Jacobian per iteration) — past FROZEN_ESCALATE iterations,
-        # refactor every iteration (= the delta solver, which provably
-        # converges on these).  Warm transient steps never reach this.
-        esc = it >= jnp.int32(FROZEN_ESCALATE)
-        burst = jnp.any(active & (rn > bmult * prev_rn)) | esc
-        need_full = (~valid) | burst
+        # run a fresh full-Newton iteration (direct solve, ~half an
+        # inversion) and invalidate the carry; the first
+        # converging-again iteration re-inverts once at burst exit
+        burst = jnp.any(active & (rn > prev_rn))
+        need_full = (~valid) & ~burst
 
         def refac(_):
             # reuse THIS iteration's stamped values — no second
@@ -894,37 +793,32 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         # inflates |x| and with it the relative tolerance
         resid_ok = jnp.all(jnp.abs(r) <= tol2, axis=1)
 
-        # one batched matvec against the stored (or just-refreshed)
-        # explicit inverse — burst iterations flow through here too,
-        # with Minv2 freshly refactored from this iteration's stamps
-        rr = jnp.zeros((B, npad), jnp.float32).at[:, :n].set(
-            (r * rs2.astype(dtype)).astype(jnp.float32))
-        d32 = jnp.einsum("bij,bj->bi", Minv2, rr,
-                         precision=jax.lax.Precision.HIGHEST)
-        delta = d32[:, :n].astype(dtype) * cs2.astype(dtype)
-        dmax = jnp.max(jnp.abs(delta), axis=1)
-        dscl = jnp.minimum(1.0, FROZEN_DX_CAP /
-                           jnp.maximum(dmax, jnp.asarray(1e-300, dtype)))
-        delta = delta * dscl[:, None]
+        def delta_solve(_):
+            # burst iteration: fresh Jacobian, direct factor-solve
+            if drives_b is None:
+                A32, rs2, cs2 = equil_b(vals)
+            else:
+                A32, rs2, cs2 = equil_b(rows, cols, vals)
+            rr = jnp.zeros((B, npad), jnp.float32).at[:, :n].set(
+                (r * rs2.astype(dtype)).astype(jnp.float32))
+            d = gj_solve32(A32, rr)
+            return d[:, :n].astype(dtype) * cs2.astype(dtype)
+
+        def delta_apply(_):
+            rr = jnp.zeros((B, npad), jnp.float32).at[:, :n].set(
+                (r * rs2.astype(dtype)).astype(jnp.float32))
+            d32 = jnp.einsum("bij,bj->bi", Minv2, rr,
+                             precision=jax.lax.Precision.HIGHEST)
+            return d32[:, :n].astype(dtype) * cs2.astype(dtype)
+
+        delta = jax.lax.cond(burst, delta_solve, delta_apply, 0)
         x_new = x + delta
         ok_new = jnp.all(jnp.isfinite(x_new), axis=1)
         # fresh-Jacobian iterations use the classical delta-x rule (the
         # delta solver's criterion); stale iterations additionally
-        # require the f64 residual gate.  Coarse (f32-residual)
-        # iterations can never declare convergence — the accepted
-        # iterate is always produced under the f64 criteria.
-        dx_ok = conv_fn(x, x_new)
-        conv_new = dx_ok & ok_new & (resid_ok | burst) & fine
-        if mixed:
-            # the device check_conv hooks re-evaluate f64 device
-            # currents (diode exp) — pure waste in the coarse phase
-            # where conv_new is masked False by `& fine` anyway
-            devok = jax.lax.cond(
-                fine, lambda _: devconv_fn(params_b, x_new, st2),
-                lambda _: jnp.ones(B, bool), 0)
-        else:
-            devok = devconv_fn(params_b, x_new, st2)
-        conv_new = conv_new & devok
+        # require the f64 residual gate
+        conv_new = conv_fn(x, x_new) & ok_new & (resid_ok | burst)
+        conv_new = conv_new & devconv_fn(params_b, x_new, st2)
         take = active & ok_new
         x_next = jnp.where(take[:, None], x_new, x)
 
@@ -935,42 +829,19 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         st_next = jax.tree_util.tree_map(merge, st, st2)
         conv = jnp.where(active, conv_new, conv)
         ok = ok & (ok_new | ~active)
-        # phase flip: most active lanes at the f32 fixpoint (delta-x
-        # rule passes), contraction stalled at the f32 floor, or the
-        # coarse budget ran out
-        frac_dx = jnp.sum(dx_ok & active) / n_act
-        fine2 = fine | (frac_dx >= COARSE_DX_FRAC) | grew_sig | \
-            (it + 1 >= jnp.int32(COARSE_MAX_ITERS))
-        prev_rn2 = jnp.where(active, rn, prev_rn)
-        # reset the contraction history across the precision switch:
-        # the first f64 residual norm is not comparable to the f32 one
-        prev_rn2 = jnp.where(fine2 & ~fine,
-                             jnp.full_like(prev_rn2, jnp.inf), prev_rn2)
-        stats2 = {
-            "iters": stats["iters"] + 1,
-            "coarse": stats["coarse"] + jnp.where(fine, 0, 1),
-            "refac": stats["refac"] + jnp.where(need_full, 1, 0),
-            "refresh": stats["refresh"] +
-            jnp.where(need & ~burst & ~need_full, 1, 0),
-            "burst": stats["burst"] + jnp.where(burst, 1, 0),
-        }
         return (x_next, st_next, it + 1, conv, ok,
-                Minv2, rs2, cs2, tol2, jnp.bool_(True), last2, prev_rn2,
-                fine2, stats2)
+                Minv2, rs2, cs2, tol2, ~burst, last2,
+                jnp.where(active, rn, prev_rn))
 
-    stats0 = {k: jnp.int32(0)
-              for k in ("iters", "coarse", "refac", "refresh", "burst")}
     init = (x0_b, states0_b, jnp.int32(0), jnp.zeros(B, bool),
             jnp.ones(B, bool)) + tuple(fac[:4]) + (
                 jnp.asarray(fac[4], bool), jnp.int32(0),
-                jnp.full(B, jnp.inf, dtype), jnp.bool_(not mixed),
-                stats0)
+                jnp.full(B, jnp.inf, dtype))
     out = jax.lax.while_loop(cond, body, init)
-    (x, st, _it, conv, ok, Minv, rs, cs, tol, valid, _last, _rn,
-     _fine, stats) = out
+    x, st, _it, conv, ok, Minv, rs, cs, tol, valid, _last, _rn = out
     fac_out = (Minv, rs, cs, tol, valid)
     if return_iters:
-        return x, st, conv & ok, fac_out, stats
+        return x, st, conv & ok, fac_out, _it
     return x, st, conv & ok, fac_out
 
 
@@ -1020,15 +891,11 @@ def _newton_loop_batched(ir, params_b, x0_b, states0_b, ctx, solve_once,
 
 def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
                       dt, num_steps, drives_b=None, dtype=jnp.float64,
-                      solver: str = "hybrid", keep_trace: bool = False,
-                      return_stats: bool = False):
+                      solver: str = "hybrid", keep_trace: bool = False):
     """Batched fixed-step transient over the explicit-batch Newton path.
 
     Returns (x (B,n), states, ok (B,), xs) — xs is (num_steps, B, n)
-    when keep_trace else the final x.  With ``return_stats`` (frozen
-    solver only) a 5th element carries summed Newton-loop event
-    counters across all steps (iters/coarse/refac/refresh/burst) — the
-    profiling-hook analogue for the hot path (circuit.h:35-57 role).
+    when keep_trace else the final x.
     """
     step_update_b = jax.vmap(step_update_all,
                              in_axes=(None, 0, 0, 0, None, None))
@@ -1043,7 +910,7 @@ def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
         npad = max(NB, ((n + NB - 1) // NB) * NB)
 
         def step_f(carry, i):
-            x, st, ok_all, fac, acc = carry
+            x, st, ok_all, fac = carry
             t = t0 + (i + 1.0) * dt
             st = step_update_b(ir, params_b, x, st, dt, t)
             ctx = StampCtx(mode="tr", t=t, dt=dt, env=env)
@@ -1052,23 +919,18 @@ def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
             # into the vlimit walk (measured: mean Newton iterations
             # 5.5 -> 4.4 and the per-step spikes 15-20 -> 6-10 on the
             # diode-ladder bench when extrapolation is dropped)
-            x_new, st2, ok, fac, stats = newton_solve_frozen(
+            x_new, st2, ok, fac = newton_solve_frozen(
                 ir, params_b, x, st, ctx, drives_b, dtype,
-                fac=fac, return_iters=True)
-            acc = jax.tree_util.tree_map(lambda a, b: a + b, acc, stats)
+                fac=fac)
             x_keep = jnp.where(ok[:, None], x_new, x)
             out = x_keep if keep_trace else 0
-            return (x_keep, st2, ok_all & ok, fac, acc), out
+            return (x_keep, st2, ok_all & ok, fac), out
 
         idx = jnp.arange(num_steps, dtype=dtype)
-        acc0 = {k: jnp.int32(0)
-                for k in ("iters", "coarse", "refac", "refresh",
-                          "burst")}
         init = (x0_b, states0_b, jnp.ones(B, bool),
-                frozen_fac_init(B, n, npad, dtype), acc0)
-        (x, st, ok, _fac, acc), xs = jax.lax.scan(step_f, init, idx)
-        base = (x, st, ok, (xs if keep_trace else x))
-        return base + (acc,) if return_stats else base
+                frozen_fac_init(B, n, npad, dtype))
+        (x, st, ok, _fac), xs = jax.lax.scan(step_f, init, idx)
+        return x, st, ok, (xs if keep_trace else x)
 
     def step(carry, i):
         x, st, ok_all = carry
