@@ -32,6 +32,24 @@ BATCH = int(os.environ.get("PE_BENCH_BATCH", "256"))
 STEPS = int(os.environ.get("PE_BENCH_STEPS", "100"))
 CPU_STEPS = int(os.environ.get("PE_BENCH_CPU_STEPS", "20"))
 
+# Hard overall deadline (seconds from process start).  The driver runs
+# this script under its own timeout; round 4's bench chained worst-case
+# subprocess timeouts past that cap and returned rc=124 with no record.
+# Every stage below budgets against remaining(); the analog headline
+# runs FIRST and the digital keys are appended only if time remains.
+_T0 = time.monotonic()
+DEADLINE_S = float(os.environ.get("PE_BENCH_DEADLINE_S", "1500"))
+
+# Persist XLA compile caches across the fresh-interpreter retries.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache"))
+
+
+def remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _T0)
+
 N_STAGES = 255
 R_CHAIN, R_LINK, C_NODE = 100.0, 1000.0, 1e-9
 VP, FREQ = 2.0, 1e6
@@ -205,7 +223,11 @@ def digital_metric():
     folded into the same JSON line so the driver captures both: the
     host native single-trace rate AND the on-chip batched flash
     aggregate (the TPU-native record, in its own interpreter so a
-    tunnel hiccup cannot sink the rest)."""
+    tunnel hiccup cannot sink the rest).  Each stage checks the global
+    deadline and is skipped (with an explanatory key) when the analog
+    headline has eaten the budget."""
+    if remaining() < 240:
+        return {"digital_skipped": "deadline"}
     try:
         import bench_digital as bd
         c, clk, rst, port_nets, report, expect = bd.build()
@@ -219,6 +241,10 @@ def digital_metric():
         }
     except Exception as e:  # noqa: BLE001 — never sink the analog record
         return {"digital_error": f"{type(e).__name__}: {e}"}
+    budget = remaining() - 60
+    if budget < 180:
+        rec["digital_batched_skipped"] = "deadline"
+        return rec
     try:
         # batched-instance aggregate on the CHIP (flash engine): the
         # TPU-native digital record (VERDICT r3 item 1) — B instances
@@ -230,7 +256,7 @@ def digital_metric():
         env2.setdefault("PE_BENCH_DIGITAL_BATCH", "512")
         r = subprocess.run(
             [sys.executable, "bench_digital.py"], capture_output=True,
-            text=True, timeout=3000, env=env2,
+            text=True, timeout=budget, env=env2,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         row = json.loads(r.stdout.strip().splitlines()[-1])
         rec["digital_batched_gate_evals_per_sec"] = row["value"]
@@ -242,7 +268,7 @@ def digital_metric():
     return rec
 
 
-def _tpu_run_subprocess() -> float:
+def _tpu_run_subprocess(timeout_s: float) -> float:
     """tpu_run in a fresh interpreter (retry path)."""
     import subprocess
     import sys
@@ -250,7 +276,7 @@ def _tpu_run_subprocess() -> float:
             "print(json.dumps({'v': bench.tpu_run()}))")
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=3000, cwd=os.path.dirname(os.path.abspath(__file__)))
+        timeout=timeout_s, cwd=os.path.dirname(os.path.abspath(__file__)))
     if r.returncode != 0:
         raise RuntimeError(f"tpu_run subprocess rc={r.returncode}: "
                            f"{r.stderr[-500:]}")
@@ -258,27 +284,33 @@ def _tpu_run_subprocess() -> float:
 
 
 def main():
-    digital = digital_metric()
-    # best-of-3: the scalar baseline is sensitive to host contention
-    cps_dense = max(cpu_baseline_dense() for _ in range(3))
-    cps_sparse = max(cpu_baseline_sparse() for _ in range(3))
-    # the axon tunnel occasionally drops with a transient
+    # ANALOG HEADLINE FIRST — it is the record the driver must capture.
+    # The axon tunnel occasionally drops with a transient
     # "TPU backend setup/compile error (Unavailable)" (observed r3);
     # every attempt runs in a FRESH interpreter (jax caches a failed
     # backend init for the life of the process) under a hard timeout
     # (a downed tunnel can HANG backend init indefinitely, observed
-    # r3) so one hiccup cannot zero out or stall the round's record
+    # r3) so one hiccup cannot zero out or stall the round's record.
+    # Reserve ~180 s after the analog stage for the CPU denominators.
     last = None
     cps_tpu = None
-    for attempt in range(3):
-        try:
-            cps_tpu = _tpu_run_subprocess()
+    while cps_tpu is None:
+        budget = remaining() - 180
+        if budget < 120:
             break
+        try:
+            cps_tpu = _tpu_run_subprocess(budget)
         except Exception as e:  # noqa: BLE001
             last = e
-            time.sleep(90)
+            time.sleep(min(20, max(0, remaining() - 300)))
     if cps_tpu is None:
-        raise last
+        raise (last or RuntimeError("deadline before first TPU attempt"))
+
+    # CPU denominators: best-of-3 when time allows (the scalar baseline
+    # is sensitive to host contention), single run under pressure.
+    reps = 3 if remaining() > 420 else 1
+    cps_dense = max(cpu_baseline_dense() for _ in range(reps))
+    cps_sparse = max(cpu_baseline_sparse() for _ in range(reps))
     rec = {
         "metric": "transient_newton_circuit_steps_per_sec",
         "value": round(cps_tpu, 1),
@@ -287,7 +319,7 @@ def main():
         "vs_scipy_sparse_lu": round(cps_tpu / cps_sparse, 2),
         "workload": "255-node nonlinear random-link mesh, 256 unknowns",
     }
-    rec.update(digital)
+    rec.update(digital_metric())
     print(json.dumps(rec))
 
 

@@ -156,38 +156,52 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "main"
     if mode == "ref":
         import numpy as np
-        np.save("/tmp/bsim3_ref.npy", run_ref_lanes())
+        np.save(sys.argv[2], run_ref_lanes())
         print("ref done")
         return
     if mode == "accel":
         import numpy as np
         tr, rate = run_accel()
-        np.save("/tmp/bsim3_accel.npy", tr)
+        np.save(sys.argv[2], tr)
         print(json.dumps({"rate": rate}))
         return
 
+    import tempfile
     import numpy as np
+    # private exchange dir: concurrent runs must not clobber each
+    # other's traces (advisor finding r4)
+    tmpd = tempfile.mkdtemp(prefix="pe_bsim3_")
+    ref_path = os.path.join(tmpd, "ref.npy")
+    acc_path = os.path.join(tmpd, "accel.npy")
     env_ref = dict(os.environ)
     env_ref["JAX_PLATFORMS"] = "cpu"
-    r = subprocess.run([sys.executable, __file__, "ref"],
+    r = subprocess.run([sys.executable, __file__, "ref", ref_path],
                        capture_output=True, text=True, timeout=3000,
                        env=env_ref)
     if r.returncode != 0:
         raise RuntimeError(f"ref pass failed: {r.stderr[-800:]}")
-    r2 = subprocess.run([sys.executable, __file__, "accel"],
+    r2 = subprocess.run([sys.executable, __file__, "accel", acc_path],
                         capture_output=True, text=True, timeout=3000,
                         env=dict(os.environ))
     if r2.returncode != 0:
         raise RuntimeError(f"accel pass failed: {r2.stderr[-800:]}")
     rate = json.loads(r2.stdout.strip().splitlines()[-1])["rate"]
-    ref = np.load("/tmp/bsim3_ref.npy")
-    acc = np.load("/tmp/bsim3_accel.npy")
-    rel = float(np.abs(acc - ref).max() / np.abs(ref).max())
+    ref = np.load(ref_path)
+    acc = np.load(acc_path)
+    # per-sample relative error with an absolute floor (advisor finding
+    # r4: normalizing by the global trace maximum hides large relative
+    # errors on small-amplitude nodes).  Floor = VNTOL (1 uV): below
+    # the solver's own absolute voltage tolerance, "relative" error is
+    # not meaningful.
+    floor = 1e-6
+    rel = float((np.abs(acc - ref) / (np.abs(ref) + floor)).max())
+    rel_glob = float(np.abs(acc - ref).max() / np.abs(ref).max())
     print(json.dumps({
         "metric": "bsim3_tr_circuit_steps_per_sec",
         "value": round(rate, 1),
         "unit": "circuit-steps/s",
         "rel_err_vs_cpu_f64": rel,
+        "rel_err_waveform_norm": rel_glob,
         "quality_gate_1e6": rel <= 1e-6,
         "workload": f"{STAGES}-stage BSIM3 CMOS inverter chain x "
                     f"{BATCH} MC lanes, {2 * STAGES} devices/lane",

@@ -442,9 +442,12 @@ def run_batched(plan: FlashPlan, sv, su, seq_state, FV, FU, watch,
                                 axis=1)
             try:    # mark the replicated start state device-varying so
                     # the scan carry type matches (jax >= 0.7 vma check)
-                s = jax.lax.pvary(s, (axis,))
+                s = jax.lax.pcast(s, (axis,), to="varying")
             except AttributeError:
-                pass
+                try:
+                    s = jax.lax.pvary(s, (axis,))   # older jax
+                except AttributeError:
+                    pass
             _st, hist = _run_core(plan, s, xs, watch_new, B_loc, True)
             return hist[None]
 
