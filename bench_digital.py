@@ -162,6 +162,125 @@ def fp16_lanes_run():
     return n_gates * T * 32 / elapsed, n_gates
 
 
+def build_fp16_cyclic():
+    """The reference's latch-heavy fp16_addsub unit (~3.5k cyclic
+    gates from incomplete always@* assignment) — the ir.cyclic class
+    that round 4's flash engine could not take.  Falls back to the
+    in-repo feed-forward adder when the reference tree is absent."""
+    import phy_engine_tpu as pe
+    from phy_engine_tpu import netops
+    from phy_engine_tpu.models import INPUT
+    from phy_engine_tpu.verilog import (compile_source, build_design,
+                                        elaborate, find_module)
+    from phy_engine_tpu.verilog.synth import (synthesize_to_netlist,
+                                              SynthOptions)
+
+    path = "/root/reference/test/0020.fp16_calc/fp16_addsub.v"
+    if os.path.exists(path):
+        src, top = open(path).read(), "fp16_addsub_unit"
+    else:
+        from test_fp16 import FP16_ADD_SRC
+        src, top = FP16_ADD_SRC, "fp16_add"
+    mods = compile_source(src)
+    design = build_design(mods)
+    topm = find_module(design, top)
+    inst = elaborate(design, topm)
+    c = pe.Circuit()
+    nl = c.nl
+    pn = {p: [netops.create_node(nl)
+              for _ in range(inst.signals[p].width)]
+          for p in topm.ports}
+    ins = {}
+    in_ports = [("a", 16), ("b", 16)]
+    if top == "fp16_addsub_unit":
+        in_ports.append(("sub", 1))
+    for name, w in in_ports:
+        ins[name] = []
+        for i in range(w):
+            m = netops.add_model(nl, INPUT, {"boolean": 0.0})
+            netops.add_to_node(nl, m, 0, pn[name][i])
+            ins[name].append(m)
+    report = synthesize_to_netlist(nl, design, inst, pn,
+                                   SynthOptions(opt_level=1))
+    return c, ins, pn, report
+
+
+def fp16_flash_run():
+    """Batched-instances x 32-lane fp16 adds through the flash engine's
+    cyclic (latch-feedback) path: B instances, each tick carries 32
+    independent operand pairs per instance.  Gate-evals counted
+    conservatively as live gates x ticks x lanes x instances (each
+    fixpoint pass re-evaluates the cyclic block at least once).
+    Verifies a sample of lanes against the levels engine."""
+    import numpy as np
+    os.environ["PE_TPU_DIGITAL"] = "flash"
+    c, ins, pn, report = build_fp16_cyclic()
+    n_gates = report.gate_count
+    T = int(os.environ.get("PE_BENCH_DIGITAL_TICKS", "16"))
+    B = int(os.environ.get("PE_BENCH_DIGITAL_BATCH", "128"))
+    rng = np.random.default_rng(7)
+    va = rng.integers(0, 1 << 16, (B, T, 32))
+    vb = rng.integers(0, 1 << 16, (B, T, 32))
+
+    def sched_for(b):
+        s = []
+        for t in range(T):
+            e = {}
+            for name, vals in (("a", va), ("b", vb)):
+                for i, m in enumerate(ins[name]):
+                    word = 0
+                    for lane in range(32):
+                        word |= (int(vals[b, t, lane]) >> i & 1) << lane
+                    e[m] = (word, 0)
+            if "sub" in ins:
+                e[ins["sub"][0]] = (0, 0)
+            s.append(e)
+        return s
+
+    def run_words(circ, inputs, nets, bsel):
+        """Full (hv, hu) lane words for the selected instances."""
+        eng = circ._digital or (circ.prepare() and circ._digital)
+        eng = circ._digital
+        comp = [circ._compile_schedule(sched_for(b, inputs))
+                for b in bsel]
+        fs = comp[0][1]
+        FV = np.stack([cc[2] for cc in comp])
+        FU = np.stack([cc[3] for cc in comp])
+        watch = [eng.ir.node_sig.get(id(n), 0) for n in nets]
+        return eng.run_ticks_batched(fs, FV, FU, watch=watch)
+
+    def sched_for(b, inputs):
+        s = []
+        for t in range(T):
+            e = {}
+            for name, vals in (("a", va), ("b", vb)):
+                for i, m in enumerate(inputs[name]):
+                    word = 0
+                    for lane in range(32):
+                        word |= (int(vals[b, t, lane]) >> i & 1) << lane
+                    e[m] = (word, 0)
+            if "sub" in inputs:
+                e[inputs["sub"][0]] = (0, 0)
+            s.append(e)
+        return s
+
+    run_words(c, ins, pn["y"], range(B))                # compile+warm
+    t0 = time.perf_counter()
+    hv, hu = run_words(c, ins, pn["y"], range(B))
+    elapsed = time.perf_counter() - t0
+    # bit-exactness spot check: replay two instances on the levels
+    # path and compare ALL 32 lane words of every output bit/tick
+    os.environ["PE_TPU_DIGITAL"] = "levels"
+    c2, ins2, pn2, _rep = build_fp16_cyclic()
+    pick = [0, B - 1]
+    rv, ru = run_words(c2, ins2, pn2["y"], pick)
+    assert np.array_equal(np.asarray(rv), np.asarray(hv)[pick]), \
+        "flash != levels (v plane)"
+    assert np.array_equal(np.asarray(ru), np.asarray(hu)[pick]), \
+        "flash != levels (u plane)"
+    return n_gates * T * 32 * B / elapsed, n_gates, B
+
+
 def turbo_batch_run():
     """Batched-instances record: B independent RV32 instances through
     the fast-gather flash engine (digital/flash.py) vs the host C++
@@ -224,6 +343,17 @@ def main():
             "vs_baseline": round(turbo / native, 2),
             "batch": B,
             "native_single_trace": round(native, 1),
+        }))
+        return
+    if mode == "fp16_flash":
+        tpu, n, B = fp16_flash_run()
+        print(json.dumps({
+            "metric": "fp16_cyclic_flash_gate_evals_per_sec",
+            "value": round(tpu, 1),
+            "unit": "gate-evals/s",
+            "vs_baseline": 0.0,
+            "gates": n,
+            "batch": B,
         }))
         return
     if mode == "fp16_lanes":

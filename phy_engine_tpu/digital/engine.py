@@ -1031,7 +1031,8 @@ class DigitalEngine:
             mode = "flash"       # toolchain missing: device fallback
         if mode == "native":
             mode = "flash"       # mesh/vmods: device path required
-        if mode == "flash" and turbo.eligible(self.ir) \
+        if mode == "flash" \
+                and turbo.eligible(self.ir, allow_cyclic=True) \
                 and watch is not None:
             from . import flash
             fs_np = _np.asarray(forced_sig, _np.int32)

@@ -31,8 +31,16 @@ batch.  This module is the measured-on-chip redesign:
 Semantics are bit-identical to the levelled engine
 (digital/engine.py): forced-input write, input-cone settle, per-segment
 flip-flop update against a frozen pre-segment state, full settle.
-Eligibility is exactly ``turbo.eligible(ir)`` (feed-forward comb set +
-DFF/DFF_ARSTN).
+Eligibility is ``turbo.eligible(ir, allow_cyclic=True)`` — the
+feed-forward comb set + DFF/DFF_ARSTN, plus gate-level latch feedback
+(``ir.cyclic``): cyclic gates keep per-segment contiguous (non-SSA)
+slots and settle under a bounded on-device ``lax.while_loop`` fixpoint
+mirroring the native sweep engine's Jacobi schedule
+(native/pe_digital.cpp jacobi_segments + the update-table worklist role,
+circuit.h:307-337).  Because the topological leveller classifies every
+gate downstream of a cycle as cyclic too, the SSA (levelled) outputs
+cannot change during the fixpoint — so only the Jacobi pass iterates,
+which is bit-exact with the native engine's full re-sweep and cheaper.
 """
 
 from __future__ import annotations
@@ -195,6 +203,20 @@ class FlashPlan:
             lc0 = nxt
             nxt += n               # lc slots live only in new space
             ff_fill.append((seg.op, q, q0, lc0, n))
+        # cyclic (gate-level latch feedback) records: one Jacobi unit
+        # per IR segment — within a segment all gates read pre-segment
+        # state; segments apply sequentially (native_run.py cy tables)
+        cyc_records: List[List[Tuple[str, int, int, int]]] = []
+        for seg in ir.cyclic:
+            two = seg.inputs.shape[1] > 1 and seg.op not in _UNARY
+            gates = []
+            for g in range(len(seg.outputs)):
+                a = int(seg.inputs[g][0])
+                b = int(seg.inputs[g][1]) if two else a
+                gates.append((seg.op, a, b, int(seg.outputs[g][0])))
+            cyc_records.append(gates)
+        self.fix_budget = int(ir.cyclic_budget) if ir.cyclic else 0
+
         # sources: anything unproduced (non-forced INPUTs, consts, ...)
         produced = np.zeros(n_tot, bool)
         for sub in sublevels:
@@ -203,10 +225,26 @@ class FlashPlan:
         for seg in ir.seq:
             for s in seg.outputs[:, 0]:
                 produced[int(s)] = True
+        for gates in cyc_records:
+            for _op, _a, _b, o in gates:
+                produced[o] = True
         for s in range(S):
             if NEW[s] < 0 and not produced[s]:
                 NEW[s] = nxt
                 nxt += 1
+        # cyclic outputs: a contiguous block (change detection slices
+        # it) with per-segment contiguous sub-ranges (each Jacobi write
+        # is one dynamic_update_slice)
+        self.cyc0 = nxt
+        cyc_passes_old = []
+        for gates in cyc_records:
+            o0 = nxt
+            for _op, _a, _b, o in gates:
+                assert NEW[o] < 0, "cyclic output driven twice"
+                NEW[o] = nxt
+                nxt += 1
+            cyc_passes_old.append((gates, o0))
+        self.n_cyc = nxt - self.cyc0
         # comb outputs, cone-first, op-sorted
         self.cone_passes = []      # per sub-level: (a,b idx, runs, o0, g)
         self.full_passes = []
@@ -247,6 +285,8 @@ class FlashPlan:
                             self.cone_passes]
         self.full_passes = [build_pass(g, o0) for g, o0 in
                             self.full_passes]
+        self.cyclic_passes = [build_pass(g, o0) for g, o0 in
+                              cyc_passes_old]
 
         # FF segment tables
         self.ff_meta = []          # (op, q_old, q0, lc0, n) for commit
@@ -331,10 +371,50 @@ class FlashPlan:
                 st, jnp.concatenate([lcv2, lcu2], axis=1), (lc0, 0))
         return st
 
+    def _fixpoint(self, st, B):
+        """Bounded Jacobi settle over the cyclic block (pe_digital.cpp
+        step 4): iterate the cyclic pass until the [cyc0, cyc0+n_cyc)
+        slot block stops changing or ``fix_budget`` passes ran.  The
+        SSA outputs are frozen during the settle (no level gate reads a
+        cyclic output), so comparing the cyclic block alone — and not
+        re-running the full pass — is exact."""
+        nc, c0 = self.n_cyc, self.cyc0
+        budget = jnp.int32(self.fix_budget)
+
+        def cur(s):
+            return jax.lax.dynamic_slice(s, (c0, 0), (nc, 2 * B))
+
+        prev0 = cur(st)
+        st = self._comb_pass(st, self.cyclic_passes, B)   # pass 1
+
+        def cond(c):
+            s, prev, it = c
+            return jnp.any(cur(s) != prev) & (it < budget)
+
+        def body(c):
+            s, _, it = c
+            prev = cur(s)
+            return self._comb_pass(s, self.cyclic_passes, B), prev, \
+                it + 1
+
+        st, _, _ = jax.lax.while_loop(cond, body,
+                                      (st, prev0, jnp.int32(1)))
+        return st
+
     def tick(self, st, forced_blk, B: int):
         """forced_blk: (nf, 2B) int32 this tick's INPUT planes."""
         if self.nf:
             st = jax.lax.dynamic_update_slice(st, forced_blk, (0, 0))
+        if self.cyclic_passes:
+            # with feedback, the pre-sequential settle is the FULL
+            # program + one Jacobi pass (engine.py pre_fused comb_pass
+            # when has_fixpoint; pe_digital.cpp step 2)
+            st = self._comb_pass(st, self.full_passes, B)
+            st = self._comb_pass(st, self.cyclic_passes, B)
+            st = self._ff_pass(st, B)
+            st = self._comb_pass(st, self.full_passes, B)
+            st = self._fixpoint(st, B)
+            return st
         st = self._comb_pass(st, self.cone_passes, B)
         st = self._ff_pass(st, B)
         st = self._comb_pass(st, self.full_passes, B)
@@ -407,7 +487,8 @@ def run_batched(plan: FlashPlan, sv, su, seq_state, FV, FU, watch,
                 s = jnp.concatenate([jnp.repeat(s0[:, :1], Bp, 1),
                                      jnp.repeat(s0[:, 1:], Bp, 1)],
                                     axis=1)
-                _st, hist = _run_core(plan, s, xs, watch_new, Bp, True)
+                _st, hist = _run_core(plan, s, xs, watch_new, Bp,
+                                      not plan.cyclic_passes)
                 return hist
             run = cache[key] = jax.jit(run_fn)
         hist = run(state0, xsj)
@@ -448,7 +529,8 @@ def run_batched(plan: FlashPlan, sv, su, seq_state, FV, FU, watch,
                     s = jax.lax.pvary(s, (axis,))   # older jax
                 except AttributeError:
                     pass
-            _st, hist = _run_core(plan, s, xs, watch_new, B_loc, True)
+            _st, hist = _run_core(plan, s, xs, watch_new, B_loc,
+                                  not plan.cyclic_passes)
             return hist[None]
 
         fn_jit = cache[key] = jax.jit(shard_map(

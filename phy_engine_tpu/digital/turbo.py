@@ -786,7 +786,7 @@ def pick_auto_batch(ir, batch: int) -> str:
         plat = jax.devices()[0].platform
     except Exception:
         plat = "cpu"
-    if plat == "tpu" and eligible(ir):
+    if plat == "tpu" and eligible(ir, allow_cyclic=True):
         if batch >= 8:
             return "flash"
         return "native"
