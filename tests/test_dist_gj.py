@@ -296,3 +296,48 @@ def test_dist_solve_mna_voltage_source_zero_diag():
     b = rng.standard_normal(n)
     x = dist_solve(mesh, A[None], b[None], refine=2)
     assert _relerr(x, A[None], b[None]) < 1e-8
+
+
+def test_dist_solve_structurally_zero_leading_panel():
+    """VERDICT r4 item 7 — the adversarial panel case: ALL 128
+    voltage-source branch-current columns land in panel 0 under the
+    block-cyclic permutation, and the VS equation rows are rows 0..127,
+    so the leading (128, 128) block of the permuted matrix is
+    STRUCTURALLY ZERO (A = [[0, I], [I, G]] up to scaling).
+
+    This is the configuration SURVEY §7 flagged as the core numerical
+    risk.  It does NOT defeat the factorization: panel_factor's pivot
+    search scans every available ROW per column (fixed column order +
+    free row choice = partial pivoting), so each zero-diagonal current
+    column pivots on its node incidence row — no cross-panel column
+    exchange or host pre-ordering is needed for exact-arithmetic
+    success on any nonsingular system.  (A zero pivot COLUMN at
+    elimination time would mean the leading columns are linearly
+    dependent, i.e. the whole matrix is singular.)  The saddle
+    structure [[0, I], [I, G]] is also well-conditioned regardless of
+    cond(G) — its inverse is [[-G, I], [I, 0]] — so even an
+    ill-conditioned node block cannot smuggle a numerical failure in
+    through this shape; the ill-conditioned-defeat regime is covered
+    by test_dist_solve_validated_reject_ill_conditioned above.  The
+    assertion here is full solve SUCCESS at f64 accuracy, not mere
+    rejection, incl. row scaling that pushes the equilibrator."""
+    devs = np.array(jax.devices()[:2])
+    mesh = Mesh(devs, ("d",))
+    n = 2 * NB
+    kv = NB           # one full panel of branch-current unknowns
+    nn = n - kv
+    rng = np.random.default_rng(11)
+    q1, _ = np.linalg.qr(rng.standard_normal((nn, nn)))
+    G = (q1 * np.logspace(0, -8, nn)) @ q1.T
+    A = np.zeros((n, n))
+    A[:kv, kv:] = np.eye(kv)          # VS rows: v_k = V_k
+    A[kv:, :kv] = np.eye(kv)          # KCL rows: branch currents
+    A[kv:, kv:] = G
+    # wildly mixed row/col scaling (mA currents vs kV sources)
+    dr = np.logspace(-6, 6, n)
+    rng.shuffle(dr)
+    A = A * dr[:, None]
+    b = rng.standard_normal(n) * dr
+    assert np.all(A[:kv, :kv] == 0.0), "leading panel block must be 0"
+    x = dist_solve(mesh, A[None], b[None], refine=2)
+    assert _relerr(x, A[None], b[None]) < 1e-10
