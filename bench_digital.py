@@ -268,17 +268,33 @@ def fp16_flash_run():
     t0 = time.perf_counter()
     hv, hu = run_words(c, ins, pn["y"], range(B))
     elapsed = time.perf_counter() - t0
-    # bit-exactness spot check: replay two instances on the levels
-    # path and compare ALL 32 lane words of every output bit/tick
-    os.environ["PE_TPU_DIGITAL"] = "levels"
-    c2, ins2, pn2, _rep = build_fp16_cyclic()
-    pick = [0, B - 1]
-    rv, ru = run_words(c2, ins2, pn2["y"], pick)
-    assert np.array_equal(np.asarray(rv), np.asarray(hv)[pick]), \
-        "flash != levels (v plane)"
-    assert np.array_equal(np.asarray(ru), np.asarray(hu)[pick]), \
-        "flash != levels (u plane)"
-    return n_gates * T * 32 * B / elapsed, n_gates, B
+    # host native single-trace denominator on the same design (the
+    # engine the latch class previously fell back to; it runs
+    # instances serially, so its aggregate is its per-instance rate)
+    from phy_engine_tpu.digital import native_run
+    native_rate = 0.0
+    if native_run.available():
+        os.environ["PE_TPU_DIGITAL"] = "native"
+        cn, insn, pnn, _rep = build_fp16_cyclic()
+        run_words(cn, insn, pnn["y"], [0, 1])           # warm
+        t0 = time.perf_counter()
+        nv, nu = run_words(cn, insn, pnn["y"], [0, 1])
+        native_rate = n_gates * T * 32 * 2 / (time.perf_counter() - t0)
+        assert np.array_equal(np.asarray(nv), np.asarray(hv)[:2]), \
+            "flash != native (v plane)"
+        assert np.array_equal(np.asarray(nu), np.asarray(hu)[:2]), \
+            "flash != native (u plane)"
+    else:
+        # bit-exactness spot check vs the levels engine instead
+        os.environ["PE_TPU_DIGITAL"] = "levels"
+        c2, ins2, pn2, _rep = build_fp16_cyclic()
+        pick = [0, B - 1]
+        rv, ru = run_words(c2, ins2, pn2["y"], pick)
+        assert np.array_equal(np.asarray(rv), np.asarray(hv)[pick]), \
+            "flash != levels (v plane)"
+        assert np.array_equal(np.asarray(ru), np.asarray(hu)[pick]), \
+            "flash != levels (u plane)"
+    return n_gates * T * 32 * B / elapsed, n_gates, B, native_rate
 
 
 def turbo_batch_run():
@@ -346,14 +362,15 @@ def main():
         }))
         return
     if mode == "fp16_flash":
-        tpu, n, B = fp16_flash_run()
+        tpu, n, B, native = fp16_flash_run()
         print(json.dumps({
             "metric": "fp16_cyclic_flash_gate_evals_per_sec",
             "value": round(tpu, 1),
             "unit": "gate-evals/s",
-            "vs_baseline": 0.0,
+            "vs_baseline": round(tpu / native, 2) if native else 0.0,
             "gates": n,
             "batch": B,
+            "native_single_trace": round(native, 1),
         }))
         return
     if mode == "fp16_lanes":

@@ -120,17 +120,39 @@ def _net_const(node: Node) -> Optional[int]:
     return _const_code(drv[0].model)
 
 
+def _present(nl: Netlist, inst: ModelInstance) -> bool:
+    pos = getattr(inst, "_pos", -1)
+    return 0 <= pos < len(nl.models) and nl.models[pos] is inst
+
+
 def dce(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
-    """Remove gates (and FFs) whose every output is unread+unprotected."""
+    """Remove gates (and FFs) whose every output is unread+unprotected.
+
+    Worklist form (round-5 perf): deleting a gate enqueues the drivers
+    of its fanin nets, so a dead CONE peels in one pass instead of one
+    netlist-wide fixpoint round per logic level (the round-4 shape was
+    the dominant -Omax cost on deep designs).  Fixpoint semantics are
+    identical: gates on dead feedback cycles still survive (each reads
+    the other), exactly as under the per-round rule."""
+    from collections import deque
     changed = False
-    for inst in list(nl.live_models()):
+    removable: Dict[int, ModelInstance] = {}
+    for inst in nl.live_models():
         if inst.mdef.device_class != DeviceClass.DIGITAL:
             continue
         if inst.mdef.digital_op in ("OUTPUT", "OUTPUT8", "VERILOG"):
             continue
-        outs = [inst.pins[i].node for i in inst.mdef.dout_pins]
-        if not outs:
+        if not inst.mdef.dout_pins:
             continue
+        removable[id(inst)] = inst
+    work = deque(removable.values())
+    queued = set(removable)
+    while work:
+        inst = work.popleft()
+        queued.discard(id(inst))
+        if not _present(nl, inst):
+            continue
+        outs = [inst.pins[i].node for i in inst.mdef.dout_pins]
         dead = True
         for n in outs:
             if n is None:
@@ -139,14 +161,24 @@ def dce(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
                     n.num_of_analog_node > 0:
                 dead = False
                 break
-        if dead:
-            dead_nets = [n for n in outs if n is not None]
-            ops.delete_model(nl, inst)
-            for n in dead_nets:
-                if not n.pins:
-                    ops.drop_node(nl, n)
-            stats.removed_gates += 1
-            changed = True
+        if not dead:
+            continue
+        fanins = [inst.pins[i].node for i in inst.mdef.din_pins]
+        dead_nets = [n for n in outs if n is not None]
+        ops.delete_model(nl, inst)
+        for n in dead_nets:
+            if not n.pins:
+                ops.drop_node(nl, n)
+        stats.removed_gates += 1
+        changed = True
+        for n in fanins:
+            if n is None:
+                continue
+            for pin in n.pins:
+                drv = pin.model
+                if id(drv) in removable and id(drv) not in queued:
+                    work.append(drv)
+                    queued.add(id(drv))
     return changed
 
 
@@ -242,8 +274,20 @@ def const_prop(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
             n = inst.pins[0].node
             if n is not None and drv_count.get(id(n), 0) == 1:
                 const_of[id(n)] = code
-    for inst in live:
-        if not _is_gate(inst):
+    # worklist (round-5 perf): folding a gate can make its output net
+    # constant, which re-enables its readers — so constant CONES fold
+    # in one pass instead of one netlist-wide round per logic level.
+    # drv_count/const_of are maintained incrementally; anything this
+    # bookkeeping conservatively misses is caught by the caller's
+    # round loop exactly as under the per-round rule.
+    from collections import deque
+    gates = [inst for inst in live if _is_gate(inst)]
+    work = deque(gates)
+    queued = {id(i) for i in gates}
+    while work:
+        inst = work.popleft()
+        queued.discard(id(inst))
+        if not _present(nl, inst):
             continue
         op = inst.mdef.digital_op
         ins = _in_nodes(inst)
@@ -257,12 +301,26 @@ def const_prop(nl: Netlist, protected: Set[int], stats: OptStats) -> bool:
         if out_codes is None:
             continue
         ops.delete_model(nl, inst)
+        for n in outs:
+            if n is not None:
+                drv_count[id(n)] = drv_count.get(id(n), 1) - 1
         for n, code in zip(outs, out_codes):
             if n is None:
                 continue
             src = ops.add_model(nl, INPUT, {"boolean": float(code),
                                             "synth_const": 1.0})
             ops.add_to_node(nl, src, 0, n)
+            drv_count[id(n)] = drv_count.get(id(n), 0) + 1
+            if drv_count[id(n)] == 1:
+                const_of[id(n)] = code
+                for pin in n.pins:
+                    rdr = pin.model
+                    if pin.index in rdr.mdef.din_pins and \
+                            _is_gate(rdr) and id(rdr) not in queued:
+                        work.append(rdr)
+                        queued.add(id(rdr))
+            else:
+                const_of.pop(id(n), None)
         stats.folded_const += 1
         changed = True
     return changed
