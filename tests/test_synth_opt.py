@@ -659,3 +659,47 @@ endmodule
     assert counts[2] <= counts[1]
     assert counts[3] <= counts[2]
     assert counts[1] == 0          # all 16 MUL2 webs extracted
+
+
+def test_liveset_matches_full_dfs_count():
+    """_LiveSet (the incremental live-gate counter the QM/espresso
+    accept loop uses) must agree exactly with the full-DFS
+    _live_gate_count on random hash-consed graphs, across root swaps
+    with shared cones, duplicate root slots, and undo."""
+    import random
+    from phy_engine_tpu.verilog.opt_graph import (
+        _Builder, _LiveSet, _live_gate_count)
+
+    rng = random.Random(7)
+    for trial in range(20):
+        bld = _Builder(binary_ok=True)
+        leaves = [bld.leaf(object()) for _ in range(6)]
+        pool = list(leaves)
+        for _ in range(40):
+            op = rng.choice(["AND", "OR", "XOR", "NOT"])
+            if op == "NOT":
+                pool.append(bld.NOT(rng.choice(pool)))
+            else:
+                a, b = rng.choice(pool), rng.choice(pool)
+                pool.append(getattr(bld, op)(a, b))
+        roots = [rng.choice(pool) for _ in range(5)]
+        if trial % 3 == 0:
+            roots.append(roots[0])        # duplicate root slot
+        live = _LiveSet(bld, roots)
+        assert live.gates == _live_gate_count(bld, roots)
+        cur = list(roots)
+        for _ in range(15):
+            old = rng.choice(cur)
+            new = rng.choice(pool)
+            # trial cost = all slots holding `old` replaced
+            want = _live_gate_count(
+                bld, [new if r == old else r for r in cur])
+            got = live.swap_cost_all(old, new)
+            assert got == want, (trial, old, new, got, want)
+            # the probe must not disturb the committed state
+            assert live.gates == _live_gate_count(bld, cur)
+            if rng.random() < 0.5:
+                i = cur.index(old)
+                cur[i] = new              # commit ONE slot
+                live.swap_one(old, new)
+                assert live.gates == _live_gate_count(bld, cur)
