@@ -135,7 +135,13 @@ def gj_inverse_util(f32_highest_rate):
         A = A + n * jnp.eye(n, dtype=jnp.float32)[None]   # well-conditioned
         # inv is an involution: the chain alternates A, A^-1, A, ...
         # every element of which is equally well-conditioned
-        t = _chain_time(gj_inverse32, A)
+        try:
+            t = _chain_time(gj_inverse32, A)
+        except Exception as e:   # record, don't die: Mosaic rejects the
+            # one-hot kernel's (1, n) cross-lane reduce at n=1024/bt=1
+            rows.append({"B": B, "n": n,
+                         "error": type(e).__name__ + ": " + str(e)[:120]})
+            continue
         useful = B * 2.0 * n ** 3
         rate = useful / t
         rows.append({
@@ -161,7 +167,12 @@ def lu_block_util(f32_highest_rate):
         key = jax.random.PRNGKey(2)
         A = jax.random.normal(key, (B, n, n), jnp.float32)
         A = A + n * jnp.eye(n, dtype=jnp.float32)[None]
-        t = _chain_time(fn, A)
+        try:
+            t = _chain_time(fn, A)
+        except Exception as e:
+            rows.append({"B": B, "n": n,
+                         "error": type(e).__name__ + ": " + str(e)[:120]})
+            continue
         useful = B * 2.0 * n ** 3
         rate = useful / t
         rows.append({

@@ -23,6 +23,7 @@ corners) and shards over device meshes.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
@@ -434,6 +435,21 @@ FROZEN_RATE = 0.85   # refactor when residual contraction is worse
                      # (one refactor costs ~13 stale iterations)
 FROZEN_GROW_FRAC = 0.25   # refresh when > this fraction of active
                           # lanes contracts worse than FROZEN_RATE
+# bench experiment knobs (defaults = the shipped v2 policy; see
+# BASELINE.md round-5 MXU utilization record for the measured costs)
+#   PE_TPU_FROZEN_NS_PREC=default : NS refresh GEMMs at DEFAULT
+#       precision (one bf16 MXU pass, ~4-5x cheaper than the 6-pass
+#       f32 HIGHEST emulation).  Safe-by-construction: the basin
+#       guard e and the f64 residual gate are unchanged, so a sloppier
+#       refreshed factor can only cost extra cheap iterations — the
+#       round-4 v3 regression came from the POLICY change (capped
+#       steps off cross-step stale factors), not the precision.
+#   PE_TPU_FROZEN_INV=block : refactor with the blocked right-looking
+#       ops.lu_block kernel (within-diagonal-block pivoting; GEMM
+#       panel updates) instead of the global-pivot one-hot GJ.
+#       Experiment only: a singular leading block NaNs the lane.
+FROZEN_NS_PREC = os.environ.get("PE_TPU_FROZEN_NS_PREC", "highest")
+FROZEN_INV = os.environ.get("PE_TPU_FROZEN_INV", "gj")
 FROZEN_BAD_FRAC = 0.1     # escalate refresh -> full refactor when >
                           # this fraction sits outside the NS basin
 
@@ -696,6 +712,12 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
     devconv_fn = jax.vmap(lambda p, x, s: _device_converged(ir, p, x, s))
 
     hp = jax.lax.Precision.HIGHEST
+    ns_prec = (jax.lax.Precision.DEFAULT
+               if FROZEN_NS_PREC == "default" else hp)
+    if FROZEN_INV == "block":
+        from ..ops.lu_block import lu_block_inverse32_auto as _inv32
+    else:
+        _inv32 = gj_inverse32
 
     def _ns_refresh(Minv, A32, steps: int = 2):
         """Newton-Schulz inverse refresh: X <- X(2I - A X), quadratic.
@@ -708,7 +730,7 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
         for _ in range(steps):
             AX = jax.lax.dot_general(
                 A32, X, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=hp)
+                preferred_element_type=jnp.float32, precision=ns_prec)
             if e is None:
                 # per-lane basin guard: ||I - A X||_inf >= 1 means NS
                 # would square a divergent error (measured: corrupts
@@ -718,7 +740,7 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
                 e = jnp.max(jnp.sum(jnp.abs(eye - AX), axis=2), axis=1)
             X = jax.lax.dot_general(
                 X, 2.0 * eye - AX, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=hp)
+                preferred_element_type=jnp.float32, precision=ns_prec)
         return jnp.where((e < 0.9)[:, None, None], X, Minv), e
 
     def cond(c):
@@ -764,7 +786,7 @@ def newton_solve_frozen(ir: AnalogIR, params_b, x0_b, states0_b,
             else:
                 A32, rs2, cs2 = equil_b(rows, cols, vals)
             tol2 = tol_b(vals, Zf, x)
-            return gj_inverse32(A32), rs2, cs2, tol2, it
+            return _inv32(A32), rs2, cs2, tol2, it
 
         def refresh(_):
             # stale-scaled dense rebuild + 2 guarded Newton-Schulz

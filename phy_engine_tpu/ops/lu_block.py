@@ -165,6 +165,18 @@ def _lu_block_pallas(A32, nb: int, bt: int):
     )(A32)
 
 
+def lu_block_inverse32_auto(A32, nb: int = NB_BLOCK):
+    """Platform chooser mirroring `ops.gj._backend`: VMEM-resident
+    Pallas on TPU, plain XLA elsewhere."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    if plat == "tpu":
+        return lu_block_inverse32_pallas(A32, nb)
+    return lu_block_inverse32(A32, nb)
+
+
 def lu_block_inverse32_pallas(A32, nb: int = NB_BLOCK):
     """VMEM-resident variant (same tiling policy as `gj_inverse32`)."""
     B, n, _ = A32.shape

@@ -236,3 +236,43 @@ def test_frozen_newton_matches_delta_and_gauss():
     scale = np.abs(out["delta"]).max()
     diff = np.abs(out["delta"] - out["frozen"]).max()
     assert diff / scale < 1e-6, diff / scale
+
+
+def test_frozen_newton_experiment_knobs(monkeypatch):
+    """The round-5 bench knobs (PE_TPU_FROZEN_NS_PREC=default,
+    PE_TPU_FROZEN_INV=block) must preserve the frozen trajectory's
+    correctness gate — the round-4 meta-rule: no perf knob without its
+    gating test."""
+    import numpy as np
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.parallel.batch import (batch_params, batch_state,
+                                               batch_x)
+
+    ir = g._build_diode_ladder(63, 100.0, 1e-9)
+    env = g._env()
+    B, STEPS = 4, 12
+    x_b = batch_x(ir, B)
+    st_b = batch_state(ir, B)
+    pb = batch_params(ir, B, jitter={"R": {"r": 0.05}})
+    t0 = jnp.asarray(0.0, jnp.float64)
+    dt = jnp.asarray(5e-8, jnp.float64)
+    x_ref, _, ok, tr_ref = analog.transient_batched(
+        ir, pb, x_b, st_b, env, t0, dt, STEPS, solver="delta",
+        keep_trace=True)
+    assert bool(ok.all())
+    ref = np.asarray(tr_ref)
+    scale = np.abs(ref).max()
+    for knob, val in (("FROZEN_NS_PREC", "default"),
+                      ("FROZEN_INV", "block")):
+        monkeypatch.setattr(analog, knob, val)
+        try:
+            _, _, ok, tr = analog.transient_batched(
+                ir, pb, x_b, st_b, env, t0, dt, STEPS, solver="frozen",
+                keep_trace=True)
+            assert bool(ok.all()), knob
+            diff = np.abs(ref - np.asarray(tr)).max()
+            assert diff / scale < 1e-6, (knob, diff / scale)
+        finally:
+            monkeypatch.undo()
