@@ -19,10 +19,12 @@ This prototype trades pivoting strength for locality:
   pre-order the matrix so every leading diagonal block is
   nonsingular — MNA needs voltage-source rows interleaved, the same
   static-ordering contract as `parallel/dist_gj.py`'s panels.
-* **Everything else is GEMM.**  Per block step: one (B, nb, w) row
-  transform and one (B, n, nb) x (B, nb, w) rank-nb elimination over
-  the Gauss-Jordan working slab W = [A | I] — 4n^3 useful FLOPs total
-  on the MXU, zero full-width serial work.
+* **Everything else is GEMM.**  Per block step: compose the
+  elimination/normalization transform G = (C*rmask - S)Dinv + S (a
+  (B, n, nb) x (B, nb, nb) GEMM) and apply it full-width,
+  W -= G @ Wb — ~4n^3 FLOPs total on the MXU, zero full-width serial
+  work, and no scatter/offset-concat/pad (none of which Mosaic
+  lowers).
 * **Same failure contract as `gj_inverse32`**: a singular (or
   catastrophically pivoted) block yields NaN/Inf in the result; the
   frozen-Newton caller already residual-gates every factor
@@ -109,22 +111,27 @@ def _lu_block_core(A32, nb: int):
     eye = jnp.broadcast_to((ri == ci).astype(f32), (B, n, n))
     W = jnp.concatenate([A32, eye], axis=2)          # (B, n, 2n)
 
+    # Each block step is ONE full-width GEMM update  W -= G @ Wb  with
+    #   G = (C*rmask - S) @ Dinv + S
+    # where Wb = the block's rows, C = the block's columns, S the
+    # one-hot row-placement matrix, rmask zeroing the block's own
+    # rows.  Other rows get  W - C@Dinv@Wb  (elimination); block rows
+    # get  W - (I - Dinv)@Wb = Dinv@Wb  (normalization) — the whole
+    # Gauss-Jordan step without any scatter / offset-concat / pad,
+    # none of which Mosaic can lower (found the hard way: scatter-add
+    # unimplemented, "offset mismatch on non-concat dimension", and a
+    # lanes-1 astype recursing the convert helper forever).
+    rit = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    cit = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
     for kb in range(n // nb):
         k0 = kb * nb
-        # Active columns: A-part columns < k0 are already eliminated
-        # to zero, I-part columns >= k0 + nb are still untouched
-        # identity — restricting the GEMMs to [k0, n + k0 + nb) keeps
-        # the per-block work ~n wide (the classic in-place GJ trick).
-        hi = n + k0 + nb
-        Dinv = _block_inv32(W[:, k0:k0 + nb, k0:k0 + nb])
-        rowblk = bdot(Dinv, W[:, k0:k0 + nb, k0:hi])  # (B, nb, w)
-        C = W[:, :, k0:k0 + nb]                       # (B, n, nb)
-        # rows inside the block must not eliminate themselves
-        rmask = ((jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
-                  - k0) // nb != 0).astype(f32)
-        upd = bdot(C * rmask, rowblk)                 # (B, n, w)
-        W = W.at[:, :, k0:hi].add(-upd)
-        W = W.at[:, k0:k0 + nb, k0:hi].set(rowblk)
+        Wb = W[:, k0:k0 + nb, :]                     # (B, nb, 2n)
+        Dinv = _block_inv32(Wb[:, :, k0:k0 + nb])
+        C = W[:, :, k0:k0 + nb]                      # (B, n, nb)
+        rmask = ((rit < k0) | (rit >= k0 + nb)).astype(f32)
+        S = (rit[:, :, None] == k0 + cit).astype(f32)   # (1, n, nb)
+        G = bdot(C * rmask[:, :, None] - S, Dinv) + S
+        W = W - bdot(G, Wb)
     return W[:, :, n:]
 
 
