@@ -31,6 +31,15 @@ import subprocess
 import sys
 import time
 
+# The "ref"/"seed" subprocesses must run on jax CPU.  The env var
+# alone is NOT enough: the axon TPU plugin ignores JAX_PLATFORMS once
+# jax loads (CLAUDE.md), so force the config before any jax import.
+if len(sys.argv) > 1 and sys.argv[1] in ("ref", "seed"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax as _jax_early
+
+    _jax_early.config.update("jax_platforms", "cpu")
+
 BATCH = int(os.environ.get("PE_BENCH_BSIM3_BATCH", "256"))
 STEPS = int(os.environ.get("PE_BENCH_BSIM3_STEPS", "100"))
 STAGES = int(os.environ.get("PE_BENCH_BSIM3_STAGES", "31"))
@@ -88,23 +97,96 @@ def _env():
     return env_scalars(Environment())
 
 
-def run_accel():
+def _trop_ladder(ir, env):
+    """Gmin-ladder TROP seeding the transient (the reference's TR flow
+    runs TROP first; a 31-stage chain's bias point is NOT reachable by
+    plain Newton from x=0 — mirrors Circuit._gmin_stepping, which is
+    what a Circuit-level user would hit).  g_min is a traced scalar so
+    the whole ladder reuses one compiled kernel per side.
+
+    The ladder runs ONCE at the NOMINAL parameter point with the
+    per-lane dense f64 Newton in a dedicated CPU subprocess (the only
+    path that tracks the homotopy reliably: the f32-factor delta and
+    frozen solvers stall 175/256 lanes at the g=3.7e-4 rung on BOTH
+    platforms, and the TPU's emulated f64 stalls it too — measured).
+    Both the reference and accelerator subprocesses then load the
+    identical seed and broadcast it as the warm start of every MC
+    lane: the standard TROP-then-MC-transient flow.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phy_engine_tpu.engine import analog
+    from phy_engine_tpu.models.base import StampCtx
+    from phy_engine_tpu.parallel.batch import batch_params, batch_state, \
+        batch_x
+
+    z = jnp.zeros((), jnp.float64)
+
+    def rung(p, x, st, g):
+        ctx = StampCtx(mode="trop", t=z, dt=z,
+                       env={**env, "g_min": g})
+        return analog.newton_solve(ir, p, x, st, ctx, None,
+                                   jnp.float64, max_iter=1024)
+
+    fn = jax.jit(jax.vmap(rung, in_axes=(0, 0, 0, None)))
+    p1 = batch_params(ir, 1)
+    x, st = batch_x(ir, 1), batch_state(ir, 1)
+    for g in np.logspace(-2.0, -12.0, 8):
+        gj = jnp.asarray(float(g), jnp.float64)
+        x, st, ok = fn(p1, x, st, gj)
+        assert bool(jnp.all(ok)), ("trop rung failed", g)
+    return x, st
+
+
+def seed_save(path):
+    """Run the nominal TROP ladder (CPU f64) and save x + state tree."""
+    import numpy as np
+
+    ir = build_ir()
+    x1, st1 = _trop_ladder(ir, _env())
+    flat = {"x": np.asarray(x1)}
+    for fam, d in st1.items():
+        for k, v in d.items():
+            flat[f"st__{fam}__{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def seed_load(path, ir, B):
+    """Load the nominal TROP seed, broadcast to B lanes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phy_engine_tpu.parallel.batch import batch_state
+
+    z = np.load(path)
+    x1 = jnp.asarray(z["x"])                      # (1, n)
+    x_b = jnp.broadcast_to(x1[0], (B,) + x1.shape[1:])
+    st_b = batch_state(ir, B)                     # template (all fams)
+    for key in z.files:
+        if not key.startswith("st__"):
+            continue
+        _, fam, k = key.split("__", 2)
+        a = jnp.asarray(z[key])
+        st_b[fam][k] = jnp.broadcast_to(a[0], (B,) + a.shape[1:])
+    return x_b, st_b
+
+
+def run_accel(seed_path):
     """Accelerator pass: batched frozen-Newton transient, full trace."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from phy_engine_tpu.engine import analog
-    from phy_engine_tpu.parallel.batch import (batch_params, batch_state,
-                                               batch_x)
+    from phy_engine_tpu.parallel.batch import batch_params
 
     ir = build_ir()
     env = _env()
-    x_b = batch_x(ir, BATCH)
-    st_b = batch_state(ir, BATCH)
     pb = batch_params(ir, BATCH, jitter={"BSIM3_NMOS": {"Vth0": 0.02},
                                          "BSIM3_PMOS": {"Vth0": 0.02}})
     t0 = jnp.asarray(0.0, jnp.float64)
     dt = jnp.asarray(DT, jnp.float64)
+    x_b, st_b = seed_load(seed_path, ir, BATCH)
 
     def run(pb, x_b, st_b):
         x, st, ok, xs = analog.transient_batched(
@@ -123,14 +205,13 @@ def run_accel():
     return np.asarray(xs[:, :REF_LANES, :ir.n_nodes]), BATCH * STEPS / wall
 
 
-def run_ref_lanes():
+def run_ref_lanes(seed_path):
     """Pure-f64 per-lane dense-Newton reference on jax CPU."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from phy_engine_tpu.engine import analog
-    from phy_engine_tpu.parallel.batch import (batch_params, batch_state,
-                                               batch_x)
+    from phy_engine_tpu.parallel.batch import batch_params
 
     ir = build_ir()
     env = _env()
@@ -138,8 +219,7 @@ def run_ref_lanes():
     pb = batch_params(ir, BATCH, jitter={"BSIM3_NMOS": {"Vth0": 0.02},
                                          "BSIM3_PMOS": {"Vth0": 0.02}})
     pb = jax.tree_util.tree_map(lambda a: a[:REF_LANES], pb)
-    x_b = batch_x(ir, REF_LANES)
-    st_b = batch_state(ir, REF_LANES)
+    x_b, st_b = seed_load(seed_path, ir, REF_LANES)
 
     def one(p, x, st):
         x2, st2, ok, xs = analog.transient(
@@ -156,14 +236,18 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "main"
     if mode == "ref":
         import numpy as np
-        np.save(sys.argv[2], run_ref_lanes())
+        np.save(sys.argv[2], run_ref_lanes(sys.argv[3]))
         print("ref done")
         return
     if mode == "accel":
         import numpy as np
-        tr, rate = run_accel()
+        tr, rate = run_accel(sys.argv[3])
         np.save(sys.argv[2], tr)
         print(json.dumps({"rate": rate}))
+        return
+    if mode == "seed":
+        seed_save(sys.argv[2])
+        print("seed done")
         return
 
     import tempfile
@@ -173,14 +257,22 @@ def main():
     tmpd = tempfile.mkdtemp(prefix="pe_bsim3_")
     ref_path = os.path.join(tmpd, "ref.npy")
     acc_path = os.path.join(tmpd, "accel.npy")
+    seed_path = os.path.join(tmpd, "seed.npz")
     env_ref = dict(os.environ)
     env_ref["JAX_PLATFORMS"] = "cpu"
-    r = subprocess.run([sys.executable, __file__, "ref", ref_path],
+    rs = subprocess.run([sys.executable, __file__, "seed", seed_path],
+                        capture_output=True, text=True, timeout=3000,
+                        env=env_ref)
+    if rs.returncode != 0:
+        raise RuntimeError(f"seed pass failed: {rs.stderr[-800:]}")
+    r = subprocess.run([sys.executable, __file__, "ref", ref_path,
+                        seed_path],
                        capture_output=True, text=True, timeout=3000,
                        env=env_ref)
     if r.returncode != 0:
         raise RuntimeError(f"ref pass failed: {r.stderr[-800:]}")
-    r2 = subprocess.run([sys.executable, __file__, "accel", acc_path],
+    r2 = subprocess.run([sys.executable, __file__, "accel", acc_path,
+                         seed_path],
                         capture_output=True, text=True, timeout=3000,
                         env=dict(os.environ))
     if r2.returncode != 0:
