@@ -189,9 +189,13 @@ def run_accel(seed_path):
     x_b, st_b = seed_load(seed_path, ir, BATCH)
 
     def run(pb, x_b, st_b):
+        # max_iter=256: the rail-to-rail 31-stage chain needs ~75
+        # frozen iterations on early steps (the cheap-iteration trade
+        # the frozen design makes); the masked loop exits early when a
+        # step converges sooner, so the higher cap is free elsewhere
         x, st, ok, xs = analog.transient_batched(
             ir, pb, x_b, st_b, env, t0, dt, STEPS, solver="frozen",
-            keep_trace=True)
+            keep_trace=True, max_iter=256)
         return xs, jnp.all(ok)
 
     fn = jax.jit(run)

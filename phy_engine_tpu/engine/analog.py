@@ -913,12 +913,19 @@ def _newton_loop_batched(ir, params_b, x0_b, states0_b, ctx, solve_once,
 
 def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
                       dt, num_steps, drives_b=None, dtype=jnp.float64,
-                      solver: str = "hybrid", keep_trace: bool = False):
+                      solver: str = "hybrid", keep_trace: bool = False,
+                      max_iter: int = MAX_NEWTON_ITER):
     """Batched fixed-step transient over the explicit-batch Newton path.
 
     Returns (x (B,n), states, ok (B,), xs) — xs is (num_steps, B, n)
     when keep_trace else the final x.
-    """
+
+    ``max_iter`` bounds the per-step Newton loop (default mirrors the
+    reference's 64, circuit.h:898).  High-gain workloads legitimately
+    need more: a 31-stage BSIM3 inverter chain driven rail-to-rail
+    converges at ~75 frozen iterations per early step (bench_bsim3) —
+    stale-factor iterations are O(nnz)+GEMV, so a larger cap costs
+    nothing on steps that converge early (masked loop exits)."""
     step_update_b = jax.vmap(step_update_all,
                              in_axes=(None, 0, 0, 0, None, None))
 
@@ -943,7 +950,38 @@ def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
             # diode-ladder bench when extrapolation is dropped)
             x_new, st2, ok, fac = newton_solve_frozen(
                 ir, params_b, x, st, ctx, drives_b, dtype,
-                fac=fac)
+                fac=fac, max_iter=max_iter)
+
+            # per-step rescue ladder: lanes the frozen policy stalls on
+            # (measured on the 31-stage BSIM3 chain: a rail transition
+            # can defeat the stale-factor walk at ANY iteration budget)
+            # rerun the step with the fresh-factor delta solver, and —
+            # via 'hybrid' — a whole-batch f64 gauss pass for lanes
+            # whose Jacobian the f32 factor cannot resolve (one lane's
+            # transition step here measures exactly that).  The carry
+            # is invalidated so rescued lanes refactor next step.
+            # lax.cond skips the whole branch when every lane converged
+            # — the fast path pays nothing at runtime.
+            def rescue(_):
+                x_r, st_r, ok_r = newton_solve_batched(
+                    ir, params_b, x, st, ctx, drives_b, dtype,
+                    max_iter=max_iter, solver="hybrid")
+                take = (~ok) & ok_r
+
+                def merge_l(a, b):
+                    m = take.reshape((B,) + (1,) * (a.ndim - 1))
+                    return jnp.where(m, b, a)
+
+                st_m = jax.tree_util.tree_map(merge_l, st2, st_r)
+                x_m = jnp.where(take[:, None], x_r, x_new)
+                return (x_m, st_m, ok | ok_r,
+                        fac[:4] + (jnp.bool_(False),))
+
+            def keep(_):
+                return x_new, st2, ok, fac
+
+            x_new, st2, ok, fac = jax.lax.cond(
+                jnp.all(ok), keep, rescue, 0)
             x_keep = jnp.where(ok[:, None], x_new, x)
             out = x_keep if keep_trace else 0
             return (x_keep, st2, ok_all & ok, fac), out
@@ -960,7 +998,8 @@ def transient_batched(ir: AnalogIR, params_b, x0_b, states0_b, env, t0,
         st = step_update_b(ir, params_b, x, st, dt, t)
         ctx = StampCtx(mode="tr", t=t, dt=dt, env=env)
         x_new, st2, ok = newton_solve_batched(
-            ir, params_b, x, st, ctx, drives_b, dtype, solver=solver)
+            ir, params_b, x, st, ctx, drives_b, dtype,
+            max_iter=max_iter, solver=solver)
         x_keep = jnp.where(ok[:, None], x_new, x)
         out = x_keep if keep_trace else 0
         return (x_keep, st2, ok_all & ok), out
